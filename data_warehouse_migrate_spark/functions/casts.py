@@ -1,0 +1,141 @@
+"""Source-schema-driven cast expressions.
+
+The reference's central design commitment: values are coerced to the
+*declared* source type, never inferred (reference ``migrator.py:345-507``,
+``README.md:400-408``). Numeric-looking string status codes must stay
+strings. Every cast is a ``try_cast`` — a per-column cast failure must
+never fail the job (reference ``migrator.py:385-386``).
+
+All expressions are built-in Column functions (JVM-side, codegen-friendly);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.schema import _base_type, parse_source_type
+
+# reference migrator.py:431-446 (strip + lower first)
+TRUTHY_TOKENS = ("true", "1", "yes", "y")
+FALSY_TOKENS = ("false", "0", "no", "n", "")
+
+# reference migrator.py:95-96, config.py:50-52 — literal string null tokens
+STRING_NULL_TOKENS = ("nan", "none", "null", "<na>")
+
+
+def boolean_token_expr(col: Column, unknown_to_null: bool = True) -> Column:
+    """Parse boolean tokens: 'true','1','yes','y' → True;
+    'false','0','no','n','' → False; unknown → NULL (reference
+    ``migrator.py:431-446``) or False (legacy client variant,
+    ``maxcompute_client.py:438-451``) when ``unknown_to_null=False``.
+    Non-string inputs are stringified first, mirroring the pandas path.
+    """
+    s = F.lower(F.trim(col.cast("string")))
+    expr = (
+        F.when(col.isNull(), F.lit(None).cast("boolean"))
+        .when(s.isin(*TRUTHY_TOKENS), F.lit(True))
+        .when(s.isin(*FALSY_TOKENS), F.lit(False))
+    )
+    return expr.otherwise(F.lit(None).cast("boolean") if unknown_to_null else F.lit(False))
+
+
+def string_preserve_expr(col: Column,
+                         preserve_null_tokens: bool = True,
+                         treat_empty_as_null: bool = False) -> Column:
+    """Force-preserve a column as string (reference ``migrator.py:449-473``).
+
+    With ``preserve_null_tokens`` (the default —
+    ``preserve_string_null_tokens=true``), literal tokens like 'nan'/'None'/
+    'null'/'<NA>' stay as strings; disabled, they convert to NULL
+    case-insensitively. Empty string → NULL only if ``treat_empty_as_null``
+    (reference ``maxcompute_client.py:366-378``, default false).
+    """
+    s = col.cast("string")
+    if not preserve_null_tokens:
+        s = F.when(F.lower(s).isin(*STRING_NULL_TOKENS), F.lit(None)).otherwise(s)
+    if treat_empty_as_null:
+        s = F.when(F.trim(s) == "", F.lit(None)).otherwise(s)
+    return s
+
+
+def inf_nan_to_null(col: Column) -> Column:
+    """±inf → NULL in float columns (reference ``migrator.py:503-505``,
+    ``bigquery_client.py:273-278``); NaN → NULL likewise (the Arrow path
+    treats NaN as missing)."""
+    c = col.cast("double")
+    return F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")), F.lit(None).cast("double")).otherwise(c)
+
+
+def _int_cast(col: Column, target: str) -> Column:
+    """Integer cast with the reference's '1.0' → 1 semantics
+    (``pd.to_numeric`` then int64 — reference ``migrator.py:411-422``,
+    ``maxcompute_client.py:406-411``): parse as double first, then truncate.
+    Spark nullable longs make the reference's NaN→float64 widening hack
+    unnecessary (SURVEY.md §1.3).
+    """
+    return col.cast("string").try_cast("double").try_cast(target)
+
+
+def cast_expr_for_source_type(col: Column, type_str: str,
+                              preserve_null_tokens: bool = True,
+                              treat_empty_as_null: bool = False) -> Column:
+    """The T3 operator (reference ``migrator.py:345-394``): one cast
+    expression per declared source type. Unknown types pass through as
+    strings.
+    """
+    base = _base_type(type_str)
+    if base in ("bigint", "int", "integer", "smallint", "tinyint"):
+        spark_t = {"bigint": "bigint", "int": "int", "integer": "int",
+                   "smallint": "smallint", "tinyint": "tinyint"}[base]
+        return _int_cast(col, spark_t)
+    if base in ("double", "float"):
+        return inf_nan_to_null(col.cast("string").try_cast("double"))
+    if base == "decimal":
+        dt = parse_source_type(type_str)
+        return col.cast("string").try_cast(dt.simpleString())
+    if base in ("string", "varchar", "char"):
+        return string_preserve_expr(col, preserve_null_tokens, treat_empty_as_null)
+    if base == "boolean":
+        return boolean_token_expr(col)
+    if base == "datetime":
+        return col.cast("string").try_cast("timestamp_ntz")
+    if base == "timestamp":
+        return col.cast("string").try_cast("timestamp")
+    if base == "date":
+        return col.cast("string").try_cast("date")
+    if base == "binary":
+        return col.cast("binary")
+    if base in ("array", "map", "struct"):
+        # already-typed nested values pass through; no coercion path in the
+        # reference for complex types (they only exist in schema translation)
+        return col
+    return col.cast("string")
+
+
+def apply_source_schema(df, schema, preserve_null_tokens: bool = True,
+                        treat_empty_as_null: bool = False):
+    """Apply declared source types to a whole DataFrame in one select —
+    the reference's per-batch ``_apply_source_schema_types`` collapses into
+    a single narrow projection (no shuffle).
+
+    ``schema`` is a list of ``ColumnSpec``; columns absent from the
+    DataFrame are ignored, extra DataFrame columns pass through unchanged
+    (matching the reference's per-column, never-fail-the-batch behavior).
+    """
+    by_name = {c.name.lower(): c for c in schema}
+    exprs = []
+    for f in df.schema.fields:
+        spec = by_name.get(f.name.lower())
+        if spec is None:
+            exprs.append(F.col(f.name))
+        else:
+            exprs.append(
+                cast_expr_for_source_type(
+                    F.col(f.name), spec.type,
+                    preserve_null_tokens=preserve_null_tokens,
+                    treat_empty_as_null=treat_empty_as_null,
+                ).alias(f.name)
+            )
+    return df.select(*exprs)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+The reference does case-insensitive column matching everywhere
+(reference ``migrator.py:595-614,703-728``); we mirror that with
+``spark.sql.caseSensitive=false`` (Spark's default) plus explicit lowercase
+matching in metadata code.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), adaptive broadcast, Arrow for any pandas interchange. Shuffle
+partitions default to the local core count for tests but should be sized to
+~2-3× total executor cores on a real cluster; AQE coalesces the excess.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for local[N] testing; on a 1000-executor cluster the same configs hold
+# except shuffle.partitions, which AQE re-coalesces from a higher initial value.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.caseSensitive": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "data-warehouse-migrate-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same entry
+    point works under the test driver and on a real cluster (where the
+    cluster manager supplies the master and these local settings are inert).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
