@@ -1,0 +1,93 @@
+"""CLI mirroring the reference's flag surface (reference ``cli.py:18-106``),
+argparse-based (no external deps).
+
+Example:
+    python -m data_warehouse_migrate_spark.cli \
+        --source-path /root/testdata/sf0.001/orders.parquet \
+        --destination-path /tmp/orders_out --mode overwrite --dry-run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from data_warehouse_migrate_spark.config import (
+    env_config,
+    load_config_file,
+    merge_config,
+)
+from data_warehouse_migrate_spark.migrate import job_from_config
+from data_warehouse_migrate_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="data-warehouse-migrate-spark",
+        description="PySpark-native table migration (scan → cast → map → constrain → write)")
+    p.add_argument("--config", help="JSON config file (env ${VAR} expansion supported)")
+    p.add_argument("--source-path", dest="source_path")
+    p.add_argument("--source-format", dest="source_format",
+                   choices=["parquet", "csv", "json", "orc", "jdbc", "table"])
+    p.add_argument("--source-table-name", dest="source_table_name",
+                   help="logical table name used for per-table mapping selection")
+    p.add_argument("--destination-path", dest="destination_path")
+    p.add_argument("--destination-format", dest="destination_format",
+                   choices=["parquet", "csv", "json", "orc", "jdbc", "table"])
+    p.add_argument("--mode", choices=["append", "overwrite"])
+    p.add_argument("--limit", type=int)
+    p.add_argument("--partition-columns", dest="source_partition_columns",
+                   help="comma-separated source partition columns (latest-partition pruning)")
+    p.add_argument("--non-nullable", help="comma-separated non-nullable destination columns")
+    p.add_argument("--null-policy", dest="null_on_non_nullable",
+                   choices=["fail", "fill", "skip"])
+    p.add_argument("--dry-run", dest="dry_run", action="store_const", const=True,
+                   default=None)
+    p.add_argument("--yes", action="store_true",
+                   help="skip the overwrite confirmation prompt")
+    p.add_argument("--log-level", dest="log_level")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = vars(build_parser().parse_args(argv))
+    config_path = args.pop("config", None)
+    skip_confirm = args.pop("yes", False)
+    for k in ("source_partition_columns", "non_nullable"):
+        if args.get(k):
+            args[k] = [c.strip() for c in args[k].split(",") if c.strip()]
+
+    file_cfg = load_config_file(config_path) if config_path else {}
+    cfg = merge_config(args, file_cfg, env_config())
+    logging.basicConfig(level=(cfg.get("log_level") or "INFO").upper())
+
+    missing = [k for k in ("source_path", "destination_path") if not cfg.get(k)]
+    if missing:
+        print(f"error: missing required options: {missing}", file=sys.stderr)
+        return 2
+
+    # overwrite confirmation (reference cli.py:257-260)
+    if cfg.get("mode") == "overwrite" and not cfg.get("dry_run") and not skip_confirm:
+        if sys.stdin.isatty():
+            resp = input(f"overwrite destination {cfg['destination_path']!r}? [y/N] ")
+            if resp.strip().lower() not in ("y", "yes"):
+                print("aborted")
+                return 1
+
+    job = job_from_config(cfg)
+    spark = get_spark("dwms-cli")
+    if cfg.get("dry_run"):
+        report = job.dry_run(spark)
+        plan = report.pop("physical_plan")
+        print(json.dumps(report, indent=2, default=str))
+        print(plan)
+        return 0
+    result = job.run(spark)
+    print(json.dumps(result, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

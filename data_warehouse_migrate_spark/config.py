@@ -1,0 +1,200 @@
+"""Config layer: JSON file + env-var interpolation + grouped-key
+normalization + CLI > file > env precedence merge + per-table mapping
+selection (reference ``config_loader.py:63-289``).
+
+Pure Python — runs on the driver before any Spark plan is built.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+# keys coerced during normalization
+_INT_KEYS = ("batch_size", "limit", "shuffle_partitions")
+_BOOL_KEYS = ("dry_run", "preserve_string_null_tokens",
+              "string_null_tokens_case_insensitive", "treat_empty_string_as_null")
+_LIST_KEYS = ("string_null_tokens",)
+
+_TRUTHY = {"1", "true", "yes", "y", "on"}
+_FALSY = {"0", "false", "no", "n", "off"}
+
+
+def _expand_env(value: Any) -> Any:
+    """Recursively expand $VAR / ${VAR} placeholders in strings."""
+    if isinstance(value, str):
+        return os.path.expandvars(value)
+    if isinstance(value, list):
+        return [_expand_env(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _expand_env(v) for k, v in value.items()}
+    return value
+
+
+def _to_bool(val: Any) -> bool | None:
+    if val is None:
+        return None
+    if isinstance(val, bool):
+        return val
+    s = str(val).strip().lower()
+    if s in _TRUTHY:
+        return True
+    if s in _FALSY:
+        return False
+    return None
+
+
+def _to_int(val: Any) -> int | None:
+    if val is None or val == "":
+        return None
+    try:
+        return int(str(val))
+    except (TypeError, ValueError):
+        return None
+
+
+def _to_list(val: Any) -> list | None:
+    if val is None:
+        return None
+    if isinstance(val, list):
+        return val
+    if isinstance(val, str):
+        return [p.strip() for p in val.split(",") if p.strip()]
+    return None
+
+
+def load_config_file(path: str) -> dict[str, Any]:
+    """Load a JSON config file with env placeholder expansion."""
+    with open(path, encoding="utf-8") as f:
+        raw = json.load(f)
+    return _expand_env(raw)
+
+
+# grouped section → (child key → flat key); None means same name prefixed
+_GROUPS: dict[str, dict[str, str]] = {
+    "source": {
+        "path": "source_path", "format": "source_format",
+        "table_name": "source_table_name", "project_id": "source_project_id",
+        "partition_columns": "source_partition_columns",
+        "jdbc": "source_jdbc",
+    },
+    "destination": {
+        "type": "destination_type", "path": "destination_path",
+        "format": "destination_format", "table_name": "destination_table_name",
+        "project_id": "destination_project_id", "dataset_id": "destination_dataset_id",
+        "jdbc": "destination_jdbc",
+    },
+    "run": {
+        "mode": "mode", "batch_size": "batch_size", "log_level": "log_level",
+        "dry_run": "dry_run", "limit": "limit",
+    },
+    "compat": {
+        "preserve_string_null_tokens": "preserve_string_null_tokens",
+        "string_null_tokens": "string_null_tokens",
+        "null_on_non_nullable": "null_on_non_nullable",
+        "null_fill_sentinel": "null_fill_sentinel",
+        "string_null_tokens_case_insensitive": "string_null_tokens_case_insensitive",
+        "treat_empty_string_as_null": "treat_empty_string_as_null",
+    },
+}
+
+
+def normalize_config(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Flatten grouped keys (source/destination/run/compat) into flat keys;
+    already-flat keys win; coerce ints/bools/lists."""
+    out: dict[str, Any] = {k: v for k, v in cfg.items() if not isinstance(v, dict)}
+    for group, keymap in _GROUPS.items():
+        section = cfg.get(group)
+        if not isinstance(section, dict):
+            continue
+        for child, flat in keymap.items():
+            if child in section:
+                out.setdefault(flat, section[child])
+    # keep non-group dict values (e.g. mappings) accessible
+    for k, v in cfg.items():
+        if isinstance(v, dict) and k not in _GROUPS:
+            out.setdefault(k, v)
+
+    for k in _INT_KEYS:
+        iv = _to_int(out.get(k))
+        if iv is not None:
+            out[k] = iv
+    for k in _BOOL_KEYS:
+        bv = _to_bool(out.get(k))
+        if bv is not None:
+            out[k] = bv
+    for k in _LIST_KEYS:
+        lv = _to_list(out.get(k))
+        if lv is not None:
+            out[k] = lv
+    return out
+
+
+def env_config(environ: dict[str, str] | None = None) -> dict[str, Any]:
+    """Environment-variable config source (lowest precedence)."""
+    env = environ if environ is not None else os.environ
+    prefix = "DWMS_"
+    out: dict[str, Any] = {}
+    for k, v in env.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):].lower()] = v
+    return out
+
+
+def merge_config(cli_args: dict[str, Any] | None = None,
+                 file_cfg: dict[str, Any] | None = None,
+                 env_cfg: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Three-way precedence merge: CLI > file > env (reference
+    ``config_loader.py:171-248``). ``None`` CLI values never mask
+    file/env values."""
+    cli_args = {k: v for k, v in (cli_args or {}).items() if v is not None}
+    file_cfg = normalize_config(file_cfg or {})
+    env_cfg = normalize_config(env_cfg or {})
+    merged: dict[str, Any] = {}
+    merged.update({k: v for k, v in env_cfg.items() if v is not None})
+    merged.update({k: v for k, v in file_cfg.items() if v is not None})
+    merged.update(cli_args)
+    # type backstops after merge
+    for k in _INT_KEYS:
+        iv = _to_int(merged.get(k))
+        if iv is not None:
+            merged[k] = iv
+    for k in _BOOL_KEYS:
+        bv = _to_bool(merged.get(k))
+        if bv is not None:
+            merged[k] = bv
+    for k in _LIST_KEYS:
+        lv = _to_list(merged.get(k))
+        if lv is not None:
+            merged[k] = lv
+    return merged
+
+
+def select_table_mapping(raw_cfg: dict[str, Any],
+                         source_table_name: str | None) -> dict[str, Any] | None:
+    """Pick the mapping plan for one table: ``mappings.default`` as the base,
+    overridden by the first ``mappings.tables[]`` entry whose
+    ``source_table`` matches case-insensitively (reference
+    ``config_loader.py:251-289``)."""
+    mappings = raw_cfg.get("mappings") if isinstance(raw_cfg, dict) else None
+    if not isinstance(mappings, dict):
+        return None
+    result: dict[str, Any] = {}
+    default_map = mappings.get("default")
+    if isinstance(default_map, dict):
+        result.update(default_map)
+    if source_table_name:
+        for item in mappings.get("tables") or []:
+            if not isinstance(item, dict):
+                continue
+            if str(item.get("source_table", "")).strip().lower() == \
+                    str(source_table_name).strip().lower():
+                result.update(item)
+                break
+    for k in ("include", "exclude", "order"):
+        if isinstance(result.get(k), str):
+            lv = _to_list(result[k])
+            if lv is not None:
+                result[k] = lv
+    return result or None

@@ -86,9 +86,11 @@ def cast_expr_for_source_type(col: Column, type_str: str,
     strings.
     """
     base = _base_type(type_str)
-    if base in ("bigint", "int", "integer", "smallint", "tinyint"):
+    if base in ("bigint", "int", "integer", "smallint", "tinyint",
+                "long", "short", "byte"):
         spark_t = {"bigint": "bigint", "int": "int", "integer": "int",
-                   "smallint": "smallint", "tinyint": "tinyint"}[base]
+                   "smallint": "smallint", "tinyint": "tinyint",
+                   "long": "bigint", "short": "smallint", "byte": "tinyint"}[base]
         return _int_cast(col, spark_t)
     if base in ("double", "float"):
         return inf_nan_to_null(col.cast("string").try_cast("double"))
@@ -99,7 +101,7 @@ def cast_expr_for_source_type(col: Column, type_str: str,
         return string_preserve_expr(col, preserve_null_tokens, treat_empty_as_null)
     if base == "boolean":
         return boolean_token_expr(col)
-    if base == "datetime":
+    if base in ("datetime", "timestamp_ntz"):
         return col.cast("string").try_cast("timestamp_ntz")
     if base == "timestamp":
         return col.cast("string").try_cast("timestamp")
@@ -124,18 +126,37 @@ def apply_source_schema(df, schema, preserve_null_tokens: bool = True,
     DataFrame are ignored, extra DataFrame columns pass through unchanged
     (matching the reference's per-column, never-fail-the-batch behavior).
     """
+    from pyspark.sql import types as T
+
     by_name = {c.name.lower(): c for c in schema}
     exprs = []
     for f in df.schema.fields:
         spec = by_name.get(f.name.lower())
         if spec is None:
             exprs.append(F.col(f.name))
-        else:
-            exprs.append(
-                cast_expr_for_source_type(
-                    F.col(f.name), spec.type,
-                    preserve_null_tokens=preserve_null_tokens,
-                    treat_empty_as_null=treat_empty_as_null,
-                ).alias(f.name)
-            )
+            continue
+        target = parse_source_type(spec.type)
+        # Fast path: column already has the declared type → no string
+        # round-trip. Keeps parquet predicate pushdown intact and saves a
+        # cast chain per column per row at scale. Semantics preserved:
+        # string identity holds under default flags, doubles still get the
+        # inf/NaN cleanup the reference applies unconditionally.
+        if f.dataType == target:
+            if isinstance(target, T.DoubleType):
+                exprs.append(inf_nan_to_null(F.col(f.name)).alias(f.name))
+            elif isinstance(target, T.StringType) and (
+                    not preserve_null_tokens or treat_empty_as_null):
+                exprs.append(string_preserve_expr(
+                    F.col(f.name), preserve_null_tokens, treat_empty_as_null
+                ).alias(f.name))
+            else:
+                exprs.append(F.col(f.name))
+            continue
+        exprs.append(
+            cast_expr_for_source_type(
+                F.col(f.name), spec.type,
+                preserve_null_tokens=preserve_null_tokens,
+                treat_empty_as_null=treat_empty_as_null,
+            ).alias(f.name)
+        )
     return df.select(*exprs)

@@ -1,0 +1,186 @@
+"""The migration pipeline: read → prune → cast → map → constrain → write.
+
+The reference's sequential per-batch loop (reference ``migrator.py:277-343``)
+becomes ONE lazy DataFrame chain — scan → narrow transforms → write — with a
+single action. No shuffle anywhere in the pipeline (verified in tests via
+the physical plan): at 100 TB this is a pure map-side job that scales
+linearly with executors.
+
+Stage order matches the reference contract (``README.md:218``):
+  type application (T3) → mapping transform (P1-P4, F1-F6, F13) →
+  destination projection (P5) → default backfill (C2) → null policy (C1) →
+  sink write (S9/S10).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_migrate_spark.functions.casts import apply_source_schema
+from data_warehouse_migrate_spark.operators.constraints import (
+    apply_defaults_backfill,
+    apply_null_policy,
+)
+from data_warehouse_migrate_spark.operators.mapping import (
+    Mapping,
+    apply_mapping,
+    project_to_destination,
+)
+from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+from data_warehouse_migrate_spark.schema import ColumnSpec, dedup_columns, specs_from_dataframe
+from data_warehouse_migrate_spark.sources.readers import (
+    latest_partition_filter,
+    read_table,
+    validate_table_access,
+)
+from data_warehouse_migrate_spark.sources.sinks import MigrationMode, write_table
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class MigrationJob:
+    """One table migration — the engine's equivalent of the reference's
+    ``DataMigrator`` + ``migrate_table`` (reference ``migrator.py:122-167``).
+    """
+
+    source_path: str
+    destination_path: str
+    source_format: str = "parquet"
+    destination_format: str = "parquet"
+    mode: str = "append"
+    limit: int | None = None
+    source_schema: list[ColumnSpec] | None = None
+    mapping: Mapping | dict | None = None
+    dest_schema: list[dict] | None = None  # introspected destination catalog rows
+    non_nullable: list[str] = field(default_factory=list)
+    null_policy: str = "fail"
+    null_fill_sentinel: str = ""
+    partition_columns: list[str] = field(default_factory=list)
+    preserve_string_null_tokens: bool = True
+    treat_empty_string_as_null: bool = False
+    pandas_compat: bool = True
+    source_jdbc: dict[str, str] | None = None
+    destination_jdbc: dict[str, str] | None = None
+    write_partition_by: list[str] = field(default_factory=list)
+
+    # ------------------------------------------------------------------
+    def build_plan(self, spark: SparkSession) -> DataFrame:
+        """Construct the full lazy plan without executing it (the dry-run
+        planner explains exactly this plan)."""
+        df = read_table(spark, self.source_path, fmt=self.source_format,
+                        jdbc_options=self.source_jdbc)
+
+        # partition pruning / full-scan guard (S2/P6)
+        if self.partition_columns:
+            df = latest_partition_filter(df, self.partition_columns)
+        if self.limit:
+            df = df.limit(self.limit)
+
+        # T3: declared-source-type casting
+        schema = self.source_schema or specs_from_dataframe(df)
+        schema = dedup_columns(schema)
+        df = apply_source_schema(
+            df, schema,
+            preserve_null_tokens=self.preserve_string_null_tokens,
+            treat_empty_as_null=self.treat_empty_string_as_null)
+
+        # drop partition columns from the destination (schema_mapper.py:55-58)
+        part_cols = {c.name.lower() for c in schema if c.is_partition}
+        part_cols.update(c.lower() for c in self.partition_columns)
+        drops = [c for c in df.columns if c.lower() in part_cols]
+        if drops:
+            df = df.drop(*drops)
+
+        # mapping pipeline (P1-P4, F1-F6, F13)
+        df = apply_mapping(df, self.mapping, pandas_compat=self.pandas_compat)
+
+        # destination projection + typed default backfill + null policy
+        if self.dest_schema:
+            df = project_to_destination(df, [c["name"] for c in self.dest_schema])
+            df = apply_defaults_backfill(df, self.dest_schema)
+        if self.non_nullable:
+            dest_types = {c["name"]: str(c.get("type", ""))
+                          for c in (self.dest_schema or [])}
+            df = apply_null_policy(df, self.non_nullable, policy=self.null_policy,
+                                   sentinel=self.null_fill_sentinel,
+                                   dest_types=dest_types or None)
+        return df
+
+    # ------------------------------------------------------------------
+    def run(self, spark: SparkSession) -> dict[str, Any]:
+        """Execute the migration; returns a summary dict. One write action —
+        Spark parallelizes what the reference did sequentially."""
+        mode = MigrationMode.parse(self.mode)
+        plan = self.build_plan(spark)
+        write_table(plan, self.destination_path, fmt=self.destination_format,
+                    mode=mode, jdbc_options=self.destination_jdbc,
+                    partition_by=self.write_partition_by or None)
+        # post-write count reads the (columnar) destination, not the source
+        written = read_table(spark, self.destination_path,
+                             fmt=self.destination_format,
+                             jdbc_options=self.destination_jdbc)
+        return {
+            "status": "success",
+            "destination": self.destination_path,
+            "mode": mode.value,
+            "destination_rows": written.count(),
+        }
+
+    # ------------------------------------------------------------------
+    def dry_run(self, spark: SparkSession) -> dict[str, Any]:
+        """Plan-only validation (reference ``cli.py:332-412``): access probe,
+        schema preview, mapping summary, physical plan — no data moved
+        beyond a LIMIT-1 probe."""
+        src = read_table(spark, self.source_path, fmt=self.source_format,
+                         jdbc_options=self.source_jdbc)
+        accessible = validate_table_access(src)
+        plan = self.build_plan(spark)
+        mapping = (self.mapping if isinstance(self.mapping, Mapping)
+                   else Mapping.from_dict(self.mapping) if self.mapping else None)
+        return {
+            "source_accessible": accessible,
+            "source_columns": len(src.columns),
+            "partition_columns": list(self.partition_columns),
+            "output_schema": [(f.name, f.dataType.simpleString())
+                              for f in plan.schema.fields],
+            "mapping_summary": {
+                "include": mapping.include if mapping else None,
+                "exclude": mapping.exclude if mapping else None,
+                "rename": mapping.rename if mapping else {},
+                "computed": list(mapping.computed) if mapping else [],
+                "defaults": mapping.defaults if mapping else {},
+                "order": mapping.order if mapping else [],
+            },
+            "physical_plan": explain_plan(plan),
+        }
+
+
+def job_from_config(cfg: dict[str, Any]) -> MigrationJob:
+    """Build a MigrationJob from a merged flat config dict (see config.py)."""
+    from data_warehouse_migrate_spark.config import select_table_mapping
+
+    mapping = cfg.get("mapping")
+    if mapping is None:
+        mapping = select_table_mapping(cfg, cfg.get("source_table_name"))
+    return MigrationJob(
+        source_path=cfg["source_path"],
+        destination_path=cfg["destination_path"],
+        source_format=cfg.get("source_format", "parquet"),
+        destination_format=cfg.get("destination_format", "parquet"),
+        mode=cfg.get("mode", "append"),
+        limit=cfg.get("limit"),
+        mapping=mapping,
+        non_nullable=cfg.get("non_nullable") or [],
+        null_policy=cfg.get("null_on_non_nullable", "fail"),
+        null_fill_sentinel=cfg.get("null_fill_sentinel", ""),
+        partition_columns=cfg.get("source_partition_columns") or [],
+        preserve_string_null_tokens=cfg.get("preserve_string_null_tokens", True),
+        treat_empty_string_as_null=cfg.get("treat_empty_string_as_null", False),
+        source_jdbc=cfg.get("source_jdbc"),
+        destination_jdbc=cfg.get("destination_jdbc"),
+    )

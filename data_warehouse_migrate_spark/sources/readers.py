@@ -1,0 +1,116 @@
+"""Readers: parquet/csv/json/orc/jdbc + partition pruning + access probes.
+
+The reference's scan is a remote ``SELECT * FROM t [WHERE pt=...] [LIMIT n]``
+executed by MaxCompute (reference ``maxcompute_client.py:105-217``); here the
+scan is a Spark datasource read and the same pruning semantics are expressed
+as DataFrame filters, which Catalyst pushes into the scan (PushedFilters /
+partition pruning — free at any scale, verified in tests via the query plan).
+
+Scale notes:
+  * latest-partition discovery is an ``agg(max)`` — on partitioned file
+    sources this is metadata-only after partition pruning; on parquet the
+    aggregate pushes down to footer stats (spark.sql.parquet.aggregatePushdown).
+  * the reference's sequential batch loop (S3) does not exist: Spark's
+    split planning (``maxPartitionBytes``) parallelizes the scan.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+_FORMAT_READERS = ("parquet", "csv", "json", "orc")
+
+# the reference auto-adds LIMIT 100000 when no prunable partition exists
+# (maxcompute_client.py:192-195,207-210)
+FULL_SCAN_GUARD_LIMIT = 100_000
+
+
+def read_table(spark: SparkSession, path_or_table: str,
+               fmt: str = "parquet",
+               jdbc_options: dict[str, str] | None = None,
+               schema=None, **options) -> DataFrame:
+    """Unified reader (S1). ``fmt`` ∈ parquet/csv/json/orc/jdbc/table."""
+    if fmt == "table":
+        return spark.table(path_or_table)
+    if fmt == "jdbc":
+        reader = spark.read.format("jdbc")
+        for k, v in (jdbc_options or {}).items():
+            reader = reader.option(k, v)
+        return reader.option("dbtable", path_or_table).load()
+    if fmt not in _FORMAT_READERS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path_or_table)
+
+
+def latest_partition_values(df: DataFrame, partition_cols: list[str]) -> dict[str, object]:
+    """A1/A2: latest value per partition column, one aggregate
+    (reference ``maxcompute_client.py:241-252,279-297``). Returns {} when
+    the table is empty or all partition values are NULL (A3 existence probe
+    folded in)."""
+    if not partition_cols:
+        return {}
+    row = df.agg(*[F.max(F.col(c)).alias(c) for c in partition_cols]).first()
+    if row is None:
+        return {}
+    vals = {c: row[c] for c in partition_cols if row[c] is not None}
+    return vals
+
+
+def latest_partition_filter(df: DataFrame, partition_cols: list[str],
+                            guard_limit: int | None = FULL_SCAN_GUARD_LIMIT) -> DataFrame:
+    """S2/P6: prune to the latest partition; when nothing is prunable, apply
+    the full-scan LIMIT guard (reference ``maxcompute_client.py:165-217``).
+
+    The returned plan carries plain equality filters — Catalyst turns them
+    into real partition pruning on partitioned layouts.
+    """
+    vals = latest_partition_values(df, partition_cols)
+    if not vals:
+        logger.warning("no prunable partition values; applying LIMIT %s guard", guard_limit)
+        return df.limit(guard_limit) if guard_limit else df
+    out = df
+    for c, v in vals.items():
+        out = out.filter(F.col(c) == F.lit(v))
+    return out
+
+
+def validate_table_access(df: DataFrame) -> bool:
+    """S7: LIMIT-1 readability probe (reference
+    ``maxcompute_client.py:303-332``)."""
+    try:
+        df.limit(1).collect()
+        return True
+    except Exception as e:  # probe, never raises
+        logger.warning("table access probe failed: %s", e)
+        return False
+
+
+def introspect_jdbc_schema(spark: SparkSession, jdbc_options: dict[str, str],
+                           table: str, database: str | None = None) -> list[dict]:
+    """S6: destination schema from information_schema.COLUMNS incl.
+    nullability + defaults, ordered by ORDINAL_POSITION (reference
+    ``mysql_writer.py:69-96``). Returns
+    ``[{'name','type','is_nullable','default'}]``.
+    """
+    where = f"TABLE_NAME = '{table}'"
+    if database:
+        where += f" AND TABLE_SCHEMA = '{database}'"
+    q = ("(SELECT COLUMN_NAME, COLUMN_TYPE, IS_NULLABLE, COLUMN_DEFAULT, ORDINAL_POSITION "
+         f"FROM information_schema.COLUMNS WHERE {where}) AS cols")
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options.items():
+        reader = reader.option(k, v)
+    rows = reader.option("dbtable", q).load().orderBy("ORDINAL_POSITION").collect()
+    return [{"name": r["COLUMN_NAME"], "type": r["COLUMN_TYPE"],
+             "is_nullable": str(r["IS_NULLABLE"]).upper() == "YES",
+             "default": r["COLUMN_DEFAULT"]} for r in rows]

@@ -1,0 +1,83 @@
+"""Config layer: env expansion, grouped keys, precedence, mapping selection
+(reference config_loader.py semantics)."""
+
+import json
+
+from data_warehouse_migrate_spark.config import (
+    env_config,
+    load_config_file,
+    merge_config,
+    normalize_config,
+    select_table_mapping,
+)
+
+
+def test_env_expansion(tmp_path, monkeypatch):
+    monkeypatch.setenv("MYVAR", "expanded")
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"source": {"path": "${MYVAR}/data"}}))
+    cfg = load_config_file(str(p))
+    assert cfg["source"]["path"] == "expanded/data"
+
+
+def test_grouped_key_normalization():
+    cfg = normalize_config({
+        "source": {"path": "/s", "table_name": "t"},
+        "destination": {"type": "parquet", "path": "/d"},
+        "run": {"mode": "append", "batch_size": "500", "dry_run": "true"},
+        "compat": {"preserve_string_null_tokens": "false"},
+        "already_flat": 1,
+    })
+    assert cfg["source_path"] == "/s"
+    assert cfg["source_table_name"] == "t"
+    assert cfg["destination_type"] == "parquet"
+    assert cfg["batch_size"] == 500          # int coercion
+    assert cfg["dry_run"] is True            # bool coercion
+    assert cfg["preserve_string_null_tokens"] is False
+    assert cfg["already_flat"] == 1
+
+
+def test_flat_keys_win_over_grouped():
+    cfg = normalize_config({"source_path": "/flat", "source": {"path": "/grouped"}})
+    assert cfg["source_path"] == "/flat"
+
+
+def test_precedence_cli_file_env():
+    cli = {"mode": "overwrite", "limit": None}
+    file_cfg = {"mode": "append", "source_path": "/file", "limit": 10}
+    env = {"mode": "ignored", "source_path": "/env", "log_level": "DEBUG"}
+    merged = merge_config(cli, file_cfg, env)
+    assert merged["mode"] == "overwrite"      # CLI wins
+    assert merged["source_path"] == "/file"   # file beats env
+    assert merged["log_level"] == "DEBUG"     # env fills the rest
+    assert merged["limit"] == 10              # None CLI value doesn't mask
+
+
+def test_env_config_prefix(monkeypatch):
+    monkeypatch.setenv("DWMS_SOURCE_PATH", "/from-env")
+    monkeypatch.setenv("UNRELATED", "x")
+    env = env_config()
+    assert env["source_path"] == "/from-env"
+    assert "unrelated" not in env
+
+
+def test_string_null_tokens_list_coercion():
+    merged = merge_config({}, {"string_null_tokens": "nan, none ,null"}, {})
+    assert merged["string_null_tokens"] == ["nan", "none", "null"]
+
+
+def test_select_table_mapping_default_plus_table():
+    raw = {"mappings": {
+        "default": {"exclude": ["pt"], "order": ["id"]},
+        "tables": [
+            {"source_table": "ODS_LM_SPU", "rename": {"sku_code": "sku"},
+             "exclude": "pt,tmp"},
+            {"source_table": "other", "rename": {"x": "y"}},
+        ],
+    }}
+    m = select_table_mapping(raw, "ods_lm_spu")  # case-insensitive
+    assert m["rename"] == {"sku_code": "sku"}
+    assert m["exclude"] == ["pt", "tmp"]  # table overrides default + list coercion
+    assert m["order"] == ["id"]           # default retained
+    assert select_table_mapping(raw, "unknown") == {"exclude": ["pt"], "order": ["id"]}
+    assert select_table_mapping({}, "t") is None

@@ -1,0 +1,123 @@
+"""End-to-end migration pipeline on driver testdata (t1-smoke shape):
+read → prune → cast → map → constrain → write, plus plan-quality asserts
+(shuffle-free, pushdown)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.migrate import MigrationJob
+from data_warehouse_migrate_spark.plans.dryrun import plan_report
+from data_warehouse_migrate_spark.sources.readers import (
+    latest_partition_filter,
+    latest_partition_values,
+    validate_table_access,
+)
+
+
+@pytest.fixture()
+def orders_path(sf_dir):
+    return f"{sf_dir}/orders.parquet"
+
+
+def test_migrate_end_to_end(spark, orders_path, tmp_path):
+    dest = str(tmp_path / "orders_out")
+    job = MigrationJob(
+        source_path=orders_path,
+        destination_path=dest,
+        mode="overwrite",
+        mapping={
+            "exclude": ["o_orderpriority"],
+            "rename": {"o_totalprice": "total_price"},
+            "computed": {"status_tag": "concat('S-', o_orderstatus)"},
+            "order": ["o_orderkey", "total_price"],
+        },
+    )
+    result = job.run(spark)
+    assert result["status"] == "success"
+    out = spark.read.parquet(dest)
+    src_count = spark.read.parquet(orders_path).count()
+    assert result["destination_rows"] == src_count
+    assert out.columns[:2] == ["o_orderkey", "total_price"]
+    assert "o_orderpriority" not in out.columns
+    row = out.orderBy("o_orderkey").first()
+    assert row.status_tag.startswith("S-")
+
+
+def test_migrate_append_vs_overwrite(spark, orders_path, tmp_path):
+    dest = str(tmp_path / "modes_out")
+    job = MigrationJob(source_path=orders_path, destination_path=dest, mode="overwrite")
+    n = job.run(spark)["destination_rows"]
+    assert MigrationJob(source_path=orders_path, destination_path=dest,
+                        mode="append").run(spark)["destination_rows"] == 2 * n
+    assert MigrationJob(source_path=orders_path, destination_path=dest,
+                        mode="overwrite").run(spark)["destination_rows"] == n
+
+
+def test_pipeline_is_shuffle_free(spark, orders_path):
+    job = MigrationJob(
+        source_path=orders_path, destination_path="/tmp/unused",
+        mapping={"computed": {"tag": "upper(o_orderstatus)"}},
+        non_nullable=["o_orderkey"], null_policy="skip",
+    )
+    report = plan_report(job.build_plan(spark))
+    assert report["num_exchanges"] == 0          # scan→map→filter: narrow only
+    assert not report["has_python_udf"]          # everything JVM-side
+    assert report["whole_stage_codegen"]
+
+
+def test_column_pruning_reaches_scan(spark, orders_path):
+    job = MigrationJob(source_path=orders_path, destination_path="/tmp/unused",
+                       mapping={"include": ["o_orderkey", "o_totalprice"]})
+    report = plan_report(job.build_plan(spark))
+    # ReadSchema must not contain the excluded columns (scan-level pruning)
+    assert report["read_schema"], report
+    assert "o_orderpriority" not in report["read_schema"][0]
+
+
+def test_latest_partition_pruning(spark):
+    df = spark.createDataFrame(
+        [(1, "20240101"), (2, "20240102"), (3, "20240102"), (4, None)],
+        "id int, pt string")
+    assert latest_partition_values(df, ["pt"]) == {"pt": "20240102"}
+    out = latest_partition_filter(df, ["pt"])
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+
+
+def test_full_scan_guard_when_unprunable(spark):
+    df = spark.createDataFrame([(i, None) for i in range(10)], "id int, pt string")
+    out = latest_partition_filter(df, ["pt"], guard_limit=3)
+    assert out.count() == 3
+
+
+def test_access_probe(spark, orders_path):
+    assert validate_table_access(spark.read.parquet(orders_path))
+    bad = spark.createDataFrame([(1,)], "x int").filter(
+        F.assert_true(F.col("x") > 99).isNull())
+    assert validate_table_access(bad) is False
+
+
+def test_dry_run_reports_without_writing(spark, orders_path, tmp_path):
+    dest = str(tmp_path / "never_written")
+    job = MigrationJob(source_path=orders_path, destination_path=dest,
+                       mapping={"rename": {"o_orderkey": "key"}})
+    report = job.dry_run(spark)
+    assert report["source_accessible"] is True
+    assert ("key", "bigint") in report["output_schema"]
+    assert report["mapping_summary"]["rename"] == {"o_orderkey": "key"}
+    assert "Scan parquet" in report["physical_plan"] or "FileScan" in report["physical_plan"]
+    import os
+    assert not os.path.exists(dest)
+
+
+def test_partition_columns_dropped_from_destination(spark, tmp_path):
+    src = str(tmp_path / "partitioned_src")
+    dest = str(tmp_path / "partitioned_dest")
+    spark.createDataFrame(
+        [(1, "a", "20240101"), (2, "b", "20240102")], "id int, v string, pt string"
+    ).write.mode("overwrite").parquet(src)
+    job = MigrationJob(source_path=src, destination_path=dest, mode="overwrite",
+                       partition_columns=["pt"])
+    job.run(spark)
+    out = spark.read.parquet(dest)
+    assert "pt" not in out.columns
+    assert [r.id for r in out.collect()] == [2]  # latest partition only
