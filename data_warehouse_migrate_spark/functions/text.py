@@ -1,0 +1,191 @@
+"""Text-analysis expressions for LLM-data pipelines: tokenization, shingles,
+deterministic hashing, quality scoring, language ID, fingerprinting.
+
+Everything is a built-in Column expression (JVM-side, codegen) — no Python
+UDFs — and every function has an exact ANSI-SQL twin runnable by DuckDB
+(used by the correctness oracle). Determinism rules:
+  * ``polyhash``: 31-polynomial over unicode code points mod 1e9+7 —
+    identical in Spark (``aggregate``/``ascii``) and DuckDB
+    (``list_reduce``/``ascii``).
+  * ``md5_prefix_int``: first 15 hex chars of md5 → int64 (60 bits, never
+    overflows) — identical via ``conv`` (Spark) / ``CAST('0x…')`` (DuckDB).
+
+Beyond-reference operators (the reference has no text functions at all);
+designed per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# fixed per-language stopword lists for the n-gram language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+}
+
+# a BPE-ish word/number/symbol segmentation used for token counting
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased trimmed text. Empty text yields
+    [''] (both engines agree)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count: words, numbers, and individual symbols."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings; texts shorter than n words yield the
+    whole text as a single shingle."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def polyhash(col: Column) -> Column:
+    """31-polynomial rolling hash over code points mod 1e9+7 (document
+    fingerprint primitive; deterministic across engines)."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * POLY_BASE + x) % F.lit(POLY_MOD),
+    )
+
+
+def md5_prefix_int(col: Column) -> Column:
+    """First 60 bits of md5 as int64 — a strong deterministic hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens with polyhash token weights.
+
+    For each bit j: sum over tokens of (2*bit_j(hash(token)) - 1); bit set
+    in the output iff the sum is positive. Pure array math — expressible
+    identically in DuckDB for the oracle.
+    """
+    tok_hashes = F.transform(tokens(col), lambda t: _poly_of(t))
+
+    def _bit_vote(j: int) -> Column:
+        # sum over tokens of ±1 by bit j of the token hash
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0).cast("long"),
+            lambda s, h: s + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(32):
+        out = out + F.when(_bit_vote(j) > 0,
+                           F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0))
+    return out
+
+
+def _poly_of(col_or_str: Column) -> Column:
+    return F.aggregate(
+        F.transform(F.split(col_or_str, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * POLY_BASE + x) % F.lit(POLY_MOD),
+    )
+
+
+# MinHash: k fixed affine permutations (a_i*h + b_i) mod p over shingle hashes.
+# Constants are arbitrary-but-fixed odd multipliers (no runtime randomness —
+# resumability + cross-engine determinism).
+MINHASH_A = (1579, 2719, 3359, 4463, 5519, 6689, 7717, 8837,
+             9739, 10847, 11941, 13043, 14159, 15269, 16381, 17477)
+MINHASH_B = (401, 7919, 1201, 9601, 2801, 11003, 4001, 12413,
+             5209, 13807, 6397, 15013, 7591, 16217, 8783, 17401)
+
+
+def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
+    """Array of k min-hash values over an array<long> of shingle hashes."""
+    assert k <= len(MINHASH_A)
+
+    def _perm_min(a, b):
+        return F.array_min(F.transform(
+            shingle_hashes, lambda h: (h * a + b) % F.lit(POLY_MOD)))
+
+    return F.array(*[_perm_min(MINHASH_A[i], MINHASH_B[i]) for i in range(k)])
+
+
+# ---------------------------------------------------------------------------
+# Quality / stats expressions (all arithmetic, oracle-twinned)
+# ---------------------------------------------------------------------------
+
+def text_stats_exprs(col: Column) -> dict[str, Column]:
+    """Standard quality-signal columns for a text column."""
+    n_chars = F.length(col)
+    toks = tokens(col)
+    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks))
+    n_alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    stop_all = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_all)))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "n_tokens": token_count(col).cast("bigint"),
+        "avg_word_len": F.round(
+            F.when(n_words > 0, (n_alpha + n_digit) / n_words).otherwise(F.lit(0.0)), 6),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6),
+        "digit_ratio": F.round(
+            F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)), 6),
+        "stopword_ratio": F.round(
+            F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs with low
+    punctuation/digit noise and some stopword mass (heuristic, deterministic)."""
+    s = text_stats_exprs(col)
+    length_term = F.least(s["n_words"] / F.lit(50.0), F.lit(1.0))
+    clean_term = F.lit(1.0) - F.least(s["punct_ratio"] * 4 + s["digit_ratio"] * 2, F.lit(1.0))
+    stop_term = F.least(s["stopword_ratio"] * 5, F.lit(1.0))
+    return F.round(0.5 * length_term + 0.3 * clean_term + 0.2 * stop_term, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language heuristic: argmax of per-language stopword
+    counts over whitespace tokens; ties and zero-evidence → 'und'
+    (undetermined). Vote order en > de > fr on strict-greater comparisons
+    keeps the argmax deterministic."""
+    toks = tokens(col)
+
+    def _counter(ws):
+        # NB: single-arg lambda only — PySpark treats 2-arg lambdas in
+        # higher-order functions as (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    counts = {lang: _counter(ws) for lang, ws in LANG_STOPWORDS.items()}
+    en, de, fr = counts["en"], counts["de"], counts["fr"]
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )

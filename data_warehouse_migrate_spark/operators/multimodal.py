@@ -1,0 +1,132 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata (beyond-reference; SURVEY.md §7.3).
+
+The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+signatures, partitioning — is real and tested. The actual media decode is
+STUBBED (image/audio libraries are not available in this environment):
+``decode_fn=None`` raises NotImplementedError at evaluation time;
+``fake_decode=True`` substitutes a deterministic fake (byte-statistics
+pseudo-features) so pipelines are testable end-to-end.
+
+Scale notes: media bytes dominate row size — ``mapInPandas`` streams Arrow
+batches so a partition never needs to hold decoded frames for more than one
+batch; repartition by size before decoding (``target_rows_per_batch``)
+to keep executor memory flat.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # png|jpeg|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_byte", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def attach_media_columns(df: DataFrame, binary_col: str,
+                         media_type: str = "image",
+                         fmt: str = "bin") -> DataFrame:
+    """Wrap a binary column with the typed metadata struct (width/height/
+    duration unknown until decode → NULL)."""
+    return df.withColumn("media_meta", F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    ))
+
+
+def _fake_decode(content: bytes) -> dict:
+    """Deterministic fake decode: pseudo-dimensions and a 4-dim feature from
+    byte statistics. Stable across runs/engines (pure arithmetic)."""
+    n = len(content)
+    head = content[:16]
+    s = sum(head) if head else 0
+    return {
+        "width": 1 + (n % 64),
+        "height": 1 + (s % 64),
+        "mean_byte": round(sum(content) / n, 6) if n else 0.0,
+        "feature": [float(n % 251), float(s % 241),
+                    float(content[0] if n else 0), float(content[-1] if n else 0)],
+    }
+
+
+def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
+                          decode_fn: Callable[[bytes], dict] | None = None,
+                          fake_decode: bool = False,
+                          target_rows_per_batch: int = 1024) -> DataFrame:
+    """Decode/extract features from an image binary column via
+    ``mapInPandas`` (Arrow-batched — the only sane Python path for binary
+    blobs).
+
+    ``decode_fn(bytes) -> {'width','height','mean_byte','feature'}`` plugs a
+    real decoder (PIL/opencv) in; absent one, ``fake_decode=True`` uses the
+    deterministic stub, else evaluation raises NotImplementedError (clearly
+    marked stub per project brief).
+    """
+    if decode_fn is None:
+        if fake_decode:
+            decode_fn = _fake_decode
+        else:
+            def decode_fn(_: bytes) -> dict:
+                raise NotImplementedError(
+                    "media decode requires an image library not present in "
+                    "this environment; pass decode_fn= or fake_decode=True")
+
+    fn = decode_fn
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(binary_col).alias("content"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                d = fn(content)
+                out.append({
+                    "id": row["id"],
+                    "n_bytes": len(content),
+                    "width": d.get("width"),
+                    "height": d.get("height"),
+                    "mean_byte": d.get("mean_byte"),
+                    "feature": d.get("feature"),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return src.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, binary_col: str, id_col: str,
+                  every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """'Frame sampling' plumbing: split a (video) binary into frame-offset
+    rows — one row per sampled offset. The byte-slicing stands in for real
+    frame extraction; offsets/partitioning/explode shape are the real
+    pattern. Pure JVM expressions (no UDF)."""
+    n = F.length(F.col(binary_col))
+    n_frames = F.least(F.greatest((n / every_n_bytes).cast("int"), F.lit(1)),
+                       F.lit(max_frames))
+    return (df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("content"))
+            .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+            .withColumn("frame_offset", F.col("frame_idx") * every_n_bytes)
+            .withColumn("frame_bytes", F.expr(
+                f"substring(content, frame_offset + 1, {every_n_bytes})"))
+            .select("id", "frame_idx", "frame_offset", "frame_bytes"))

@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (beyond-reference;
+SURVEY.md §7.3).
+
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+    one narrow pass over the corpus, per-query top-k. The correctness
+    baseline and the oracle-checked path.
+  * lsh_topk         — random-hyperplane-bucketed ANN: queries only probe
+    matching buckets (multi-probe over hamming-adjacent buckets for
+    recall). The 100 TB path: corpus is bucket-partitioned once (write it
+    bucketed to reuse across queries) and each query touches a tiny slice.
+
+Scale notes: top-k uses a window over (query_id) AFTER the score filter —
+the shuffle carries only per-query candidates, not the full cross product;
+with broadcast queries the cross join itself never shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions.vectors import (
+    cosine,
+    hyperplane_signature,
+)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame,
+                     k: int = 10,
+                     query_id: str = "query_id", query_vec: str = "query_vec",
+                     corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k neighbors per query. Deterministic tie-break:
+    (cosine DESC, corpus_id ASC). Queries are broadcast — the corpus scan
+    stays narrow and shuffle-free until the per-query top-k window."""
+    q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
+                                   F.col(query_vec).alias("__qv")))
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = scored.withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+def _neighbor_buckets(bucket: F.Column, n_planes: int, probe_bits: int) -> F.Column:
+    """Array of bucket ids within hamming distance ≤ probe_bits (0 or 1)."""
+    if probe_bits <= 0:
+        return F.array(bucket)
+    flips = [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    return F.array(bucket, *flips)
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame,
+             k: int = 10, n_planes: int = 8, probe_bits: int = 1,
+             query_id: str = "query_id", query_vec: str = "query_vec",
+             corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
+             exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane signature; each
+    query probes its own bucket plus hamming-1 neighbors. Join is
+    bucket-equi (shuffle on small bucket keys), then exact cosine + top-k
+    on the candidate set only."""
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(corpus_vec).alias("__cv"),
+                      hyperplane_signature(F.col(corpus_vec), n_planes).alias("bucket"))
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("__qv"),
+                        hyperplane_signature(F.col(query_vec), n_planes).alias("qbucket"))
+         .withColumn("bucket", F.explode(
+             _neighbor_buckets(F.col("qbucket"), n_planes, probe_bits)))
+         .drop("qbucket"))
+    scored = q.join(c, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = (scored
+              .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+              .select("query_id", "corpus_id", "cosine")
+              .distinct())  # multi-probe may hit the same candidate twice
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))

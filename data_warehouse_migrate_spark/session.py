@@ -29,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.caseSensitive": "false",
+    # parquet TIMESTAMP(NANOS) (e.g. pandas-written event tables) has no
+    # Spark timestamp equivalent — read as long nanos, convert explicitly
+    # via readers.nanos_to_timestamp
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -52,6 +52,22 @@ def read_table(spark: SparkSession, path_or_table: str,
     return reader.options(**options).format(fmt).load(path_or_table)
 
 
+def nanos_to_timestamp(col) -> "F.Column":
+    """Convert int64 epoch-nanos (from TIMESTAMP(NANOS) parquet read under
+    ``spark.sql.legacy.parquet.nanosAsLong``) to a timestamp (µs truncation,
+    same as every µs-precision engine reading the file)."""
+    return F.timestamp_micros(F.floor(col / 1000).cast("long"))
+
+
+def normalize_nano_timestamps(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Apply nanos_to_timestamp to any of ``columns`` that read as bigint."""
+    dtypes = dict(df.dtypes)
+    for c in columns:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, nanos_to_timestamp(F.col(c)))
+    return df
+
+
 def latest_partition_values(df: DataFrame, partition_cols: list[str]) -> dict[str, object]:
     """A1/A2: latest value per partition column, one aggregate
     (reference ``maxcompute_client.py:241-252,279-297``). Returns {} when

@@ -1,0 +1,93 @@
+"""Event-time operators: tumbling windows, sessionization, and the
+Structured Streaming variant (beyond-reference — the reference has no
+streaming at all, SURVEY.md §2.9).
+
+``tumbling_window_agg``/``sessionize`` are batch DataFrame operators (the
+same logical ops run under readStream unchanged);
+``streaming_windowed_counts`` wires the real Structured Streaming job with
+watermarking for late data — tested with a file source + availableNow
+trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, window: str = "1 hour",
+                        group_cols: list[str] | None = None,
+                        aggs: dict[str, str] | None = None) -> DataFrame:
+    """Tumbling event-time windows with per-window aggregates.
+
+    Output carries window_start/window_end as flat timestamp columns.
+    Partial (map-side) aggregation applies automatically; the only shuffle
+    is on (window, group) keys.
+    """
+    aggs = aggs or {"*": "count"}
+    group_cols = group_cols or []
+    exprs = []
+    for col, how in aggs.items():
+        name = f"{how}_{col}".replace("*", "all")
+        if how == "count":
+            exprs.append((F.count("*") if col == "*" else F.count(col)).alias(name))
+        else:
+            exprs.append(getattr(F, how)(col).alias(name))
+    out = (df.groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+           .agg(*exprs))
+    agg_names = [f"{how}_{col}".replace("*", "all") for col, how in aggs.items()]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols, *agg_names)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds the gap. Returns per-session rows
+    (user, session_id, session_start, session_end, n_events).
+
+    Classic lag+cumsum windowing — one shuffle on user, then narrow.
+    Deterministic, and expressible in ANSI SQL for the oracle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    with_flag = df.withColumn(
+        "__prev_ts", F.lag(ts_col).over(w)
+    ).withColumn(
+        "__new_session",
+        (F.col("__prev_ts").isNull() |
+         (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__prev_ts")) > gap_s)
+         ).cast("int"),
+    ).withColumn("session_seq", F.sum("__new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (with_flag.groupBy(user_col, "session_seq")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events"))
+            .withColumnRenamed("session_seq", "session_id"))
+
+
+def streaming_windowed_counts(spark: SparkSession, source_path: str,
+                              schema, ts_col: str = "ts",
+                              window: str = "1 hour",
+                              group_col: str = "event_type",
+                              watermark: str = "2 hours",
+                              fmt: str = "parquet"):
+    """Structured Streaming job: file source → watermark → windowed counts.
+
+    Returns the streaming DataFrame; callers attach
+    ``.writeStream.trigger(availableNow=True)`` (tests) or a continuous
+    trigger (production). The watermark bounds state for late data — the
+    canonical 100 TB streaming-agg shape.
+    """
+    stream = (spark.readStream.format(fmt).schema(schema).load(source_path)
+              .withWatermark(ts_col, watermark))
+    return (stream
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    group_col, "n_events", "sum_value"))

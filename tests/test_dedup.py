@@ -1,0 +1,100 @@
+"""Dedup operators: exact, n-gram Jaccard (inverted index), MinHash LSH,
+SimHash pairs, embedding near-dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.dedup import (
+    drop_exact_dups,
+    exact_dedup,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    return spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),   # exact dup after normalize
+        (3, "the quick brown fox jumps over the lazy cat"),    # near dup
+        (4, "completely different content about spark engines"),
+        (5, "another unrelated document talking about benchmarks"),
+    ], "id int, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs, "text", "id")
+    groups = {r.keep_id: r.n_dups for r in out.collect()}
+    assert groups[1] == 2          # ids 1,2 collapse
+    assert out.count() == 4
+    kept = drop_exact_dups(dup_docs, "text", "id")
+    assert sorted(r.id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    pairs = ngram_jaccard_pairs(dup_docs, "text", "id", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0   # normalized-identical
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(a < b for a, b in got)
+    assert (4, 5) not in got
+
+
+def test_jaccard_freq_cap_keeps_rare_pairs(dup_docs):
+    pairs = ngram_jaccard_pairs(dup_docs, "text", "id", n=3, threshold=0.9,
+                                max_shingle_freq=10)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = minhash_lsh_pairs(dup_docs, "text", "id", n=2, k=16, bands=4, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert (4, 5) not in got
+
+
+def test_minhash_vs_exact_jaccard_consistency(spark, sf_dir):
+    # LSH output must be a subset of the exact all-pairs result at the same
+    # threshold (verification step guarantees no false positives)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, "text", "doc_id", n=2, k=16, bands=8,
+                             threshold=0.4).collect()}
+    assert lsh.issubset(exact)
+
+
+def test_simhash_near_pairs(dup_docs):
+    pairs = simhash_near_pairs(dup_docs, "text", "id", max_hamming=8, bands=4)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert all(h <= 8 for h in got.values())
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    out = embedding_near_dups(df, "vec", "id", threshold=0.95, n_planes=6)
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert all(v >= 0.95 for v in got.values())
+
+
+def test_dedup_plans_have_no_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+    for op in (lambda: ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8),
+               lambda: minhash_lsh_pairs(docs, "text", "doc_id"),
+               lambda: simhash_near_pairs(docs, "text", "doc_id")):
+        plan = explain_plan(op())
+        assert "CartesianProduct" not in plan

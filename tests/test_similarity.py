@@ -1,0 +1,60 @@
+"""Similarity search: brute-force exact top-k + LSH ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return (emb.filter(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+
+
+def _corpus(emb):
+    return emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec"))
+
+
+def test_brute_force_topk_shape(emb):
+    out = brute_force_topk(_queries(emb), _corpus(emb), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        sims = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.corpus_id != q for r in rows)       # self excluded
+        assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_topk_deterministic(emb):
+    a = {(r.query_id, r.rank): r.corpus_id
+         for r in brute_force_topk(_queries(emb), _corpus(emb), k=3).collect()}
+    b = {(r.query_id, r.rank): r.corpus_id
+         for r in brute_force_topk(_queries(emb), _corpus(emb), k=3).collect()}
+    assert a == b
+
+
+def test_lsh_recall_vs_exact(emb):
+    exact = {(r.query_id, r.corpus_id)
+             for r in brute_force_topk(_queries(emb), _corpus(emb), k=10).collect()}
+    approx = {(r.query_id, r.corpus_id)
+              for r in lsh_topk(_queries(emb), _corpus(emb), k=10,
+                                n_planes=6, probe_bits=1).collect()}
+    # approximate results must themselves be valid neighbors and overlap
+    # substantially with exact top-k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_broadcast_in_plan(emb):
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+    plan = explain_plan(brute_force_topk(_queries(emb), _corpus(emb), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,115 @@
+"""Windowed aggs, sessionization, Structured Streaming, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.multimodal import (
+    attach_media_columns,
+    decode_image_features,
+    sample_frames,
+)
+from data_warehouse_migrate_spark.streaming.windows import (
+    sessionize,
+    streaming_windowed_counts,
+    tumbling_window_agg,
+)
+
+
+from data_warehouse_migrate_spark.sources.readers import normalize_nano_timestamps
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return normalize_nano_timestamps(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"])
+
+
+def test_tumbling_window_agg(events):
+    out = tumbling_window_agg(events, "ts", "1 hour", ["event_type"],
+                              {"*": "count", "value": "sum"})
+    assert set(out.columns) == {"window_start", "window_end", "event_type",
+                                "count_all", "sum_value"}
+    total = out.agg(F.sum("count_all")).first()[0]
+    assert total == events.count()
+    # windows align to the hour
+    bad = out.filter(F.minute("window_start") != 0).count()
+    assert bad == 0
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),                             # gap > 30min → new session
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, "user_id", "ts", gap_minutes=30)
+    per_user = {(r.user_id, r.session_id): r.n_events for r in out.collect()}
+    assert per_user[(1, 1)] == 2
+    assert per_user[(1, 2)] == 1
+    assert per_user[(2, 1)] == 1
+
+
+def test_structured_streaming_windowed_counts(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    events.limit(2000).write.mode("overwrite").parquet(src)
+    stream = streaming_windowed_counts(spark, src, events.schema, "ts", "1 hour",
+                                       "event_type", watermark="2 hours")
+    q = (stream.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert set(got.columns) == {"window_start", "window_end", "event_type",
+                                "n_events", "sum_value"}
+    # batch twin agrees per emitted window (append mode holds back windows
+    # still inside the watermark when the stream ends — that's the contract)
+    batch = tumbling_window_agg(spark.read.parquet(src), "ts", "1 hour",
+                                ["event_type"], {"*": "count"})
+    joined = got.join(batch, ["window_start", "event_type"])
+    assert joined.count() == got.count()
+    mismatches = joined.filter(F.col("n_events") != F.col("count_all")).count()
+    assert mismatches == 0
+
+
+@pytest.fixture()
+def binary_df(spark):
+    rows = [(i, bytes(range(i % 7, i % 7 + 40)) * (i + 1)) for i in range(5)]
+    return spark.createDataFrame(rows, "id long, content binary")
+
+
+def test_attach_media_columns(binary_df):
+    out = attach_media_columns(binary_df, "content", media_type="image", fmt="png")
+    r = out.first()
+    assert r.media_meta.media_type == "image" and r.media_meta.format == "png"
+    assert r.media_meta.width is None
+
+
+def test_decode_stub_raises_without_fake(binary_df):
+    import py4j
+    with pytest.raises(Exception) as e:
+        decode_image_features(binary_df, "content", "id").collect()
+    assert "NotImplementedError" in str(e.value) or "decode" in str(e.value)
+
+
+def test_fake_decode_deterministic(binary_df):
+    out1 = {r.id: (r.n_bytes, r.width, r.height, r.mean_byte, tuple(r.feature))
+            for r in decode_image_features(binary_df, "content", "id",
+                                           fake_decode=True).collect()}
+    out2 = {r.id: (r.n_bytes, r.width, r.height, r.mean_byte, tuple(r.feature))
+            for r in decode_image_features(binary_df, "content", "id",
+                                           fake_decode=True).collect()}
+    assert out1 == out2
+    assert all(v[0] > 0 and len(v[4]) == 4 for v in out1.values())
+
+
+def test_sample_frames(binary_df):
+    out = sample_frames(binary_df, "content", "id", every_n_bytes=40, max_frames=4)
+    rows = out.filter(F.col("id") == 4).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.frame_offset for r in rows] == [0, 40, 80, 120]
+    assert all(len(r.frame_bytes) == 40 for r in rows)

@@ -1,0 +1,107 @@
+"""Text function layer: stats, lang-id, hashing, shingles — incl. DuckDB
+cross-engine determinism for the hash primitives."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions import text as X
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("Hello  world foo",), ("one",), ("",)], "t string")
+    out = df.select(F.size(X.tokens(F.col("t"))).alias("n"),
+                    X.token_count(F.col("t")).alias("bpe")).collect()
+    assert [r.n for r in out] == [3, 1, 1]   # empty → [''] (size 1, engines agree)
+    assert [r.bpe for r in out] == [3, 1, 0]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = df.select(X.word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == ["a b"]  # shorter than n → whole text
+
+
+def test_polyhash_matches_duckdb(spark):
+    texts = ["abc", "key agg row scan", "", "Ünïcode test"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_vals = {r.t: r.h for r in df.select("t", X.polyhash(F.col("t")).alias("h")).collect()}
+    con = duckdb.connect()
+    for t in texts:
+        dd = con.execute(
+            "SELECT list_reduce(list_concat([CAST(0 AS BIGINT)], "
+            "list_transform(string_split(?, ''), x -> CAST(ascii(x) AS BIGINT))), "
+            "(a,b) -> (a*31+b) % 1000000007)", [t]).fetchone()[0]
+        assert spark_vals[t] == (dd or 0), t
+
+
+def test_md5_prefix_int_matches_duckdb(spark):
+    texts = ["abc", "hello world"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_vals = {r.t: r.h for r in df.select("t", X.md5_prefix_int(F.col("t")).alias("h")).collect()}
+    con = duckdb.connect()
+    for t in texts:
+        dd = con.execute("SELECT CAST(concat('0x', substr(md5(?),1,15)) AS BIGINT)", [t]).fetchone()[0]
+        assert spark_vals[t] == dd
+
+
+def test_text_stats_ranges(docs):
+    stats = X.text_stats_exprs(F.col("text"))
+    out = docs.select(F.col("doc_id"), *[v.alias(k) for k, v in stats.items()])
+    row = out.agg(F.min("punct_ratio"), F.max("punct_ratio"),
+                  F.min("n_words"), F.max("avg_word_len")).first()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert row[2] >= 1
+    assert row[3] < 30
+    # n_chars matches the table's own n_chars column
+    bad = docs.select((F.length("text") != F.col("n_chars")).alias("x")).filter("x").count()
+    assert bad == 0
+
+
+def test_quality_score_bounded(docs):
+    out = docs.select(X.quality_score(F.col("text")).alias("q"))
+    row = out.agg(F.min("q"), F.max("q")).first()
+    assert 0.0 <= row[0] and row[1] <= 1.0
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in a house",),
+         ("der hund und die katze ist ein tier",),
+         ("le chat et la maison dans les champs",),
+         ("xyzzy plugh",)], "t string")
+    out = [r.l for r in df.select(X.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_simhash_is_stable_and_locality_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated text")],
+        "id int, t string")
+    rows = {r.id: r.s for r in df.select("id", X.simhash32(F.col("t")).alias("s")).collect()}
+    # deterministic across invocations
+    rows2 = {r.id: r.s for r in df.select("id", X.simhash32(F.col("t")).alias("s")).collect()}
+    assert rows == rows2
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+    assert all(0 <= v < 2**32 for v in rows.values())
+
+
+def test_minhash_signature_shape_and_similarity(spark):
+    from data_warehouse_migrate_spark.operators.dedup import minhash_signatures
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "z y x w v u t s")],
+        "id int, t string")
+    sigs = {r.id: r.sig for r in minhash_signatures(df, "t", "id", n=2, k=16).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    match12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    match13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert match12 > match13  # similar docs agree on more minhash slots
