@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion via a count() action (forces the full
+plan without driver-side materialization of result sets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_warehouse_migrate_spark.queries import QUERIES
+from data_warehouse_migrate_spark.session import get_spark
+
+HEADLINE = [
+    "migrate_pipeline",
+    "cast_source_schema",
+    "pricing_summary",
+    "top_customers",
+    "events_hourly",
+    "sessionize",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "simhash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_lsh_ann",
+    "embedding_centroids",
+    "multimodal_decode",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dwms-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file index so per-query times measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,892 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2 plus the
+beyond-reference LLM-pipeline operators), each with a DuckDB oracle twin.
+
+Contract (driver): ``QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLES[name]`` is ANSI SQL DuckDB runs against the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names and values must match exactly — every
+computed column is aliased identically on both sides; float results are
+rounded where engine-order would differ; money sums are cast to
+decimal(18,4) before aggregation so both engines sum exactly.
+
+Cross-engine determinism groundwork (verified in tests/test_text.py):
+polyhash/md5-prefix-int/left-fold float sums are bit-identical between
+Spark built-ins and DuckDB list lambdas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions import text as X
+from data_warehouse_migrate_spark.functions.casts import (
+    apply_source_schema,
+    boolean_token_expr,
+    inf_nan_to_null,
+    string_preserve_expr,
+)
+from data_warehouse_migrate_spark.operators.constraints import (
+    apply_defaults_backfill,
+    apply_null_policy,
+)
+from data_warehouse_migrate_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from data_warehouse_migrate_spark.operators.mapping import apply_mapping
+from data_warehouse_migrate_spark.operators.multimodal import decode_image_features
+from data_warehouse_migrate_spark.operators.similarity import brute_force_topk, lsh_topk
+from data_warehouse_migrate_spark.schema import ColumnSpec
+from data_warehouse_migrate_spark.sources.readers import (
+    latest_partition_filter,
+    normalize_nano_timestamps,
+)
+from data_warehouse_migrate_spark.streaming.windows import (
+    sessionize,
+    tumbling_window_agg,
+)
+
+DEC = "decimal(18,4)"  # exact money arithmetic — identical in both engines
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_nano_timestamps(df, ["ts"])
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / scans
+# ---------------------------------------------------------------------------
+
+def q_scan_project_filter(spark, sf_dir):
+    """P1/P2/P8 + predicate pushdown: filtered projection on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+O_SCAN_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+"""
+
+
+def q_scan_orderby_limit(spark, sf_dir):
+    """P8 LIMIT with deterministic ordering (top-1000 orders by price)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(1000)
+            .select("o_orderkey", "o_totalprice"))
+
+
+O_SCAN_ORDERBY_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1000
+"""
+
+
+def q_latest_partition_scan(spark, sf_dir):
+    """S2/P6/A1: latest-partition pruning (o_orderdate as partition col)."""
+    o = _t(spark, sf_dir, "orders")
+    return (latest_partition_filter(o, ["o_orderdate"])
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+
+
+O_LATEST_PARTITION_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+"""
+
+
+def q_metadata_probes(spark, sf_dir):
+    """A1-A4: latest partition value, row count, null counts — one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderdate").alias("latest_pt"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_custkey"),
+    )
+
+
+O_METADATA_PROBES = """
+SELECT max(o_orderdate) AS latest_pt, count(*) AS n_rows,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_custkey
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6/§2.7 mapping pipeline + computed columns
+# ---------------------------------------------------------------------------
+
+def q_mapping_rename_reorder(spark, sf_dir):
+    """P1-P4: include/rename/order via the mapping pipeline."""
+    c = _t(spark, sf_dir, "customer")
+    return apply_mapping(c, {
+        "include": ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+        "rename": {"c_custkey": "cust_id", "c_acctbal": "balance"},
+        "order": ["cust_id", "balance"],
+    })
+
+
+O_MAPPING_RENAME_REORDER = """
+SELECT c_custkey AS cust_id, c_acctbal AS balance, c_name, c_mktsegment
+FROM customer
+"""
+
+
+def q_mapping_computed(spark, sf_dir):
+    """F1-F4: concat/upper/lower/substr computed columns (0-based substr)."""
+    p = _t(spark, sf_dir, "part")
+    return apply_mapping(p, {
+        "include": ["p_partkey", "p_name", "p_brand", "p_type"],
+        "computed": {
+            "brand_type": "concat(p_brand, '-', p_type)",
+            "name_upper": "upper(p_name)",
+            "brand_lower": "lower(p_brand)",
+            "name_head": "substr(p_name, 0, 5)",
+        },
+    })
+
+
+O_MAPPING_COMPUTED = """
+SELECT p_partkey, p_name, p_brand, p_type,
+       p_brand || '-' || p_type AS brand_type,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_name, 1, 5) AS name_head
+FROM part
+"""
+
+
+def q_mapping_format(spark, sf_dir):
+    """F6: format templates with zero-padding and null→0 coercion."""
+    p = _t(spark, sf_dir, "part")
+    return apply_mapping(p, {
+        "include": ["p_partkey", "p_brand", "p_size"],
+        "computed": {"brand_size": 'format("{p_brand}:{p_size:04d}")'},
+    })
+
+
+O_MAPPING_FORMAT = """
+SELECT p_partkey, p_brand, p_size,
+       printf('%s:%04d', CASE WHEN p_brand IS NULL THEN '' ELSE p_brand END,
+              COALESCE(p_size, 0)) AS brand_size
+FROM part
+"""
+
+
+def q_cast_source_schema(spark, sf_dir):
+    """T3/F7/F9: declared-schema casting incl. boolean tokens and
+    '1.0'→1 int parsing, applied to stringified input."""
+    o = _t(spark, sf_dir, "orders")
+    stringified = o.select(
+        F.col("o_orderkey").cast("string").alias("id_str"),
+        (F.col("o_totalprice").cast("string")).alias("price_str"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("1"))
+         .when(F.col("o_orderkey") % 3 == 1, F.lit("no"))
+         .otherwise(F.lit("maybe")).alias("flag_str"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(".0")).alias("float_int_str"),
+    )
+    schema = [ColumnSpec("id_str", "bigint"), ColumnSpec("price_str", "double"),
+              ColumnSpec("flag_str", "boolean"), ColumnSpec("float_int_str", "bigint")]
+    out = apply_source_schema(stringified, schema)
+    return out.select(
+        F.col("id_str").alias("id_val"), F.col("price_str").alias("price_val"),
+        F.col("flag_str").alias("flag_val"), F.col("float_int_str").alias("int_from_float"),
+    )
+
+
+O_CAST_SOURCE_SCHEMA = """
+SELECT CAST(o_orderkey AS BIGINT) AS id_val,
+       CAST(o_totalprice AS DOUBLE) AS price_val,
+       CASE WHEN o_orderkey % 3 = 0 THEN TRUE
+            WHEN o_orderkey % 3 = 1 THEN FALSE
+            ELSE NULL END AS flag_val,
+       CAST(o_orderkey AS BIGINT) AS int_from_float
+FROM orders
+"""
+
+
+def q_string_preservation(spark, sf_dir):
+    """F10: numeric-looking strings + null tokens preserved by default;
+    token→NULL when preservation disabled."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (F.when(F.col("doc_id") % 5 == 0, F.lit("0"))
+           .when(F.col("doc_id") % 5 == 1, F.lit("123456"))
+           .when(F.col("doc_id") % 5 == 2, F.lit("nan"))
+           .when(F.col("doc_id") % 5 == 3, F.lit("None"))
+           .otherwise(F.lit(None).cast("string")))
+    base = d.select("doc_id", tok.alias("code"))
+    return base.select(
+        "doc_id",
+        string_preserve_expr(F.col("code")).alias("preserved"),
+        string_preserve_expr(F.col("code"), preserve_null_tokens=False).alias("nulled"),
+    )
+
+
+O_STRING_PRESERVATION = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '0'
+              WHEN doc_id % 5 = 1 THEN '123456'
+              WHEN doc_id % 5 = 2 THEN 'nan'
+              WHEN doc_id % 5 = 3 THEN 'None'
+              ELSE NULL END AS code
+  FROM documents)
+SELECT doc_id, code AS preserved,
+       CASE WHEN lower(code) IN ('nan','none','null','<na>') THEN NULL
+            ELSE code END AS nulled
+FROM base
+"""
+
+
+def q_inf_cleanup(spark, sf_dir):
+    """F11: ±inf/NaN → NULL in float columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    raw = (F.when(F.col("l_linenumber") == 1, F.lit(float("inf")))
+           .when(F.col("l_linenumber") == 2, F.lit(float("-inf")))
+           .when(F.col("l_linenumber") == 3, F.lit(float("nan")))
+           .otherwise(F.col("l_extendedprice")))
+    return (li.select("l_orderkey", "l_linenumber", raw.alias("raw"))
+            .select("l_orderkey", "l_linenumber",
+                    inf_nan_to_null(F.col("raw")).alias("cleaned")))
+
+
+O_INF_CLEANUP = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber = 1 THEN CAST('inf' AS DOUBLE)
+              WHEN l_linenumber = 2 THEN CAST('-inf' AS DOUBLE)
+              WHEN l_linenumber = 3 THEN CAST('nan' AS DOUBLE)
+              ELSE l_extendedprice END AS raw
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN isnan(raw) OR raw IN (CAST('inf' AS DOUBLE), CAST('-inf' AS DOUBLE))
+            THEN NULL ELSE raw END AS cleaned
+FROM base
+"""
+
+
+def q_null_policy_skip(spark, sf_dir):
+    """C1 skip: drop rows with NULL in non-nullable columns."""
+    e = _t(spark, sf_dir, "events")
+    nulled = e.withColumn(
+        "value", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")))
+    out = apply_null_policy(nulled, ["value"], policy="skip")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+O_NULL_POLICY_SKIP = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE NOT event_type = 'error'
+"""
+
+
+def q_null_policy_fill(spark, sf_dir):
+    """C1 fill: sentinel fill for string columns only."""
+    c = _t(spark, sf_dir, "customer")
+    nulled = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")))
+    out = apply_null_policy(nulled, ["c_mktsegment"], policy="fill", sentinel="(none)",
+                            dest_types={"c_mktsegment": "VARCHAR(255)"})
+    return out.select("c_custkey", "c_mktsegment")
+
+
+O_NULL_POLICY_FILL = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END,
+                '(none)') AS c_mktsegment
+FROM customer
+"""
+
+
+def q_default_backfill(spark, sf_dir):
+    """C2/F12: typed destination-default backfill for non-nullable columns."""
+    s = _t(spark, sf_dir, "supplier")
+    nulled = s.withColumn(
+        "s_acctbal",
+        F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(F.col("s_acctbal")))
+    out = apply_defaults_backfill(nulled, [
+        {"name": "s_acctbal", "type": "double", "is_nullable": False, "default": "0"},
+    ])
+    return out.select("s_suppkey", "s_name", "s_acctbal")
+
+
+O_DEFAULT_BACKFILL = """
+SELECT s_suppkey, s_name,
+       COALESCE(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, 0.0) AS s_acctbal
+FROM supplier
+"""
+
+
+def q_migrate_pipeline(spark, sf_dir):
+    """The reference's full pipeline shape end-to-end (flagship):
+    cast → exclude → rename → computed (concat/format) → order."""
+    o = _t(spark, sf_dir, "orders")
+    return apply_mapping(o, {
+        "exclude": ["o_orderpriority"],
+        "rename": {"o_totalprice": "total_price"},
+        "computed": {
+            "status_tag": "concat('S-', o_orderstatus)",
+            "key_fmt": 'format("{o_orderkey:08d}")',
+        },
+        "order": ["o_orderkey", "total_price", "status_tag"],
+    })
+
+
+O_MIGRATE_PIPELINE = """
+SELECT o_orderkey, o_totalprice AS total_price,
+       'S-' || o_orderstatus AS status_tag,
+       o_custkey, o_orderstatus, o_orderdate,
+       printf('%08d', o_orderkey) AS key_fmt
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics (engine capability; bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary; decimal sums for exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(DEC)
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum((dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount")))
+                       .cast("decimal(38,8)")).cast("double").alias("sum_disc_price"),
+                 F.count("*").alias("count_order"),
+                 F.round(F.avg(F.col("l_quantity")), 6).alias("avg_qty"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast-join enrichment + agg + deterministic top-k (Q10-shaped)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (joined.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(10))
+
+
+O_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+O_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Small-dim broadcast joins: nation×region×supplier rollup."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("total_balance"))
+            .orderBy("r_name"))
+
+
+O_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling event-time windows (batch twin of the streaming job)."""
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e.withColumn("value_dec", F.col("value").cast(DEC)),
+        "ts", "1 hour", ["event_type"], {"*": "count", "value_dec": "sum"})
+    return out.select(
+        "window_start", "event_type",
+        F.col("count_all").alias("n_events"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"))
+
+
+O_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative-sum windowing)."""
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", gap_minutes=30)
+
+
+O_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stats = X.text_stats_exprs(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
+_STOP_ALL = ", ".join(f"'{w}'" for ws in X.LANG_STOPWORDS.values() for w in ws)
+
+O_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents),
+w AS (
+  SELECT *, CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_words,
+         len(list_filter(toks, t -> t IN ({_STOP_ALL}))) AS n_stop,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+  FROM base)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_words > 0
+                  THEN (n_alpha + n_digit) / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END, 6) AS avg_word_len,
+       round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_digit / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END, 6) AS stopword_ratio
+FROM w
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _stop_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+
+
+O_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ({_stop_sql('en')}))) AS en,
+         len(list_filter(toks, t -> t IN ({_stop_sql('de')}))) AS de,
+         len(list_filter(toks, t -> t IN ({_stop_sql('fr')}))) AS fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+            WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 + rolling polynomial hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(X.normalized_text(F.col("text"))).alias("md5_hex"),
+        X.polyhash(F.col("text")).alias("poly_hash"),
+        X.md5_prefix_int(F.col("text")).alias("md5_int"),
+    )
+
+
+_POLYHASH_SQL = ("list_reduce(list_concat([CAST(0 AS BIGINT)], "
+                 "list_transform(string_split({col}, ''), "
+                 "x -> CAST(ascii(x) AS BIGINT))), "
+                 "(a, b) -> (a * 31 + b) % 1000000007)")
+
+O_DOC_FINGERPRINTS = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_hex,
+       COALESCE({_POLYHASH_SQL.format(col='text')}, 0) AS poly_hash,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS md5_int
+FROM documents
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (array-math; oracle-twinned)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash")
+
+
+_TOKHASH_SQL = ("list_transform(string_split_regex(lower(trim(text)), '\\s+'), "
+                "t -> list_reduce(list_concat([CAST(0 AS BIGINT)], "
+                "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+                "(a, b) -> (a * 31 + b) % 1000000007))")
+
+O_SIMHASH = f"""
+WITH tok AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+  FROM tok, (SELECT unnest(range(0, 32)) AS j) js)
+SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+O_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-2-gram Jaccard ≥ 0.6 pairs via inverted-index join."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.6)
+
+
+# DuckDB oracle: brute-force all-pairs with identical shingle hashing.
+_SHINGLES_SQL = """
+SELECT doc_id,
+       list_distinct(list_transform(
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)), i ->
+                     array_to_string(toks[i:i+1], ' ')) END,
+         s -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+                list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007))) AS sh
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents)
+"""
+
+O_DEDUP_NGRAM_JACCARD = f"""
+WITH s AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) /
+      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      >= 0.6
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (probabilistic candidates, exact verify).
+    No SQL oracle — the banding S-curve is not SQL-expressible concisely;
+    driver records rows-only. Precision is guaranteed by the verification
+    join; recall vs exact checked in tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", n=2, k=16, bands=8, threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash hamming ≤ 3 pairs — banded pigeonhole is exact at this
+    radius, so the all-pairs SQL oracle matches."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3, bands=4)
+
+
+O_DEDUP_SIMHASH = f"""
+WITH tok AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+  FROM tok, (SELECT unnest(range(0, 32)) AS j) js),
+fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = ("list_reduce(list_concat([0.0], list_transform(range(1, len({a}) + 1), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)")
+_NORM_SQL = ("sqrt(list_reduce(list_concat([0.0], list_transform(range(1, len({a}) + 1), "
+             "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 10 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec"))
+    return brute_force_topk(q, c, k=5)
+
+
+O_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+         round({_DOT_SQL.format(a='qv', b='cv')} /
+               ({_NORM_SQL.format(a='qv')} * {_NORM_SQL.format(a='cv')}), 6) AS cosine
+  FROM q, c WHERE query_id <> corpus_id),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (the scale path). No SQL oracle —
+    approximate by construction; recall vs exact asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec"))
+    return lsh_topk(q, c, k=5, n_planes=8, probe_bits=1)
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid norms — elementwise array aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    sums = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}") for i in range(dim)])
+    sq = None
+    for i in range(dim):
+        term = (F.col(f"s{i}") / F.col("n_vectors")) ** 2
+        sq = term if sq is None else sq + term
+    return (sums.select("label", "n_vectors",
+                        F.round(F.sqrt(sq), 6).alias("centroid_norm"))
+            .orderBy("label"))
+
+
+O_EMBEDDING_CENTROIDS = """
+WITH sums AS (
+  SELECT label, count(*) AS n_vectors,
+         {cols}
+  FROM embeddings GROUP BY label)
+SELECT label, n_vectors,
+       round(sqrt({sq}), 6) AS centroid_norm
+FROM sums ORDER BY label
+""".format(
+    cols=", ".join(
+        f"sum(CAST(embedding[{i + 1}] AS DOUBLE)) AS s{i}" for i in range(64)),
+    sq=" + ".join(
+        f"(s{i} / n_vectors) * (s{i} / n_vectors)" for i in range(64)),
+)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal (binary column plumbing, fake decode)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary content
+    (deterministic fake decode; text bytes stand in for media bytes)."""
+    d = _t(spark, sf_dir, "documents")
+    bin_df = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    feats = decode_image_features(bin_df, "content", "doc_id", fake_decode=True)
+    return feats.select(
+        F.col("id").alias("doc_id"), "n_bytes", "width", "height", "mean_byte",
+        F.col("feature")[0].alias("f0"), F.col("feature")[1].alias("f1"),
+        F.col("feature")[2].alias("f2"), F.col("feature")[3].alias("f3"))
+
+
+# ASCII text → bytes == code points, so the byte math is expressible in SQL
+O_MULTIMODAL_DECODE = """
+WITH codes AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents),
+agg AS (
+  SELECT doc_id, n_bytes,
+         COALESCE(list_sum(cs[1:16]), 0) AS head_sum,
+         COALESCE(list_sum(cs), 0) AS total_sum,
+         CASE WHEN n_bytes > 0 THEN cs[1] ELSE 0 END AS first_b,
+         CASE WHEN n_bytes > 0 THEN cs[len(cs)] ELSE 0 END AS last_b
+  FROM codes)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(1 + (n_bytes % 64) AS INT) AS width,
+       CAST(1 + (head_sum % 64) AS INT) AS height,
+       round(total_sum / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+       CAST(n_bytes % 251 AS DOUBLE) AS f0,
+       CAST(head_sum % 241 AS DOUBLE) AS f1,
+       CAST(first_b AS DOUBLE) AS f2,
+       CAST(last_b AS DOUBLE) AS f3
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference-surface operators
+    "scan_project_filter": q_scan_project_filter,
+    "scan_orderby_limit": q_scan_orderby_limit,
+    "latest_partition_scan": q_latest_partition_scan,
+    "metadata_probes": q_metadata_probes,
+    "mapping_rename_reorder": q_mapping_rename_reorder,
+    "mapping_computed": q_mapping_computed,
+    "mapping_format": q_mapping_format,
+    "cast_source_schema": q_cast_source_schema,
+    "string_preservation": q_string_preservation,
+    "inf_cleanup": q_inf_cleanup,
+    "null_policy_skip": q_null_policy_skip,
+    "null_policy_fill": q_null_policy_fill,
+    "default_backfill": q_default_backfill,
+    "migrate_pipeline": q_migrate_pipeline,
+    # analytics
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "order_priority_counts": q_order_priority_counts,
+    "region_rollup": q_region_rollup,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    # LLM-pipeline
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "simhash": q_simhash,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_centroids": q_embedding_centroids,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES: dict[str, str] = {
+    "scan_project_filter": O_SCAN_PROJECT_FILTER,
+    "scan_orderby_limit": O_SCAN_ORDERBY_LIMIT,
+    "latest_partition_scan": O_LATEST_PARTITION_SCAN,
+    "metadata_probes": O_METADATA_PROBES,
+    "mapping_rename_reorder": O_MAPPING_RENAME_REORDER,
+    "mapping_computed": O_MAPPING_COMPUTED,
+    "mapping_format": O_MAPPING_FORMAT,
+    "cast_source_schema": O_CAST_SOURCE_SCHEMA,
+    "string_preservation": O_STRING_PRESERVATION,
+    "inf_cleanup": O_INF_CLEANUP,
+    "null_policy_skip": O_NULL_POLICY_SKIP,
+    "null_policy_fill": O_NULL_POLICY_FILL,
+    "default_backfill": O_DEFAULT_BACKFILL,
+    "migrate_pipeline": O_MIGRATE_PIPELINE,
+    "pricing_summary": O_PRICING_SUMMARY,
+    "top_customers": O_TOP_CUSTOMERS,
+    "order_priority_counts": O_ORDER_PRIORITY_COUNTS,
+    "region_rollup": O_REGION_ROLLUP,
+    "events_hourly": O_EVENTS_HOURLY,
+    "sessionize": O_SESSIONIZE,
+    "text_stats": O_TEXT_STATS,
+    "lang_id": O_LANG_ID,
+    "doc_fingerprints": O_DOC_FINGERPRINTS,
+    "simhash": O_SIMHASH,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
+    # dedup_minhash: intentionally no oracle (probabilistic banding)
+    "dedup_simhash": O_DEDUP_SIMHASH,
+    "embedding_topk": O_EMBEDDING_TOPK,
+    # embedding_lsh_ann: intentionally no oracle (approximate)
+    "embedding_centroids": O_EMBEDDING_CENTROIDS,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
+}

@@ -55,8 +55,14 @@ def read_table(spark: SparkSession, path_or_table: str,
 def nanos_to_timestamp(col) -> "F.Column":
     """Convert int64 epoch-nanos (from TIMESTAMP(NANOS) parquet read under
     ``spark.sql.legacy.parquet.nanosAsLong``) to a timestamp (µs truncation,
-    same as every µs-precision engine reading the file)."""
-    return F.timestamp_micros(F.floor(col / 1000).cast("long"))
+    same as DuckDB/Arrow µs-precision reads of the file).
+
+    NB: integer division must stay exact — epoch nanos (~1.7e18) exceed
+    double's 2^53 integer range, so ``floor(col/1000)`` is off by 1µs on a
+    fair fraction of rows. Decimal division keeps it exact.
+    """
+    return F.timestamp_micros(
+        F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
 
 
 def normalize_nano_timestamps(df: DataFrame, columns: list[str]) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Driver-shaped correctness gate, run locally: every queries() entry vs its
+DuckDB oracle at sf0.001 — row count, column names, and exact values after
+order-insensitive sort (the driver hashes; we compare cell-exact, which is
+stricter)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_warehouse_migrate_spark.queries import ORACLES, QUERIES
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif s.dtype == object and s.map(lambda v: hasattr(v, "as_tuple"),
+                                         na_action="ignore").any():
+            # Decimal → normalized string
+            df[c] = s.map(lambda v: None if v is None else format(v, "f"))
+        elif s.dtype == object and s.dropna().map(lambda v: isinstance(v, (bool,))).all() \
+                and len(s.dropna()):
+            df[c] = s.astype("boolean")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    df = df.sort_values(by=list(df.columns), na_position="last",
+                        key=lambda col: col.map(str) if col.dtype == object else col)
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), \
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), \
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            ok = np.array_equal(av, bv.astype(av.dtype), equal_nan=True)
+        else:
+            ok = a[c].where(a[c].notna(), None).tolist() == \
+                 b[c].where(b[c].notna(), None).tolist()
+        assert ok, f"{name}: column {c!r} differs\nspark head: {av[:5]}\noracle head: {bv[:5]}"
+
+
+ORACLE_CHECKED = sorted(set(QUERIES) & set(ORACLES))
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    ddf = duck.execute(ORACLES[name]).fetchdf()
+    assert_frames_match(sdf, ddf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
