@@ -52,6 +52,7 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        spark.catalog.clearCache()  # no cross-query cache pollution
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)

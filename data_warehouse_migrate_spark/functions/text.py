@@ -78,28 +78,42 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def simhash32(col: Column) -> Column:
-    """32-bit SimHash over whitespace tokens with polyhash token weights.
+SIMHASH_BITS = 60  # md5-prefix token hashes carry exactly 60 meaningful bits
 
-    For each bit j: sum over tokens of (2*bit_j(hash(token)) - 1); bit set
-    in the output iff the sum is positive. Pure array math — expressible
-    identically in DuckDB for the oracle.
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-wide SimHash over whitespace tokens with md5-prefix token
+    hashes (60 usable bits — polyhash mod 1e9+7 only fills ~30 bits, which
+    makes fingerprints cluster and near-pair search quadratic).
+
+    For each bit j: sum over tokens of ±1 by bit j of the token hash; bit
+    set iff the sum is positive. Single-pass: token hashes are the input of
+    ONE ``aggregate`` with an array-of-votes accumulator, so each token is
+    hashed exactly once per row (a per-bit aggregate would re-hash every
+    token ``bits`` times). Bit tests use literal power-of-two masks —
+    pure array math, expressible identically in DuckDB for the oracle.
     """
-    tok_hashes = F.transform(tokens(col), lambda t: _poly_of(t))
+    assert 0 < bits <= 60
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    tok_hashes = F.transform(tokens(col), lambda t: md5_prefix_int(t))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)),
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
-    def _bit_vote(j: int) -> Column:
-        # sum over tokens of ±1 by bit j of the token hash
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0).cast("long"),
-            lambda s, h: s + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
 
-    out = F.lit(0).cast("long")
-    for j in range(32):
-        out = out + F.when(_bit_vote(j) > 0,
-                           F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0))
-    return out
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash (back-compat shorthand for ``simhash(col, 32)``)."""
+    return simhash(col, 32)
 
 
 def _poly_of(col_or_str: Column) -> Column:

@@ -27,13 +27,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.functions.text import (
+    SIMHASH_BITS,
     md5_prefix_int,
     minhash_signature,
     normalized_text,
     polyhash,
-    simhash32,
+    simhash,
     word_shingles,
 )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly persist a subtree that a self-join (or multi-branch plan)
+    will scan more than once. Without this, each branch re-executes the
+    full lineage (text → shingles → freq → sort …) — measured 5-10×
+    slowdowns on the near-dup operators. Eager (count now) because a lazy
+    persist does NOT dedupe concurrent computation: within one action the
+    scheduler runs independent branches in parallel and each populates the
+    cache separately. MEMORY_AND_DISK spills under pressure and recomputes
+    on executor loss, so it is safe at cluster scale; the driver's
+    ContextCleaner unpersists when the plan is garbage-collected."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Within-bucket candidate pairs WITHOUT a self-join.
+
+    ``band_rows`` must have (band, band_key, *payload_cols). Groups each
+    (band, band_key) bucket, collects its members, and expands unordered
+    pairs inside an array expression — so candidate generation is ONE
+    shuffle keyed by bucket, and the self-join plan-duplication (which
+    recomputes the full fingerprint subtree on both sides) disappears.
+    Returns columns ``a.*``/``b.*`` structs. Skew note: a bucket of B
+    members yields B²/2 pairs in one task — banding parameters must keep
+    buckets small (that is their job); there is no hidden all-pairs path.
+    """
+    member = F.struct(*payload_cols)
+    buckets = (band_rows.groupBy("band", "band_key")
+               .agg(F.collect_list(member).alias("xs"))
+               .filter(F.size("xs") > 1))
+    xs = F.col("xs")
+    pairs = F.flatten(F.transform(
+        xs,
+        lambda x, i: F.transform(F.slice(xs, i + F.lit(2), F.size(xs)),
+                                 lambda y: F.struct(x.alias("a"), y.alias("b"))),
+    ))
+    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 # ---------------------------------------------------------------------------
@@ -93,25 +136,61 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     by the shingle join. ``max_shingle_freq`` drops shingles occurring in
     more than F docs (skew cap; see module docstring).
     """
-    sets = _shingle_sets(df, text_col, id_col, n)
-    sizes = sets.select("id", F.size("shingles").alias("set_size"))
+    sets = _materialize(_shingle_sets(df, text_col, id_col, n))
     inv = sets.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq:
-        freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
-        inv = inv.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle", "leftsemi")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        freq_cap = inv.groupBy("shingle").agg(F.count("*").alias("f"))
+        inv = inv.join(freq_cap.filter(F.col("f") <= max_shingle_freq),
+                       "shingle", "leftsemi")
+
+    # PPJoin-style prefix filtering: under a global total order on shingles
+    # (ascending document frequency, so prefixes hold the RAREST shingles),
+    # any pair with J ≥ t shares a shingle within each side's first
+    # p = |S| - ceil(t·|S|) + 1 shingles. Joining prefix-with-prefix is
+    # therefore complete, and the hot shingles that blow up a plain
+    # inverted-index join (f² pairs each) mostly sit outside prefixes.
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
+    ordered = (inv.join(freq, "shingle")
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_list(F.struct("f", "shingle"))).alias("fs")))
+    sz = F.size("fs")
+    # epsilon guards FP error in ceil(t·|S|): err toward a LONGER prefix
+    # (extra candidates are verified away; a short prefix loses true pairs)
+    prefix_len = (sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)) + 1).cast("int")
+    # posexplode over the primitive sliced array: pos is the 0-based global
+    # position in the frequency-ordered set (slice starts at 1), and struct
+    # arrays (4× slower to build/explode) are avoided entirely
+    pref = _materialize(ordered.select(
+        F.col("id"), sz.alias("sz"),
+        F.posexplode(F.slice(F.transform(F.col("fs"), lambda x: x["shingle"]),
+                             F.lit(1), prefix_len)).alias("pos", "shingle")))
+    t = F.lit(threshold)
+    eps = F.lit(1e-9)
+    # length filter: J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t.  positional filter
+    # (PPJoin): a match at 0-based positions (i, j) of the ordered sets can
+    # reach the required overlap α = ceil(t/(1+t)·(|a|+|b|)) only if the
+    # remaining suffixes are long enough: 1 + min(|a|-i-1, |b|-j-1) ≥ α.
+    a = pref.alias("a")
+    b = pref.alias("b")
+    alpha = F.ceil(t / (F.lit(1.0) + t) * (F.col("a.sz") + F.col("b.sz")) - eps)
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.col("b.sz") >= t * F.col("a.sz") - eps)
+               & (F.col("a.sz") >= t * F.col("b.sz") - eps)
+               & (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos") - 1,
+                                     F.col("b.sz") - F.col("b.pos") - 1) >= alpha))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     out = (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.round(
-            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6))
+            F.col("n_inter") /
+            (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -141,7 +220,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    sigs = _materialize(minhash_signatures(df, text_col, id_col, n, k))
     # band rows: (band_idx, band_key, id)
     band_rows = sigs.select(
         "id",
@@ -150,13 +229,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("band", "band_key"),
     )
-    a = band_rows.alias("a")
-    b_ = band_rows.alias("b")
     candidates = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) &
-               (F.col("a.band_key") == F.col("b.band_key")) &
-               (F.col("a.id") < F.col("b.id")))
+        _bucket_pairs(band_rows, ["id"])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
         .distinct()
     )
     sets = sigs.select("id", "shingles")
@@ -178,18 +255,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) 32-bit fingerprints — oracle-twinnable in SQL."""
-    return df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("simhash"))
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                         bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) fingerprints (60-bit default) — oracle-twinnable in SQL."""
+    return df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col), bits).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                       max_hamming: int = 3, bands: int = 4,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via banded exact-match
-    (pigeonhole: ≤3 differing bits over 4 bands leaves ≥1 identical band).
-    Shuffles on 8-bit band values, never all-pairs."""
-    fp = simhash_fingerprints(df, text_col, id_col)
-    width = 32 // bands
+    (pigeonhole: ≤ bands-1 differing bits leaves ≥1 identical band).
+    Complete (no missed pairs) iff bands > max_hamming; a larger radius
+    degrades to best-effort recall. Buckets on (bands)-way fingerprint
+    slices — 15-bit slices at the 60-bit default, so bucket cardinality
+    32768 keeps buckets tiny — then expands pairs in-bucket and filters
+    hamming BEFORE the dedup shuffle (candidates that fail the radius
+    never hit a distinct)."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    width = bits // bands
     mask = (1 << width) - 1
     band_rows = fp.select(
         "id", "simhash",
@@ -198,20 +283,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("band", "band_key"),
     )
-    a = band_rows.alias("a")
-    b_ = band_rows.alias("b")
-    cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) &
-               (F.col("a.band_key") == F.col("b.band_key")) &
-               (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("sh_a"),
-                F.col("b.id").alias("id_b"), F.col("b.simhash").alias("sh_b"))
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", hamming)
+    cand = _bucket_pairs(band_rows, ["id", "simhash"])
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (cand.select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .distinct())
 
 
 # ---------------------------------------------------------------------------

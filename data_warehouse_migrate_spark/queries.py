@@ -597,9 +597,7 @@ def q_simhash(spark, sf_dir):
 
 
 _TOKHASH_SQL = ("list_transform(string_split_regex(lower(trim(text)), '\\s+'), "
-                "t -> list_reduce(list_concat([CAST(0 AS BIGINT)], "
-                "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
-                "(a, b) -> (a * 31 + b) % 1000000007))")
+                "t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))")
 
 O_SIMHASH = f"""
 WITH tok AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
@@ -607,7 +605,7 @@ bits AS (
   SELECT doc_id, j,
          CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
-  FROM tok, (SELECT unnest(range(0, 32)) AS j) js)
+  FROM tok, (SELECT unnest(range(0, 60)) AS j) js)
 SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
@@ -684,7 +682,7 @@ bits AS (
   SELECT doc_id, j,
          CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
-  FROM tok, (SELECT unnest(range(0, 32)) AS j) js),
+  FROM tok, (SELECT unnest(range(0, 60)) AS j) js),
 fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
