@@ -611,6 +611,130 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_quality_score(spark, sf_dir):
+    """Composite text-quality score (length/noise/stopword heuristic)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+O_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents),
+w AS (
+  SELECT *, CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_words,
+         len(list_filter(toks, t -> t IN ({_STOP_ALL}))) AS n_stop
+  FROM base),
+r AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+                    ELSE 0.0 END, 6) AS punct_ratio,
+         round(CASE WHEN n_chars > 0 THEN n_digit / CAST(n_chars AS DOUBLE)
+                    ELSE 0.0 END, 6) AS digit_ratio,
+         round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
+                    ELSE 0.0 END, 6) AS stopword_ratio
+  FROM w)
+SELECT doc_id,
+       round(0.5 * least(n_words / 50.0, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 4 + digit_ratio * 2, 1.0))
+             + 0.2 * least(stopword_ratio * 5, 1.0), 6) AS quality
+FROM r
+"""
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """Window functions: per-customer top-3 orders by price (row_number)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+O_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Window frames: per-customer running revenue in order-date order."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+         .alias("running_revenue"))
+
+
+O_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 unshipped-revenue orders (fact-fact join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1999-01-01"
+    dec = lambda c: F.col(c).cast(DEC)
+    return (o.filter(F.col("o_orderdate") < cutoff)
+            .join(li.filter(F.col("l_shipdate") > cutoff),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum((dec("l_extendedprice")
+                        * (F.lit(1).cast(DEC) - dec("l_discount")))
+                       .cast("decimal(38,8)")).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+O_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < '1999-01-01' AND l_shipdate > '1999-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_events_hourly_stream(spark, sf_dir):
+    """REAL Structured Streaming: file source → windowed agg → memory sink
+    (complete mode, availableNow trigger). Same semantics as the batch
+    twin ``events_hourly`` — and the same SQL oracle shape."""
+    from data_warehouse_migrate_spark.streaming.windows import run_windowed_counts_stream
+
+    return run_windowed_counts_stream(spark, f"{sf_dir}/events.parquet")
+
+
+O_EVENTS_HOURLY_STREAM = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: dedup
 # ---------------------------------------------------------------------------
@@ -690,6 +814,70 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures as a joined string (exact, oracle-checked — the
+    deterministic core of dedup_minhash, whose banding is rows-only)."""
+    from data_warehouse_migrate_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", n=2, k=16)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform(F.col("sig"), lambda v: v.cast("string")), ",")
+         .alias("sig_str"))
+
+
+_MINHASH_PERMS_SQL = ", ".join(
+    f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
+    for a, b in zip(
+        (1579, 2719, 3359, 4463, 5519, 6689, 7717, 8837,
+         9739, 10847, 11941, 13043, 14159, 15269, 16381, 17477),
+        (401, 7919, 1201, 9601, 2801, 11003, 4001, 12413,
+         5209, 13807, 6397, 15013, 7591, 16217, 8783, 17401)))
+
+O_MINHASH_SIGS = f"""
+WITH s AS ({_SHINGLES_SQL})
+SELECT doc_id, array_to_string([{_MINHASH_PERMS_SQL}], ',') AS sig_str
+FROM s
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: binary column → per-frame rows
+    (offsets + byte lengths; numeric output so the oracle is arithmetic)."""
+    from data_warehouse_migrate_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    bin_df = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    frames = sample_frames(bin_df, "content", "doc_id", every_n_bytes=64, max_frames=4)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx", "frame_offset",
+        F.length("frame_bytes").alias("n_frame_bytes"))
+
+
+O_FRAME_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         least(greatest(CAST(floor(octet_length(encode(text)) / 64.0) AS INT), 1),
+               4) AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 64 AS INT) AS frame_offset,
+       CAST(greatest(least(64, n - frame_idx * 64), 0) AS INT) AS n_frame_bytes
+FROM (SELECT doc_id, n, unnest(range(0, n_frames)) AS frame_idx FROM base)
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, hyperplane-LSH bucketed with 1-bit
+    multi-probe. No SQL oracle (probabilistic candidates); precision is
+    exact (cosine verified), recall asserted in tests/test_dedup.py."""
+    from data_warehouse_migrate_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.8, n_planes=8)
 
 
 # ---------------------------------------------------------------------------
@@ -839,8 +1027,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_rollup": q_region_rollup,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "running_total": q_running_total,
+    "shipping_priority": q_shipping_priority,
+    "events_hourly_stream": q_events_hourly_stream,
     # LLM-pipeline
     "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "minhash_sigs": q_minhash_sigs,
+    "frame_sample": q_frame_sample,
+    "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "simhash": q_simhash,
@@ -875,7 +1071,15 @@ ORACLES: dict[str, str] = {
     "region_rollup": O_REGION_ROLLUP,
     "events_hourly": O_EVENTS_HOURLY,
     "sessionize": O_SESSIONIZE,
+    "top_orders_per_cust": O_TOP_ORDERS_PER_CUST,
+    "running_total": O_RUNNING_TOTAL,
+    "shipping_priority": O_SHIPPING_PRIORITY,
+    "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
     "text_stats": O_TEXT_STATS,
+    "quality_score": O_QUALITY_SCORE,
+    "minhash_sigs": O_MINHASH_SIGS,
+    "frame_sample": O_FRAME_SAMPLE,
+    # embedding_near_dup: intentionally no oracle (LSH-probabilistic)
     "lang_id": O_LANG_ID,
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "simhash": O_SIMHASH,

@@ -69,6 +69,43 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
             .withColumnRenamed("session_seq", "session_id"))
 
 
+def run_windowed_counts_stream(spark: SparkSession, source_path: str,
+                               ts_col: str = "ts",
+                               window: str = "1 hour",
+                               group_col: str = "event_type",
+                               value_col: str = "value") -> DataFrame:
+    """Execute a complete-mode Structured Streaming windowed aggregation
+    over a file source and return the final result as a batch DataFrame
+    (memory sink, availableNow trigger — runs the real streaming engine,
+    terminates when the source is exhausted).
+
+    Complete mode emits every window, so the result equals the batch
+    tumbling-window aggregation — which is what the DuckDB oracle checks.
+    Decimal sums keep the float aggregation order-independent."""
+    from data_warehouse_migrate_spark.sources.readers import normalize_nano_timestamps
+
+    schema = spark.read.parquet(source_path).schema
+    # file stream sources require a DIRECTORY; point at the parent and
+    # glob-filter down to the requested file(s)
+    import os
+    base, fname = os.path.split(source_path.rstrip("/"))
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", fname).parquet(base))
+    stream = normalize_nano_timestamps(stream, [ts_col])
+    agg = (stream.groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"))
+           .select(F.col("w.start").alias("window_start"), group_col,
+                   "n_events", F.col("sum_dec").cast("double").alias("sum_value")))
+    sink = "dwms_stream_windowed_counts"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # snapshot the memory sink: the temp view disappears when the next
+    # stream reuses the name
+    return spark.table(sink)
+
+
 def streaming_windowed_counts(spark: SparkSession, source_path: str,
                               schema, ts_col: str = "ts",
                               window: str = "1 hour",

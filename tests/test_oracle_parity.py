@@ -28,6 +28,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
+        if s.dtype == object and s.map(
+                lambda v: isinstance(v, (list, np.ndarray)), na_action="ignore").any():
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+            continue
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
         elif s.dtype == object and s.map(lambda v: hasattr(v, "as_tuple"),
