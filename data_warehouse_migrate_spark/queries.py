@@ -718,6 +718,61 @@ LIMIT 10
 """
 
 
+def q_asof_order_price(spark, sf_dir):
+    """As-of join (custom operator Spark lacks): for every event, the
+    user's most recent order price at event time. Union+window formulation
+    — one shuffle, no pair explosion. Oracle: DuckDB native ASOF JOIN."""
+    from data_warehouse_migrate_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    # dedupe right to one row per (key, ts) so as-of tie-break is unique
+    r = (o.groupBy("o_custkey", "o_orderdate")
+         .agg(F.max("o_totalprice").alias("last_price")))
+    out = asof_join(e.select("event_id", "user_id", "ts"), r,
+                    on="ts", by="user_id",
+                    right_on="o_orderdate", right_by="o_custkey",
+                    value_cols=["last_price"])
+    return out.select("event_id", "user_id", "ts", "matched_ts", "last_price")
+
+
+O_ASOF_ORDER_PRICE = """
+WITH r AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_price
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts,
+       r.o_orderdate AS matched_ts, r.last_price
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q_range_join_clicks(spark, sf_dir):
+    """Range join (binned equi-join, no nested loop): clicks within the
+    hour before each error event, counted per error."""
+    from data_warehouse_migrate_spark.operators.temporal import range_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    joined = range_join_binned(errors, clicks, "ts", "c_ts",
+                               lower_seconds=-3600, upper_seconds=0,
+                               by=("user_id", "c_user"))
+    return (joined.groupBy("event_id")
+            .agg(F.count("*").alias("n_clicks")))
+
+
+O_RANGE_JOIN_CLICKS = """
+SELECT e.event_id, count(*) AS n_clicks
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+GROUP BY e.event_id
+"""
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """REAL Structured Streaming: file source → windowed agg → memory sink
     (complete mode, availableNow trigger). Same semantics as the batch
@@ -1030,6 +1085,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "running_total": q_running_total,
     "shipping_priority": q_shipping_priority,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
     "events_hourly_stream": q_events_hourly_stream,
     # LLM-pipeline
     "text_stats": q_text_stats,
@@ -1074,6 +1131,8 @@ ORACLES: dict[str, str] = {
     "top_orders_per_cust": O_TOP_ORDERS_PER_CUST,
     "running_total": O_RUNNING_TOTAL,
     "shipping_priority": O_SHIPPING_PRIORITY,
+    "asof_order_price": O_ASOF_ORDER_PRICE,
+    "range_join_clicks": O_RANGE_JOIN_CLICKS,
     "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
     "text_stats": O_TEXT_STATS,
     "quality_score": O_QUALITY_SCORE,
