@@ -25,6 +25,8 @@ HEADLINE = [
     "top_customers",
     "events_hourly",
     "sessionize",
+    "asof_order_price",
+    "range_join_clicks",
     "text_stats",
     "lang_id",
     "doc_fingerprints",

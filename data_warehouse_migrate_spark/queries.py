@@ -718,6 +718,101 @@ LIMIT 10
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median/p90/p99) per event type."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (e.groupBy("event_type")
+            .agg(F.round(pct[0], 6).alias("p50"),
+                 F.round(pct[1], 6).alias("p90"),
+                 F.round(pct[2], 6).alias("p99"))
+            .orderBy("event_type"))
+
+
+O_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP hierarchy: revenue by (returnflag, linestatus) with subtotals
+    and grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                  .alias("revenue"),
+                 F.count("*").alias("n_rows"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+O_REVENUE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_set_ops_users(spark, sf_dir):
+    """Set operations: users with errors but no purchases (EXCEPT) and
+    users with both (INTERSECT), unioned with a tag."""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("user_id")
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == EXCEPT (DISTINCT set semantics); exceptAll would keep a
+    # user whose error-occurrence count exceeds their purchase count
+    only_err = (err.subtract(pur)
+                .withColumn("cohort", F.lit("error_only")))
+    both = (err.intersect(pur)
+            .withColumn("cohort", F.lit("both")))
+    return only_err.unionByName(both).select("cohort", "user_id")
+
+
+O_SET_OPS_USERS = """
+SELECT 'error_only' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'both' AS cohort, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def q_distinct_users_exact(spark, sf_dir):
+    """Exact distinct-count per event type (the sketch's ground truth)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
+O_DISTINCT_USERS_EXACT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch per event type — the 100 TB
+    path (mergeable, single-pass, bounded memory). No SQL oracle (HLL
+    estimates are engine-specific); accuracy vs the exact twin is asserted
+    in tests/test_text.py-style bounds here via rows-only + unit test."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+            .orderBy("event_type"))
+
+
 def q_asof_order_price(spark, sf_dir):
     """As-of join (custom operator Spark lacks): for every event, the
     user's most recent order price at event time. Union+window formulation
@@ -1088,6 +1183,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_order_price": q_asof_order_price,
     "range_join_clicks": q_range_join_clicks,
     "events_hourly_stream": q_events_hourly_stream,
+    "value_percentiles": q_value_percentiles,
+    "revenue_rollup": q_revenue_rollup,
+    "set_ops_users": q_set_ops_users,
+    "distinct_users_exact": q_distinct_users_exact,
+    "approx_distinct_users": q_approx_distinct_users,
     # LLM-pipeline
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -1134,6 +1234,12 @@ ORACLES: dict[str, str] = {
     "asof_order_price": O_ASOF_ORDER_PRICE,
     "range_join_clicks": O_RANGE_JOIN_CLICKS,
     "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
+    "value_percentiles": O_VALUE_PERCENTILES,
+    "revenue_rollup": O_REVENUE_ROLLUP,
+    "set_ops_users": O_SET_OPS_USERS,
+    "distinct_users_exact": O_DISTINCT_USERS_EXACT,
+    # approx_distinct_users: intentionally no oracle (HLL estimate is
+    # engine-specific; exact twin distinct_users_exact IS oracle-checked)
     "text_stats": O_TEXT_STATS,
     "quality_score": O_QUALITY_SCORE,
     "minhash_sigs": O_MINHASH_SIGS,
