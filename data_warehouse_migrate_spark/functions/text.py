@@ -134,14 +134,29 @@ MINHASH_B = (401, 7919, 1201, 9601, 2801, 11003, 4001, 12413,
 
 
 def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
-    """Array of k min-hash values over an array<long> of shingle hashes."""
+    """Array of k min-hash values over an array<long> of shingle hashes.
+
+    Single-pass: ONE ``aggregate`` over the shingle array with a k-element
+    running-min accumulator, so the (possibly expensive) shingle-hash
+    subtree is referenced exactly once — k separate array_min expressions
+    made Catalyst inline that subtree k times (measured 6× slower).
+
+    Hashes are reduced mod 1e9+7 BEFORE the affine permutation: 60-bit
+    inputs times a 5-digit multiplier would overflow int64 — Spark would
+    silently wrap while DuckDB raises, so the oracle twin requires the
+    reduction on both sides."""
     assert k <= len(MINHASH_A)
-
-    def _perm_min(a, b):
-        return F.array_min(F.transform(
-            shingle_hashes, lambda h: (h * a + b) % F.lit(POLY_MOD)))
-
-    return F.array(*[_perm_min(MINHASH_A[i], MINHASH_B[i]) for i in range(k)])
+    A = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:k]])
+    B = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:k]])
+    return F.aggregate(
+        shingle_hashes,
+        F.array_repeat(F.lit(POLY_MOD).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(A, B, lambda a, b: ((h % F.lit(POLY_MOD)) * a + b)
+                       % F.lit(POLY_MOD)),
+            lambda x, y: F.least(x, y)),
+    )
 
 
 # ---------------------------------------------------------------------------

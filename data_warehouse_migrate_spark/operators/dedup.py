@@ -117,13 +117,11 @@ def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 
 
 def _hash_shingle(s):
-    # polyhash is cheap and oracle-twinnable; collisions at 1e9+7 are
-    # acceptable for shingle identity (same tradeoff as 32-bit minhash)
-    return F.aggregate(
-        F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % F.lit(1_000_000_007),
-    )
+    # md5-prefix (60-bit): ONE native hash call per shingle and oracle-
+    # twinnable in DuckDB. A char-fold polyhash here cost 16× more in
+    # minhash signatures — Catalyst inlines the shingle subtree into every
+    # permutation expression, so the per-shingle hash must be cheap.
+    return md5_prefix_int(s)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

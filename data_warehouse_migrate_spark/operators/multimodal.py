@@ -96,21 +96,22 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(binary_col).alias("content"))
 
+    cols = [f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            # itertuples, not iterrows: no per-row Series construction.
+            # The per-item decode_fn call is the irreducible Python cost
+            # (models a real per-item media decode); everything else is
+            # columnar.
+            rows = []
+            for rid, content in zip(pdf["id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                content = bytes(content) if content is not None else b""
                 d = fn(content)
-                out.append({
-                    "id": row["id"],
-                    "n_bytes": len(content),
-                    "width": d.get("width"),
-                    "height": d.get("height"),
-                    "mean_byte": d.get("mean_byte"),
-                    "feature": d.get("feature"),
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+                rows.append((rid, len(content), d.get("width"), d.get("height"),
+                             d.get("mean_byte"), d.get("feature")))
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 

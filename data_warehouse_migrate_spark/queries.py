@@ -907,16 +907,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.6)
 
 
-# DuckDB oracle: brute-force all-pairs with identical shingle hashing.
+# DuckDB oracle: brute-force all-pairs with identical shingle hashing
+# (md5-prefix 60-bit, the same hash the Spark side uses).
 _SHINGLES_SQL = """
 SELECT doc_id,
        list_distinct(list_transform(
          CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
               ELSE list_transform(range(1, len(toks)), i ->
                      array_to_string(toks[i:i+1], ' ')) END,
-         s -> list_reduce(list_concat([CAST(0 AS BIGINT)],
-                list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-                (a, b) -> (a * 31 + b) % 1000000007))) AS sh
+         s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS sh
 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents)
 """
@@ -980,7 +979,7 @@ def q_minhash_sigs(spark, sf_dir):
 
 
 _MINHASH_PERMS_SQL = ", ".join(
-    f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
+    f"list_min(list_transform(sh, h -> (h % 1000000007 * {a} + {b}) % 1000000007))"
     for a, b in zip(
         (1579, 2719, 3359, 4463, 5519, 6689, 7717, 8837,
          9739, 10847, 11941, 13043, 14159, 15269, 16381, 17477),
