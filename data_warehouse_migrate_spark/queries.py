@@ -901,6 +901,55 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_keep_rows(spark, sf_dir):
+    """The dedup materializer: keep only the min-id row per normalized
+    text (what a pipeline actually ships downstream)."""
+    from data_warehouse_migrate_spark.operators.dedup import drop_exact_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return drop_exact_dups(d, "text", "doc_id").select("doc_id", "text", "lang")
+
+
+O_DEDUP_KEEP_ROWS = """
+SELECT doc_id, text, lang FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+"""
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """Sink/source round-trip through the engine's write/read layer:
+    parquet → CSV (header, explicit schema) → aggregate. Exercises S9/S10
+    sink shapes and S1 reads on a second format."""
+    import tempfile
+
+    from data_warehouse_migrate_spark.sources.readers import read_table
+    from data_warehouse_migrate_spark.sources.sinks import write_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"))
+    path = tempfile.mkdtemp(prefix="dwms_csv_rt_") + "/orders_csv"
+    write_table(o, path, fmt="csv", mode="overwrite", header="true")
+    back = read_table(spark, path, fmt="csv",
+                      schema="o_orderkey bigint, o_custkey bigint, "
+                             "o_orderstatus string, o_totalprice string",
+                      header="true")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                  .alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+O_CSV_ROUNDTRIP = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-2-gram Jaccard ≥ 0.6 pairs via inverted-index join."""
     d = _t(spark, sf_dir, "documents")
@@ -1197,6 +1246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "simhash": q_simhash,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_rows": q_dedup_keep_rows,
+    "csv_roundtrip": q_csv_roundtrip,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1248,6 +1299,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "simhash": O_SIMHASH,
     "dedup_exact": O_DEDUP_EXACT,
+    "dedup_keep_rows": O_DEDUP_KEEP_ROWS,
+    "csv_roundtrip": O_CSV_ROUNDTRIP,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
     # dedup_minhash: intentionally no oracle (probabilistic banding)
     "dedup_simhash": O_DEDUP_SIMHASH,
