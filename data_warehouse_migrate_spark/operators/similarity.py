@@ -54,6 +54,56 @@ def _neighbor_buckets(bucket: F.Column, n_planes: int, probe_bits: int) -> F.Col
     return F.array(bucket, *flips)
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame,
+             k: int = 10, n_cells: int = 16, nprobe: int = 4,
+             query_id: str = "query_id", query_vec: str = "query_vec",
+             corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
+             exclude_self: bool = True) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every corpus vector to its nearest centroid cell; each query probes its
+    ``nprobe`` nearest cells and ranks exact cosine only within them.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors — deterministic
+    (no RNG, stable across retries) and adequate as a coarse quantizer;
+    swap in k-means centroids for production recall. Centroid assignment
+    broadcasts the (tiny) centroid set, so building the index is one
+    narrow pass over the corpus; at 100 TB the assigned corpus is written
+    out partitioned by cell so queries prune to nprobe/n_cells of the data.
+    """
+    cents = F.broadcast(
+        corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(corpus_vec).alias("__cv"))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("corpus_id"))))
+        .filter(F.col("__rn") <= n_cells)
+        .select(F.col("__rn").alias("cell"), F.col("__cv").alias("__cent")))
+
+    def _assign(df, id_col, vec_col, n_keep):
+        scored = (df.crossJoin(cents)
+                  .withColumn("__sim", cosine(F.col(vec_col), F.col("__cent"))))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("cell").asc())
+        return (scored.withColumn("__cr", F.row_number().over(w))
+                .filter(F.col("__cr") <= n_keep)
+                .drop("__cent", "__sim", "__cr"))
+
+    c = _assign(corpus.select(F.col(corpus_id).alias("corpus_id"),
+                              F.col(corpus_vec).alias("__cv")),
+                "corpus_id", "__cv", 1)
+    q = _assign(queries.select(F.col(query_id).alias("query_id"),
+                               F.col(query_vec).alias("__qv")),
+                "query_id", "__qv", nprobe)
+    scored = q.join(c, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = (scored
+              .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+              .select("query_id", "corpus_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame,
              k: int = 10, n_planes: int = 8, probe_bits: int = 1,
              query_id: str = "query_id", query_vec: str = "query_vec",

@@ -1,0 +1,60 @@
+"""Skew-mitigation operators (beyond-reference; 100 TB posture).
+
+AQE's skew-join splitting handles most skew at runtime; these helpers cover
+the cases AQE does not:
+
+``salted_agg`` — two-phase aggregation for heavy-hitter GROUP BY keys: a
+low-cardinality key set concentrates each key's rows in one reducer
+regardless of partition count. Salting fans each key out over S sub-keys
+for the partial phase, then merges the partials — the final shuffle moves
+only |keys|·S pre-aggregated rows. (Skewed JOIN keys are left to AQE's
+skew-join splitting, enabled in session.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = {
+    "count": (F.count, F.sum),          # partial count → sum of counts
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
+               salt_buckets: int = 32,
+               salt_col: str | None = None) -> DataFrame:
+    """Two-phase (salted) aggregation: partial-aggregate on
+    (keys + salt), then merge per key. Results are identical to a plain
+    ``groupBy(keys).agg(...)`` for the mergeable aggregates supported
+    (count/sum/min/max); the win is that a heavy-hitter key's rows spread
+    over ``salt_buckets`` reducers in phase one.
+
+    ``aggs`` maps column → op; ``{"*": "count"}`` counts rows. Output
+    column names are ``{op}_{col}`` (``count_all`` for ``*``), matching
+    ``streaming.tumbling_window_agg``.
+
+    ``salt_col`` defaults to a deterministic hash-derived salt (stable
+    across retries — never use rand() in a fault-tolerant plan).
+    """
+    for col, op in aggs.items():
+        if op not in _MERGEABLE:
+            raise ValueError(f"aggregate {op!r} is not salt-mergeable")
+    salt = (F.col(salt_col) if salt_col
+            else F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+                        F.lit(salt_buckets)))
+    partial_exprs, merge_exprs = [], []
+    for col, op in aggs.items():
+        name = f"{op}_{col}".replace("*", "all")
+        part_fn, merge_fn = _MERGEABLE[op]
+        partial_exprs.append(
+            (F.count("*") if col == "*" else part_fn(col)).alias(f"__p_{name}"))
+        merge_exprs.append(merge_fn(f"__p_{name}").alias(name))
+    return (df.withColumn("__salt", salt)
+            .groupBy(*keys, "__salt")
+            .agg(*partial_exprs)
+            .groupBy(*keys)
+            .agg(*merge_exprs))

@@ -802,6 +802,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_salted_event_totals(spark, sf_dir):
+    """Two-phase salted aggregation over heavy-hitter keys (5 event types
+    × 100k rows — exactly the shape where one reducer per key bottlenecks
+    at cluster scale). Result is identical to the plain GROUP BY."""
+    from data_warehouse_migrate_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(e.withColumn("value_dec", F.col("value").cast(DEC)),
+                     ["event_type"], {"*": "count", "value_dec": "sum"},
+                     salt_buckets=32)
+    return (out.select("event_type",
+                       F.col("count_all").alias("n_events"),
+                       F.col("sum_value_dec").cast("double").alias("sum_value"))
+            .orderBy("event_type"))
+
+
+O_SALTED_EVENT_TOTALS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct-count sketch per event type — the 100 TB
     path (mergeable, single-pass, bounded memory). No SQL oracle (HLL
@@ -1125,6 +1148,19 @@ def q_embedding_lsh_ann(spark, sf_dir):
     return lsh_topk(q, c, k=5, n_planes=8, probe_bits=1)
 
 
+def q_embedding_ivf(spark, sf_dir):
+    """IVF approximate top-5: coarse-quantized cells, nprobe=4 of 16.
+    No SQL oracle (approximate); recall vs exact asserted in
+    tests/test_similarity.py."""
+    from data_warehouse_migrate_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec"))
+    return ivf_topk(q, c, k=5, n_cells=16, nprobe=4)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid norms — elementwise array aggregation."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1236,6 +1272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_users": q_set_ops_users,
     "distinct_users_exact": q_distinct_users_exact,
     "approx_distinct_users": q_approx_distinct_users,
+    "salted_event_totals": q_salted_event_totals,
     # LLM-pipeline
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -1253,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
     "embedding_centroids": q_embedding_centroids,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1288,6 +1326,7 @@ ORACLES: dict[str, str] = {
     "revenue_rollup": O_REVENUE_ROLLUP,
     "set_ops_users": O_SET_OPS_USERS,
     "distinct_users_exact": O_DISTINCT_USERS_EXACT,
+    "salted_event_totals": O_SALTED_EVENT_TOTALS,
     # approx_distinct_users: intentionally no oracle (HLL estimate is
     # engine-specific; exact twin distinct_users_exact IS oracle-checked)
     "text_stats": O_TEXT_STATS,

@@ -70,3 +70,24 @@ def write_table(df: DataFrame, path_or_table: str,
     if fmt == "csv":
         options.setdefault("header", "true")
     writer.options(**options).save(path_or_table)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32,
+                   sort_cols: list[str] | None = None,
+                   fmt: str = "parquet",
+                   mode: str | MigrationMode = MigrationMode.OVERWRITE) -> None:
+    """Write a bucketed (and optionally sorted) managed table — the
+    co-located-join scale path: two tables bucketed by the same key with
+    the same bucket count join WITHOUT a shuffle (and without the sort,
+    when sorted within buckets). For a 100 TB fact table joined repeatedly
+    on the same key, bucketing pays the shuffle cost once at write time.
+
+    Requires ``saveAsTable`` (bucketing metadata lives in the catalog).
+    """
+    mode = MigrationMode.parse(mode) if isinstance(mode, str) else mode
+    writer = (df.write.mode(mode.value).format(fmt)
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -121,3 +121,30 @@ def test_partition_columns_dropped_from_destination(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert "pt" not in out.columns
     assert [r.id for r in out.collect()] == [2]  # latest partition only
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located bucketed tables must sort-merge join without Exchange."""
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+    from data_warehouse_migrate_spark.sources.sinks import write_bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "bkt_orders", ["o_custkey"], n_buckets=8,
+                   sort_cols=["o_custkey"])
+    write_bucketed(c.select("c_custkey", "c_name"),
+                   "bkt_customer", ["c_custkey"], n_buckets=8,
+                   sort_cols=["c_custkey"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table("bkt_orders")
+                  .join(spark.table("bkt_customer"),
+                        F.col("o_custkey") == F.col("c_custkey")))
+        plan = explain_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")

@@ -58,3 +58,27 @@ def test_broadcast_in_plan(emb):
     from data_warehouse_migrate_spark.plans.dryrun import explain_plan
     plan = explain_plan(brute_force_topk(_queries(emb), _corpus(emb), k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_topk_recall(emb):
+    from data_warehouse_migrate_spark.operators.similarity import ivf_topk
+
+    exact = {(r.query_id, r.corpus_id)
+             for r in brute_force_topk(_queries(emb), _corpus(emb), k=5).collect()}
+    ivf = {(r.query_id, r.corpus_id)
+           for r in ivf_topk(_queries(emb), _corpus(emb), k=5,
+                             n_cells=16, nprobe=8).collect()}
+    # probing half the cells must recover a solid share of true neighbors
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_shape_and_determinism(emb):
+    from data_warehouse_migrate_spark.operators.similarity import ivf_topk
+
+    a = {(r.query_id, r.rank): r.corpus_id
+         for r in ivf_topk(_queries(emb), _corpus(emb), k=3).collect()}
+    b = {(r.query_id, r.rank): r.corpus_id
+         for r in ivf_topk(_queries(emb), _corpus(emb), k=3).collect()}
+    assert a == b
+    assert all(rank <= 3 for (_, rank) in a)
