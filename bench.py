@@ -48,8 +48,12 @@ def main() -> int:
     spark = get_spark("dwms-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file index so per-query times measure the queries
+    # warm the JVM + file index + Python/Arrow workers so per-query times
+    # measure the queries, not process spin-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as pd  # noqa: F401
+    (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+     .mapInPandas(lambda it: it, "id long").count())
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -34,6 +34,10 @@ _DEFAULTS = {
     # via readers.nanos_to_timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # local[N] runs the whole engine in the driver JVM. 8g measured FASTER
+    # and steadier than 24g at sf0.1 (24g degraded the bench 3-5× — large
+    # G1 heaps accumulate garbage and stall all 32 task threads in long
+    # mixed collections); keep the heap small enough for short GC cycles.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
