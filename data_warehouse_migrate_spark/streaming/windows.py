@@ -69,6 +69,73 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
             .withColumnRenamed("session_seq", "session_id"))
 
 
+def sessionize_stream(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator: gap-based sessionization over a
+    streaming DataFrame via ``applyInPandasWithState``.
+
+    Per user, state holds the currently-open session (start/end/count as
+    epoch-micros). Each micro-batch merges its events into the open
+    session, EMITS sessions closed by a gap, and re-arms a processing-time
+    timeout of one gap — when the user goes quiet, the timeout fires and
+    flushes the final session. This is the bounded-state 100 TB shape:
+    state per key is three longs, independent of event volume.
+
+    Append-mode caveat (tested): a terminating ``availableNow`` run emits
+    only gap-closed sessions — each user's still-open tail session stays
+    in state because no further batch fires its timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (f"{user_col} long, session_start timestamp, "
+                  f"session_end timestamp, n_events long")
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({user_col: [user],
+                                "session_start": [pd.Timestamp(start, unit="us")],
+                                "session_end": [pd.Timestamp(end, unit="us")],
+                                "n_events": [n]})
+            return
+        ts_parts = [pdf[ts_col] for pdf in pdf_iter]
+        if not ts_parts:
+            return
+        # normalize to ns first — Arrow may deliver datetime64[us], whose
+        # int64 view is µs, silently breaking the //1000 below
+        ts = pd.concat(ts_parts).astype("datetime64[ns]").sort_values()
+        micros = (ts.astype("int64") // 1000).to_numpy()  # ns → µs
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = micros[0], micros[0], 0
+        closed = []
+        for t in micros:
+            if t - end > gap_us:
+                closed.append((start, end, n))
+                start, n = t, 0
+            end = t
+            n += 1
+        state.update((int(start), int(end), int(n)))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame({
+                user_col: [user] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            })
+
+    return (events.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def run_windowed_counts_stream(spark: SparkSession, source_path: str,
                                ts_col: str = "ts",
                                window: str = "1 hour",

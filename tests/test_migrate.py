@@ -148,3 +148,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned sink layout must let a filtered read prune files."""
+    from data_warehouse_migrate_spark.sources.sinks import write_table
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM")))
+    path = str(tmp_path / "orders_by_month")
+    write_table(o, path, fmt="parquet", mode="overwrite",
+                partition_by=["order_month"])
+    back = spark.read.parquet(path)
+    months = sorted(r.order_month for r in
+                    back.select("order_month").distinct().collect())
+    pick = months[len(months) // 2]
+    filtered = back.filter(F.col("order_month") == pick)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_month" in plan, plan
+    expected = o.filter(F.col("order_month") == pick).count()
+    assert filtered.count() == expected

@@ -1,0 +1,77 @@
+"""Property-based semantics checks (hypothesis): the cast layer's
+reference-exact rules hold for arbitrary inputs, not just fixtures.
+
+One shared SparkSession; each property materializes a small DataFrame, so
+examples are capped for runtime.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions.casts import (
+    boolean_token_expr,
+    inf_nan_to_null,
+    string_preserve_expr,
+)
+
+_SETTINGS = dict(max_examples=15, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+TRUE_TOKENS = {"true", "1", "yes", "y"}
+FALSE_TOKENS = {"false", "0", "no", "n", ""}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=8),
+                min_size=1, max_size=8))
+def test_boolean_token_parse_matches_reference_rules(spark, tokens):
+    df = spark.createDataFrame([(t,) for t in tokens], "s string")
+    got = [r.b for r in df.select(boolean_token_expr(F.col("s")).alias("b")).collect()]
+    for t, b in zip(tokens, got):
+        norm = t.strip().lower()
+        if norm in TRUE_TOKENS:
+            assert b is True, (t, b)
+        elif norm in FALSE_TOKENS:
+            assert b is False, (t, b)
+        else:
+            assert b is None, (t, b)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.sampled_from(["nan", "None", "null", "<NA>", "NaN", "NAN"]),
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=10)),
+    min_size=1, max_size=8))
+def test_string_preservation_is_identity_and_token_nulling(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = df.select(
+        string_preserve_expr(F.col("s")).alias("keep"),
+        string_preserve_expr(F.col("s"), preserve_null_tokens=False).alias("drop"),
+    ).collect()
+    for v, r in zip(vals, out):
+        # default mode: values pass through untouched (reference
+        # preserve_string_null_tokens=true)
+        assert r.keep == v
+        if v is not None and v.strip().lower() in {"nan", "none", "null", "<na>"}:
+            assert r.drop is None
+        else:
+            assert r.drop == v
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.none()),
+    min_size=1, max_size=8))
+def test_inf_nan_cleanup(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.c for r in df.select(inf_nan_to_null(F.col("x")).alias("c")).collect()]
+    for v, c in zip(vals, got):
+        if v is None or math.isnan(v) or math.isinf(v):
+            assert c is None
+        else:
+            assert c == v

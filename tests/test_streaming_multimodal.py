@@ -113,3 +113,48 @@ def test_sample_frames(binary_df):
     assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
     assert [r.frame_offset for r in rows] == [0, 40, 80, 120]
     assert all(len(r.frame_bytes) == 40 for r in rows)
+
+
+def test_stateful_streaming_sessionize(spark, events, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emitted
+    by the stream must exactly equal the batch sessionization minus each
+    user's final (still-open) session."""
+    from data_warehouse_migrate_spark.streaming.windows import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    sample = events.limit(3000)
+    sample.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess_sink")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    # registered processing-time timers keep the query alive past
+    # availableNow, so wait for the data batch to land and stop explicitly
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        progress = q.recentProgress or []
+        if any(p["numInputRows"] > 0 for p in progress):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.table("sess_sink").collect()}
+
+    batch = sessionize(spark.read.parquet(src), "user_id", "ts", gap_minutes=30)
+    rows = batch.collect()
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_start > cur.session_start:
+            last_per_user[r.user_id] = r
+    expected = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in rows
+                if r is not last_per_user[r.user_id]}
+    assert got == expected
+    assert len(got) > 0
