@@ -718,6 +718,51 @@ LIMIT 10
 """
 
 
+def q_late_ship_orders(spark, sf_dir):
+    """TPC-H Q4-shaped semi-join: orders with ≥1 lineitem shipped more
+    than 60 days after the order date, counted per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)), "leftsemi")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+O_LATE_SHIP_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """TPC-H Q22-shaped anti-join: customers with no orders at all,
+    counted per market segment with their total balance."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+    return (no_orders.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                  .alias("total_balance"))
+            .orderBy("c_mktsegment"))
+
+
+O_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles (median/p90/p99) per event type."""
     e = _t(spark, sf_dir, "events")
@@ -1267,6 +1312,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_order_price": q_asof_order_price,
     "range_join_clicks": q_range_join_clicks,
     "events_hourly_stream": q_events_hourly_stream,
+    "late_ship_orders": q_late_ship_orders,
+    "customers_without_orders": q_customers_without_orders,
     "value_percentiles": q_value_percentiles,
     "revenue_rollup": q_revenue_rollup,
     "set_ops_users": q_set_ops_users,
@@ -1322,6 +1369,8 @@ ORACLES: dict[str, str] = {
     "asof_order_price": O_ASOF_ORDER_PRICE,
     "range_join_clicks": O_RANGE_JOIN_CLICKS,
     "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
+    "late_ship_orders": O_LATE_SHIP_ORDERS,
+    "customers_without_orders": O_CUSTOMERS_WITHOUT_ORDERS,
     "value_percentiles": O_VALUE_PERCENTILES,
     "revenue_rollup": O_REVENUE_ROLLUP,
     "set_ops_users": O_SET_OPS_USERS,
