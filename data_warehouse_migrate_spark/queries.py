@@ -1018,6 +1018,36 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_json_roundtrip(spark, sf_dir):
+    """Sink/source round-trip on the JSON format: parquet → JSON lines →
+    read with explicit schema → aggregate."""
+    import tempfile
+
+    from data_warehouse_migrate_spark.sources.readers import read_table
+    from data_warehouse_migrate_spark.sources.sinks import write_table
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.col("s_acctbal").cast("string").alias("s_acctbal"))
+    path = tempfile.mkdtemp(prefix="dwms_json_rt_") + "/supplier_json"
+    write_table(s, path, fmt="json", mode="overwrite")
+    back = read_table(spark, path, fmt="json",
+                      schema="s_suppkey bigint, s_nationkey bigint, s_acctbal string")
+    return (back.groupBy("s_nationkey")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.sum(F.col("s_acctbal").cast(DEC)).cast("double")
+                  .alias("total_balance"))
+            .orderBy("s_nationkey"))
+
+
+O_JSON_ROUNDTRIP = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_balance
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-2-gram Jaccard ≥ 0.6 pairs via inverted-index join."""
     d = _t(spark, sf_dir, "documents")
@@ -1332,6 +1362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_rows": q_dedup_keep_rows,
     "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1389,6 +1420,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_keep_rows": O_DEDUP_KEEP_ROWS,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
+    "json_roundtrip": O_JSON_ROUNDTRIP,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
     # dedup_minhash: intentionally no oracle (probabilistic banding)
     "dedup_simhash": O_DEDUP_SIMHASH,
