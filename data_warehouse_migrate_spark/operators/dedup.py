@@ -292,6 +292,51 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# pair → cluster (the dedup pipeline's final step)
+# ---------------------------------------------------------------------------
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "id",
+                         src_col: str = "id_a", dst_col: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Assign every node the MIN node id of its connected component —
+    turning near-dup PAIRS into dedup CLUSTERS (keep cluster_id, drop the
+    rest). Iterative min-label propagation: each round every node takes
+    the minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+
+    Each round is one shuffle (groupBy node); labels are checkpointed per
+    round to truncate lineage — an unbounded iterative plan otherwise
+    grows until the driver chokes. Deterministic; returns
+    (id_col, cluster_id).
+    """
+    sym = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+           .unionByName(edges.select(F.col(dst_col).alias("s"),
+                                     F.col(src_col).alias("d"))))
+    sym = _materialize(sym.distinct())
+    labels = _materialize(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")))
+    for _ in range(max_iterations):
+        neighbor_min = (sym.join(labels, sym.s == labels.node)
+                        .groupBy(F.col("d").alias("node"))
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")))
+        new_labels = _materialize(new_labels)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

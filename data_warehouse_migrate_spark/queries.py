@@ -1179,6 +1179,66 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.8, n_planes=8)
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour AND day buckets per
+    event type in one grouping-sets pass."""
+    from data_warehouse_migrate_spark.streaming.windows import hypertable_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return hypertable_rollup(e, "ts", ["event_type"], value_col="value")
+
+
+O_HYPERTABLE_ROLLUP = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start, event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, count(*),
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components over simhash hamming≤3
+    edges (iterative min-label propagation; the oracle is a recursive
+    CTE computing min reachable id per node)."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(d, "text", "doc_id", max_hamming=3, bands=4)
+    return connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+  FROM tok, (SELECT unnest(range(0, 60)) AS j) js),
+fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.lab FROM reach JOIN edges e ON e.s = reach.node)
+SELECT node AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1345,6 +1405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_order_price": q_asof_order_price,
     "range_join_clicks": q_range_join_clicks,
     "events_hourly_stream": q_events_hourly_stream,
+    "hypertable_rollup": q_hypertable_rollup,
     "late_ship_orders": q_late_ship_orders,
     "customers_without_orders": q_customers_without_orders,
     "value_percentiles": q_value_percentiles,
@@ -1369,6 +1430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -1403,6 +1465,7 @@ ORACLES: dict[str, str] = {
     "asof_order_price": O_ASOF_ORDER_PRICE,
     "range_join_clicks": O_RANGE_JOIN_CLICKS,
     "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
+    "hypertable_rollup": O_HYPERTABLE_ROLLUP,
     "late_ship_orders": O_LATE_SHIP_ORDERS,
     "customers_without_orders": O_CUSTOMERS_WITHOUT_ORDERS,
     "value_percentiles": O_VALUE_PERCENTILES,
@@ -1427,6 +1490,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
     # dedup_minhash: intentionally no oracle (probabilistic banding)
     "dedup_simhash": O_DEDUP_SIMHASH,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
     "embedding_topk": O_EMBEDDING_TOPK,
     # embedding_lsh_ann: intentionally no oracle (approximate)
     "embedding_centroids": O_EMBEDDING_CENTROIDS,

@@ -69,6 +69,39 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
             .withColumnRenamed("session_seq", "session_id"))
 
 
+def hypertable_rollup(df: DataFrame, ts_col: str,
+                      group_cols: list[str] | None = None,
+                      value_col: str | None = None,
+                      grains: tuple[str, ...] = ("hour", "day")) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-grain time-bucket rollups
+    (hour, day, …) computed in ONE pass via grouping sets — the scan and
+    partial aggregation are shared across grains instead of one job per
+    grain. Output: (grain, bucket_start, *group_cols, n_rows[, sum_value]).
+
+    At scale this is the materialized-rollup write path: append the output
+    partitioned by (grain, bucket_start) and queries hit the right grain.
+    """
+    group_cols = group_cols or []
+    buckets = [F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains]
+    aggs = [F.count("*").alias("n_rows")]
+    if value_col:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,4)"))
+                    .cast("double").alias("sum_value"))
+    with_buckets = df.select(*df.columns, *buckets)
+    all_cols = ([F.col(f"__b_{g}") for g in grains]
+                + [F.col(c) for c in group_cols])
+    sets = [[F.col(f"__b_{g}")] + [F.col(c) for c in group_cols]
+            for g in grains]
+    rolled = with_buckets.groupingSets(sets, *all_cols).agg(*aggs)
+    grain_expr = F.coalesce(*[
+        F.when(F.col(f"__b_{g}").isNotNull(), F.lit(g)) for g in grains])
+    bucket_expr = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
+    return rolled.select(grain_expr.alias("grain"),
+                         bucket_expr.alias("bucket_start"),
+                         *group_cols, "n_rows",
+                         *(["sum_value"] if value_col else []))
+
+
 def sessionize_stream(events: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
     """Custom STATEFUL streaming operator: gap-based sessionization over a

@@ -98,3 +98,15 @@ def test_dedup_plans_have_no_cartesian(spark, sf_dir):
                lambda: simhash_near_pairs(docs, "text", "doc_id")):
         plan = explain_plan(op())
         assert "CartesianProduct" not in plan
+
+
+def test_connected_components(spark):
+    from data_warehouse_migrate_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = {r.id: r.cluster_id for r in
+           connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
