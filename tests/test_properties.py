@@ -75,3 +75,38 @@ def test_inf_nan_cleanup(spark, vals):
             assert c is None
         else:
             assert c == v
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.integers(-10**9, 10**9)),
+                min_size=1, max_size=6),
+       st.integers(1, 8))
+def test_format_int_zero_pad_matches_python(spark, vals, width):
+    """format('{v:0Nd}') must equal Python str.format with the
+    reference's None→0 coercion (migrator.py:923-936)."""
+    from data_warehouse_migrate_spark.functions.computed import format_expr
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    expr = format_expr(f"{{v:0{width}d}}", [], ["v"])
+    got = [r.s for r in df.select(expr.alias("s")).collect()]
+    for v, s in zip(vals, got):
+        expected = ("{:0%dd}" % width).format(0 if v is None else v)
+        assert s == expected, (v, width, s, expected)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii",
+                                               exclude_characters="\x00"),
+                        max_size=12),
+                min_size=1, max_size=6),
+       st.integers(0, 10), st.integers(0, 10))
+def test_substr_is_zero_based_like_reference(spark, vals, start, length):
+    """computed substr uses the reference's 0-based str.slice semantics
+    (migrator.py:900-905), not SQL's 1-based substring."""
+    from data_warehouse_migrate_spark.functions.computed import computed_expr
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    expr = computed_expr(f"substr(s, {start}, {length})", ["s"])
+    got = [r.o for r in df.select(expr.alias("o")).collect()]
+    for v, o in zip(vals, got):
+        assert o == v[start:start + length], (v, start, length, o)
