@@ -1,24 +1,23 @@
 """Deduplication operators for LLM-data pipelines (beyond-reference;
 SURVEY.md §7.3). All shuffle-aware, no driver-side collects:
 
-  * exact_dedup            — hash-groupBy on normalized text (one shuffle)
-  * ngram_jaccard_pairs    — EXACT all-pairs Jaccard ≥ t via inverted-index
-                             join (complete for J>0: pairs sharing no
-                             shingle have J=0). The scalable exact path.
-  * minhash_lsh_pairs      — MinHash + LSH banding: probabilistic candidate
-                             generation, then exact-Jaccard verification.
-                             The 100 TB path (candidates only, no all-pairs).
-  * simhash_fingerprints / simhash_near_pairs — 32-bit SimHash + banded
-                             hamming pairing.
-  * embedding_near_dups    — cosine ≥ t near-dup pairs over embeddings,
-                             LSH-bucketed.
-
-Scale notes: inverted-index joins explode per-shingle — frequency-cap hot
-shingles (``max_shingle_freq``) to bound the quadratic bucket blowup
-(standard PPJoin-style prefix trick, here a plain frequency filter: a
-shingle occurring in >F docs contributes F² candidate pairs; capping F
-bounds skew while keeping recall for rare-shingle pairs — near-dup pairs
-share many shingles, so dropping the hottest ones rarely loses a true pair).
+  * exact_dedup / drop_exact_dups — hash-groupBy on normalized text.
+  * ngram_jaccard_pairs    — EXACT Jaccard ≥ t pairs via PPJoin-style
+                             prefix filtering (frequency-ascending global
+                             shingle order + length/positional filters)
+                             with array-intersect verification. The
+                             scalable exact path; ``max_shingle_freq``
+                             optionally trades recall for a hard skew cap.
+  * minhash_lsh_pairs      — MinHash + LSH banding: in-bucket candidate
+                             expansion, then exact-Jaccard verification.
+                             The 100 TB probabilistic path (no all-pairs).
+  * simhash_fingerprints / simhash_near_pairs — 60-bit SimHash, 15-bit
+                             pigeonhole bands, hamming-filtered in-bucket
+                             pairs (complete for hamming < bands).
+  * embedding_near_dups    — cosine ≥ t pairs, hyperplane-LSH bucketed
+                             with 1-bit multi-probe, exact-cosine verify.
+  * connected_components   — pairs → dedup clusters (min-label
+                             propagation, the pipeline's final step).
 """
 
 from __future__ import annotations

@@ -847,6 +847,26 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_zscore(spark, sf_dir):
+    """Analytic normalization: per-event-type z-score of value (window
+    aggregates mixing avg and sample stddev)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return e.select(
+        "event_id", "event_type",
+        F.round((F.col("value") - mu) / sd, 6).alias("zscore"))
+
+
+O_EVENT_ZSCORE = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+         AS zscore
+FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 def q_salted_event_totals(spark, sf_dir):
     """Two-phase salted aggregation over heavy-hitter keys (5 event types
     × 100k rows — exactly the shape where one reducer per key bottlenecks
@@ -1414,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_exact": q_distinct_users_exact,
     "approx_distinct_users": q_approx_distinct_users,
     "salted_event_totals": q_salted_event_totals,
+    "event_zscore": q_event_zscore,
     # LLM-pipeline
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -1473,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "set_ops_users": O_SET_OPS_USERS,
     "distinct_users_exact": O_DISTINCT_USERS_EXACT,
     "salted_event_totals": O_SALTED_EVENT_TOTALS,
+    "event_zscore": O_EVENT_ZSCORE,
     # approx_distinct_users: intentionally no oracle (HLL estimate is
     # engine-specific; exact twin distinct_users_exact IS oracle-checked)
     "text_stats": O_TEXT_STATS,
