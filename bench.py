@@ -58,10 +58,16 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        spark.catalog.clearCache()  # no cross-query cache pollution
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: this host shows rare multi-second stalls (CPU steal)
+        # that would otherwise poison a single-shot measurement
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()  # no cross-query cache pollution
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
         print(f"  {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
