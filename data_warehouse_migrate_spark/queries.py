@@ -847,6 +847,32 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_props_json_extract(spark, sf_dir):
+    """Semi-structured handling: typed extraction from a JSON string
+    column (from_json with explicit schema — the vectorized JVM path),
+    aggregated per event type."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.sum(F.col("k").cast("long")).alias("sum_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+O_PROPS_JSON_EXTRACT = """
+WITH p AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS INT) AS k
+           FROM events)
+SELECT event_type, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_event_zscore(spark, sf_dir):
     """Analytic normalization: per-event-type z-score of value (window
     aggregates mixing avg and sample stddev)."""
@@ -1435,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "salted_event_totals": q_salted_event_totals,
     "event_zscore": q_event_zscore,
+    "props_json_extract": q_props_json_extract,
     # LLM-pipeline
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -1495,6 +1522,7 @@ ORACLES: dict[str, str] = {
     "distinct_users_exact": O_DISTINCT_USERS_EXACT,
     "salted_event_totals": O_SALTED_EVENT_TOTALS,
     "event_zscore": O_EVENT_ZSCORE,
+    "props_json_extract": O_PROPS_JSON_EXTRACT,
     # approx_distinct_users: intentionally no oracle (HLL estimate is
     # engine-specific; exact twin distinct_users_exact IS oracle-checked)
     "text_stats": O_TEXT_STATS,
