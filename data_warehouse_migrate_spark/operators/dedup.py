@@ -30,7 +30,6 @@ from data_warehouse_migrate_spark.functions.text import (
     md5_prefix_int,
     minhash_signature,
     normalized_text,
-    polyhash,
     simhash,
     word_shingles,
 )

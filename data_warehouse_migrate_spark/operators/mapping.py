@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.functions.computed import (
     COMPUTED_WHITELIST,
-    ComputedExpressionError,
     _CALL_RE,
     _split_args,
     _strip_quotes,

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from data_warehouse_migrate_spark.functions import text as X
 from data_warehouse_migrate_spark.functions.casts import (
     apply_source_schema,
-    boolean_token_expr,
     inf_nan_to_null,
     string_preserve_expr,
 )
