@@ -846,6 +846,31 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event counts spread into one column per event type
+    (explicit value list — at scale never let pivot scan for distinct
+    values; pass them)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (e.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+            .orderBy("user_id"))
+
+
+O_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_props_json_extract(spark, sf_dir):
     """Semi-structured handling: typed extraction from a JSON string
     column (from_json with explicit schema — the vectorized JVM path),
@@ -1461,6 +1486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_totals": q_salted_event_totals,
     "event_zscore": q_event_zscore,
     "props_json_extract": q_props_json_extract,
+    "event_type_pivot": q_event_type_pivot,
     # LLM-pipeline
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -1522,6 +1548,7 @@ ORACLES: dict[str, str] = {
     "salted_event_totals": O_SALTED_EVENT_TOTALS,
     "event_zscore": O_EVENT_ZSCORE,
     "props_json_extract": O_PROPS_JSON_EXTRACT,
+    "event_type_pivot": O_EVENT_TYPE_PIVOT,
     # approx_distinct_users: intentionally no oracle (HLL estimate is
     # engine-specific; exact twin distinct_users_exact IS oracle-checked)
     "text_stats": O_TEXT_STATS,
