@@ -52,6 +52,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+# Broadcast the (cached, already-counted) set side of a verification join
+# below this row count — planner size estimates for cached subtrees are
+# unreliable at plan time, so we decide from the actual materialized count.
+_BROADCAST_SETS_MAX_ROWS = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BROADCAST_SETS_MAX_ROWS else df
+
+
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str]) -> DataFrame:
     """Within-bucket candidate pairs WITHOUT a self-join.
 
@@ -179,8 +189,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_sets = sets.count()  # instant: cached by _materialize
+    sa = _maybe_broadcast(
+        sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        n_sets)
+    sb = _maybe_broadcast(
+        sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        n_sets)
     out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -233,10 +248,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .distinct()
     )
     sets = sigs.select("id", "shingles")
+    n_sets = sigs.count()  # instant: cached by _materialize
     out = (
         candidates
-        .join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .join(_maybe_broadcast(
+            sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            n_sets), "id_a")
+        .join(_maybe_broadcast(
+            sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            n_sets), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.round(
             F.col("n_inter") /
