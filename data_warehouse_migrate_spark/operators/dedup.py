@@ -155,8 +155,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # p = |S| - ceil(t·|S|) + 1 shingles. Joining prefix-with-prefix is
     # therefore complete, and the hot shingles that blow up a plain
     # inverted-index join (f² pairs each) mostly sit outside prefixes.
-    freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
-    ordered = (inv.join(freq, "shingle")
+    freq = _materialize(inv.groupBy("shingle").agg(F.count("*").alias("f")))
+    freq_b = _maybe_broadcast(freq, freq.count())
+    ordered = (inv.join(freq_b, "shingle")
                .groupBy("id")
                .agg(F.array_sort(F.collect_list(F.struct("f", "shingle"))).alias("fs")))
     sz = F.size("fs")
