@@ -1,0 +1,50 @@
+"""CLI end-to-end: dry-run and execute over testdata parquet."""
+
+from data_warehouse_migrate_spark.cli import main
+
+
+def test_cli_dry_run(spark, sf_dir, tmp_path, capsys):
+    rc = main([
+        "--source-path", f"{sf_dir}/orders.parquet",
+        "--destination-path", str(tmp_path / "orders_out"),
+        "--mode", "overwrite", "--dry-run", "--yes",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out
+
+
+def test_cli_migrates_table(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "orders_out")
+    rc = main([
+        "--source-path", f"{sf_dir}/orders.parquet",
+        "--destination-path", dest,
+        "--mode", "overwrite", "--yes",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert back.count() == src.count()
+
+
+def test_cli_config_file_with_mapping(spark, sf_dir, tmp_path):
+    import json
+
+    dest = str(tmp_path / "mapped_out")
+    cfg = {
+        "source": {"path": f"{sf_dir}/orders.parquet", "table_name": "orders"},
+        "destination": {"path": dest},
+        "run": {"mode": "overwrite"},
+        "mappings": {
+            "default": {"computed": {"tag": "concat('X-', o_orderstatus)"}},
+            "tables": [{"source_table": "orders",
+                        "rename": {"o_totalprice": "total_price"}}],
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["--config", str(cfg_path), "--yes"])
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    assert "total_price" in back.columns and "tag" in back.columns
+    assert back.filter("tag NOT LIKE 'X-%'").count() == 0
