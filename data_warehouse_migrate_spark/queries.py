@@ -55,6 +55,15 @@ DEC = "decimal(18,4)"  # exact money arithmetic — identical in both engines
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Correctness-critical session confs, set defensively because the
+    # DRIVER runs these queries in its own session, not ours:
+    #  * events.parquet is TIMESTAMP(NANOS) — unreadable without
+    #    nanosAsLong (PARQUET_TYPE_ILLEGAL on a bare session);
+    #  * TimestampType values render in the session timezone — anything
+    #    but UTC would shift window/date_trunc results off the
+    #    (timezone-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_nano_timestamps(df, ["ts"])

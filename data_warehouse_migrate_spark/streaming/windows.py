@@ -184,6 +184,9 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
     Decimal sums keep the float aggregation order-independent."""
     from data_warehouse_migrate_spark.sources.readers import normalize_nano_timestamps
 
+    # defensive: see queries._t — the caller's session may lack these
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(source_path).schema
     # file stream sources require a DIRECTORY; point at the parent and
     # glob-filter down to the requested file(s)
