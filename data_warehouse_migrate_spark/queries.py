@@ -192,6 +192,59 @@ FROM part
 """
 
 
+def q_mapping_defaults(spark, sf_dir):
+    """F13: app-layer default fill through the mapping pipeline."""
+    c = _t(spark, sf_dir, "customer")
+    nulled = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+         .otherwise(F.col("c_mktsegment")))
+    out = apply_mapping(nulled, {
+        "include": ["c_custkey", "c_mktsegment"],
+        "defaults": {"c_mktsegment": "UNKNOWN"},
+    })
+    return out.select("c_custkey", "c_mktsegment")
+
+
+O_MAPPING_DEFAULTS = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END,
+                'UNKNOWN') AS c_mktsegment
+FROM customer
+"""
+
+
+def q_dest_projection(spark, sf_dir):
+    """P5: project+reorder to the destination table's column order,
+    dropping source-only columns."""
+    from data_warehouse_migrate_spark.operators.mapping import project_to_destination
+
+    o = _t(spark, sf_dir, "orders")
+    return project_to_destination(
+        o, ["o_orderdate", "o_orderkey", "o_totalprice", "missing_dest_col"])
+
+
+O_DEST_PROJECTION = """
+SELECT o_orderdate, o_orderkey, o_totalprice FROM orders
+"""
+
+
+def q_latest_partition_multi(spark, sf_dir):
+    """A2/P6 multi-column variant: latest-partition filter as the AND of
+    per-column maxima (reference maxcompute_client.py:279-297)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (latest_partition_filter(li, ["l_shipdate", "l_linestatus"])
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus"))
+
+
+O_LATEST_PARTITION_MULTI = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_linestatus
+FROM lineitem
+WHERE l_shipdate = (SELECT max(l_shipdate) FROM lineitem)
+  AND l_linestatus = (SELECT max(l_linestatus) FROM lineitem)
+"""
+
+
 def q_cast_source_schema(spark, sf_dir):
     """T3/F7/F9: declared-schema casting incl. boolean tokens and
     '1.0'→1 int parsing, applied to stringified input."""
@@ -1464,6 +1517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "mapping_computed": q_mapping_computed,
     "mapping_format": q_mapping_format,
+    "mapping_defaults": q_mapping_defaults,
+    "dest_projection": q_dest_projection,
+    "latest_partition_multi": q_latest_partition_multi,
     "cast_source_schema": q_cast_source_schema,
     "string_preservation": q_string_preservation,
     "inf_cleanup": q_inf_cleanup,
@@ -1528,6 +1584,9 @@ ORACLES: dict[str, str] = {
     "mapping_rename_reorder": O_MAPPING_RENAME_REORDER,
     "mapping_computed": O_MAPPING_COMPUTED,
     "mapping_format": O_MAPPING_FORMAT,
+    "mapping_defaults": O_MAPPING_DEFAULTS,
+    "dest_projection": O_DEST_PROJECTION,
+    "latest_partition_multi": O_LATEST_PARTITION_MULTI,
     "cast_source_schema": O_CAST_SOURCE_SCHEMA,
     "string_preservation": O_STRING_PRESERVATION,
     "inf_cleanup": O_INF_CLEANUP,
