@@ -61,10 +61,13 @@ def _fake_decode(content: bytes) -> dict:
     n = len(content)
     head = content[:16]
     s = sum(head) if head else 0
+    # exact micro-units via integer floor-division, then ONE float division:
+    # Python round() is half-even while SQL round() is half-away, so a
+    # rounded float mean diverges from the oracle at exact half boundaries
     return {
         "width": 1 + (n % 64),
         "height": 1 + (s % 64),
-        "mean_byte": round(sum(content) / n, 6) if n else 0.0,
+        "mean_byte": (sum(content) * 1_000_000 // n) / 1e6 if n else 0.0,
         "feature": [float(n % 251), float(s % 241),
                     float(content[0] if n else 0), float(content[-1] if n else 0)],
     }

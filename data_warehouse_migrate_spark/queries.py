@@ -422,11 +422,18 @@ def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary; decimal sums for exactness."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast(DEC)
+    # per-row products are rounded to the money grain (scale 4) BEFORE
+    # summing: both engines round decimals half-away-from-zero, and a
+    # scale-4 sum stays in the range where DECIMAL→DOUBLE is correctly
+    # rounded in both (DuckDB's scale-8 conversion is off by an ulp once
+    # sums reach ~1e10 — it divides in floating point)
+    disc = F.round((dec("l_extendedprice")
+                    * (F.lit(1).cast(DEC) - dec("l_discount")))
+                   .cast("decimal(38,8)"), 4).cast("decimal(28,4)")
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
                  F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-                 F.sum((dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount")))
-                       .cast("decimal(38,8)")).cast("double").alias("sum_disc_price"),
+                 F.sum(disc).cast("double").alias("sum_disc_price"),
                  F.count("*").alias("count_order"),
                  F.round(F.avg(F.col("l_quantity")), 6).alias("avg_qty"))
             .orderBy("l_returnflag", "l_linestatus"))
@@ -436,9 +443,9 @@ O_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       CAST(sum(CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+                AS DECIMAL(38,8)), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order,
        round(avg(l_quantity), 6) AS avg_qty
 FROM lineitem
@@ -759,18 +766,19 @@ def q_shipping_priority(spark, sf_dir):
             .join(li.filter(F.col("l_shipdate") > cutoff),
                   F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.sum((dec("l_extendedprice")
-                        * (F.lit(1).cast(DEC) - dec("l_discount")))
-                       .cast("decimal(38,8)")).cast("double").alias("revenue"))
+            .agg(F.sum(F.round((dec("l_extendedprice")
+                                * (F.lit(1).cast(DEC) - dec("l_discount")))
+                               .cast("decimal(38,8)"), 4).cast("decimal(28,4)"))
+                  .cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
             .limit(10))
 
 
 O_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       CAST(sum(CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+                AS DECIMAL(38,8)), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderdate < '1999-01-01' AND l_shipdate > '1999-01-01'
 GROUP BY l_orderkey, o_orderdate
@@ -1495,7 +1503,7 @@ agg AS (
 SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
        CAST(1 + (n_bytes % 64) AS INT) AS width,
        CAST(1 + (head_sum % 64) AS INT) AS height,
-       round(total_sum / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+       CAST((total_sum * 1000000) // n_bytes AS DOUBLE) / 1000000.0 AS mean_byte,
        CAST(n_bytes % 251 AS DOUBLE) AS f0,
        CAST(head_sum % 241 AS DOUBLE) AS f1,
        CAST(first_b AS DOUBLE) AS f2,
