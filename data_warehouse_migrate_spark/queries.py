@@ -968,22 +968,38 @@ FROM p GROUP BY event_type ORDER BY event_type
 
 
 def q_event_zscore(spark, sf_dir):
-    """Analytic normalization: per-event-type z-score of value (window
-    aggregates mixing avg and sample stddev)."""
+    """Analytic normalization: per-event-type z-score of value. Moments
+    are computed from DECIMAL sums (partition-order-independent — float
+    sums vary in the last ulp with the executor partition layout, which
+    the driver's session controls, not us), then combined in double."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
+    vd = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(w)
+    s1 = F.sum(vd).over(w).cast("double")
+    # squares reduced to scale 4 (half-away rounding matches in both
+    # engines for positives) so the summed decimal stays in the range
+    # where DECIMAL→DOUBLE is correctly rounded in DuckDB
+    s2 = F.sum((vd * vd).cast("decimal(28,4)")).over(w).cast("double")
+    mu = s1 / n
+    sd = F.sqrt((s2 - n * mu * mu) / (n - 1))
     return e.select(
         "event_id", "event_type",
         F.round((F.col("value") - mu) / sd, 6).alias("zscore"))
 
 
 O_EVENT_ZSCORE = """
+WITH m AS (
+  SELECT event_id, event_type, value,
+         count(value) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+                  AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s2
+  FROM events WINDOW w AS (PARTITION BY event_type))
 SELECT event_id, event_type,
-       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+       round((value - s1 / n) / sqrt((s2 - n * (s1/n) * (s1/n)) / (n - 1)), 6)
          AS zscore
-FROM events WINDOW w AS (PARTITION BY event_type)
+FROM m
 """
 
 
@@ -1443,9 +1459,11 @@ def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid norms — elementwise array aggregation."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = 64
+    # decimal sums: float sums vary in the last ulp with partition layout
     sums = emb.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}") for i in range(dim)])
+        *[F.sum(F.col("embedding")[i].cast("decimal(18,8)")).cast("double")
+           .alias(f"s{i}") for i in range(dim)])
     sq = None
     for i in range(dim):
         term = (F.col(f"s{i}") / F.col("n_vectors")) ** 2
@@ -1465,7 +1483,8 @@ SELECT label, n_vectors,
 FROM sums ORDER BY label
 """.format(
     cols=", ".join(
-        f"sum(CAST(embedding[{i + 1}] AS DOUBLE)) AS s{i}" for i in range(64)),
+        f"CAST(sum(CAST(embedding[{i + 1}] AS DECIMAL(18,8))) AS DOUBLE) AS s{i}"
+        for i in range(64)),
     sq=" + ".join(
         f"(s{i} / n_vectors) * (s{i} / n_vectors)" for i in range(64)),
 )
