@@ -344,7 +344,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"), F.col("label")))
                               .alias("label")))
-        new_labels = _materialize(new_labels)
+        # localCheckpoint, NOT persist: persist keeps the full lineage, so
+        # the plan tree nests one level per iteration and overflows the
+        # JVM stack after ~15 rounds; checkpointing truncates it
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
