@@ -339,10 +339,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         neighbor_min = (sym.join(labels, sym.s == labels.node)
                         .groupBy(F.col("d").alias("node"))
                         .agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min, "node", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nmin"), F.col("label")))
+        stepped = (labels.join(neighbor_min, "node", "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"), F.col("label")))
+                           .alias("label")))
+        # pointer jumping: also adopt the label OF the current label, so
+        # label chains halve each round — O(log diameter) rounds instead
+        # of O(diameter) (chain-shaped near-dup clusters hit 20+ rounds).
+        # checkpoint first: the self-join would otherwise run the
+        # neighbor-min aggregation once per branch
+        stepped = stepped.localCheckpoint(eager=True)
+        l1 = stepped.alias("l1")
+        l2 = stepped.alias("l2")
+        new_labels = (l1.join(l2, F.col("l1.label") == F.col("l2.node"))
+                      .select(F.col("l1.node").alias("node"),
+                              F.least(F.col("l1.label"), F.col("l2.label"))
                               .alias("label")))
         # localCheckpoint, NOT persist: persist keeps the full lineage, so
         # the plan tree nests one level per iteration and overflows the
