@@ -133,3 +133,50 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
+                              label_col: str = "label",
+                              id_col: str = "vec_id",
+                              n_iter: int = 30) -> DataFrame:
+    """Per-label top principal direction of the embedding cloud — a custom
+    grouped operator built on ``applyInPandas`` (power iteration over the
+    group covariance; genuinely inexpressible with built-in aggregates).
+
+    Deterministic: rows are sorted by ``id_col`` inside each group before
+    any float reduction (Arrow delivers groups in partition-arrival order),
+    and power iteration starts from a fixed vector. Scale: state per group
+    is one dim×dim covariance — groups stream through Arrow batches, and
+    the shuffle is one hash partition by label.
+
+    Returns (label, n, explained, pc: array<double>) where ``explained``
+    is the share of variance along the principal direction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{label_col} int, n long, explained double, pc array<double>"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        C = Xc.T @ Xc / max(len(X) - 1, 1)
+        v = np.ones(C.shape[0]) / np.sqrt(C.shape[0])
+        for _ in range(n_iter):
+            w = C @ v
+            nv = np.linalg.norm(w)
+            if nv == 0:
+                break
+            v = w / nv
+        lam = float(v @ C @ v)
+        tot = float(np.trace(C)) or 1.0
+        return pd.DataFrame([{
+            label_col: int(pdf[label_col].iloc[0]),
+            "n": len(X),
+            "explained": round(lam / tot, 6),
+            "pc": [float(x) for x in np.round(v, 6)],
+        }])
+
+    return df.groupBy(label_col).applyInPandas(fn, schema)

@@ -1494,6 +1494,22 @@ FROM sums ORDER BY label
 # LLM-pipeline: multimodal (binary column plumbing, fake decode)
 # ---------------------------------------------------------------------------
 
+def q_embedding_pca(spark, sf_dir):
+    """Per-label principal direction via applyInPandas power iteration.
+    No SQL oracle (iterative linear algebra); determinism and unit-norm
+    invariants asserted in tests/test_similarity.py."""
+    from data_warehouse_migrate_spark.operators.similarity import (
+        label_principal_direction,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_principal_direction(emb)
+    return out.select(
+        "label", "n", "explained",
+        F.col("pc")[0].alias("pc0"), F.col("pc")[1].alias("pc1"),
+        F.col("pc")[2].alias("pc2"), F.col("pc")[3].alias("pc3"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary content
     (deterministic fake decode; text bytes stand in for media bytes)."""
@@ -1600,6 +1616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_pca": q_embedding_pca,
     "multimodal_decode": q_multimodal_decode,
 }
 

@@ -82,3 +82,19 @@ def test_ivf_shape_and_determinism(emb):
          for r in ivf_topk(_queries(emb), _corpus(emb), k=3).collect()}
     assert a == b
     assert all(rank <= 3 for (_, rank) in a)
+
+
+def test_label_principal_direction(emb):
+    from data_warehouse_migrate_spark.operators.similarity import (
+        label_principal_direction,
+    )
+    import numpy as np
+
+    out = {r.label: r for r in label_principal_direction(emb).collect()}
+    out2 = {r.label: r for r in label_principal_direction(emb).collect()}
+    assert set(out) == set(out2)
+    for lbl, r in out.items():
+        assert 0.0 <= r.explained <= 1.0
+        assert abs(np.linalg.norm(r.pc) - 1.0) < 1e-3      # unit direction
+        assert list(out2[lbl].pc) == list(r.pc)            # deterministic
+        assert r.n > 0
