@@ -1204,6 +1204,31 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """Sink/source round-trip on the ORC format (typed columnar — no
+    stringification needed, unlike csv/json)."""
+    import tempfile
+
+    from data_warehouse_migrate_spark.sources.readers import read_table
+    from data_warehouse_migrate_spark.sources.sinks import write_table
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    path = tempfile.mkdtemp(prefix="dwms_orc_rt_") + "/part_orc"
+    write_table(p, path, fmt="orc", mode="overwrite")
+    back = read_table(spark, path, fmt="orc")
+    return (back.groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum(F.col("p_size").cast("long")).alias("total_size"))
+            .orderBy("p_brand"))
+
+
+O_ORC_ROUNDTRIP = """
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(p_size) AS BIGINT) AS total_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard ≥ 0.6 pairs via prefix-filtered join
     (3-grams are the standard near-dup shingle: far more selective than
@@ -1608,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_rows": q_dedup_keep_rows,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1675,6 +1701,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_rows": O_DEDUP_KEEP_ROWS,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "json_roundtrip": O_JSON_ROUNDTRIP,
+    "orc_roundtrip": O_ORC_ROUNDTRIP,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
     # dedup_minhash: intentionally no oracle (probabilistic banding)
     "dedup_simhash": O_DEDUP_SIMHASH,
