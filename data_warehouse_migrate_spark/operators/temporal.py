@@ -80,8 +80,10 @@ def asof_join(left: DataFrame, right: DataFrame,
           for c in value_cols])
     out = filled.filter(F.col(_R)).drop(_R)
     if tolerance_seconds is not None:
-        delta = F.abs(F.unix_timestamp(F.col(on))
-                      - F.unix_timestamp(F.col("__match_ts")))
+        # timestamp→double keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds, off-by-one at tolerance boundaries)
+        delta = F.abs(F.col(on).cast("double")
+                      - F.col("__match_ts").cast("double"))
         out = out.select(
             *lcols,
             *[F.when(delta <= tolerance_seconds, F.col(c)).otherwise(None).alias(c)
