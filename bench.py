@@ -27,6 +27,12 @@ HEADLINE = [
     "sessionize",
     "asof_order_price",
     "range_join_clicks",
+    "shipping_priority",
+    "value_percentiles",
+    "revenue_rollup",
+    "event_type_pivot",
+    "props_json_extract",
+    "event_zscore",
     "text_stats",
     "lang_id",
     "doc_fingerprints",
