@@ -126,7 +126,7 @@ def q_metadata_probes(spark, sf_dir):
 
 O_METADATA_PROBES = """
 SELECT max(o_orderdate) AS latest_pt, count(*) AS n_rows,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_custkey
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey
 FROM orders
 """
 
@@ -1188,7 +1188,7 @@ def q_json_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="dwms_json_rt_") + "/supplier_json"
     write_table(s, path, fmt="json", mode="overwrite")
     back = read_table(spark, path, fmt="json",
-                      schema="s_suppkey bigint, s_nationkey bigint, s_acctbal string")
+                      schema="s_suppkey bigint, s_nationkey int, s_acctbal string")
     return (back.groupBy("s_nationkey")
             .agg(F.count("*").alias("n_suppliers"),
                  F.sum(F.col("s_acctbal").cast(DEC)).cast("double")
@@ -1290,7 +1290,7 @@ bits AS (
 fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
