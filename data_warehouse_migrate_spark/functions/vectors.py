@@ -32,32 +32,107 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalize(a: Column) -> Column:
+    """Unit-normalize: cosine(a, b) == dot(normalize(a), normalize(b)).
+    Normalizing each row ONCE turns per-pair cosine (dot + two norms =
+    three array passes) into a single dot — the difference between 3·P and
+    P array passes on a P-pair similarity join. The norm subtree is
+    re-evaluated per element inside the lambda (no cross-lambda subexpr
+    elimination), but that is O(dim²) per ROW, not per pair — negligible
+    next to the pair loop it saves."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def hyperplane_projections(vec: Column, n_planes: int) -> Column:
+    """``array<double>[n_planes]`` of signed projections onto deterministic
+    pseudo-random hyperplanes — the shared core of every hyperplane-LSH
+    operator.
+
+    Plane weights are drawn from {-2,-1,1,2} (never 0 — zero weights make
+    sparse vectors knife-edge on a plane) by Murmur3-hashing
+    (dimension_index, plane_index) — deterministic (no runtime randomness,
+    stable across runs) yet decorrelated across planes. An affine pattern
+    like (d·31 + j·17) mod 4 is NOT usable here: mod 4 it collapses to
+    (3d + j) mod 4, making plane j identical to plane j+4 — n planes carry
+    only 4 distinct hyperplanes and LSH recall/selectivity collapse.
+
+    Single-pass: ONE ``aggregate`` over the vector with an n_planes-element
+    running-sum accumulator. Per-plane aggregate expressions made Catalyst
+    inline the vector subtree n_planes times (the same pathology fixed in
+    ``minhash_signature``); with 24+ planes that inlining is fatal.
+    """
+    pairs = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda x, d: F.struct(x.cast("double").alias("x"), d.alias("d")),
+    )
+
+    def _w(d, j):
+        m = F.pmod(F.hash(d, j), F.lit(4))
+        return F.when(m < 2, m - 2).otherwise(m - 1).cast("double")
+
+    return F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, p: F.transform(acc, lambda a, j: a + p["x"] * _w(p["d"], j)),
+    )
+
+
+def _pack_bits(bits: Column) -> Column:
+    """Little-endian pack an array<long> of 0/1 into one long: positional
+    (sum, place-value) accumulator — sum += bit·mult; mult ·= 2."""
+    packed = F.aggregate(
+        bits,
+        F.struct(F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("m")),
+        lambda acc, bit: F.struct((acc["s"] + bit * acc["m"]).alias("s"),
+                                  (acc["m"] * 2).alias("m")),
+    )
+    return packed["s"]
+
+
+def signature_from_projections(proj: Column) -> Column:
+    """Pack projection signs into one long bucket id (bit j = proj[j] > 0)."""
+    return _pack_bits(F.transform(proj, lambda p: F.when(p > 0, F.lit(1))
+                                  .otherwise(F.lit(0)).cast("long")))
+
+
+def band_keys_from_projections(proj: Column, bands: int,
+                               rows_per_band: int) -> Column:
+    """``array<long>[bands]``: band b's key packs the sign bits of planes
+    [b·r, (b+1)·r) — the LSH shuffle key is (band, key), a 2^r key space
+    per band.
+
+    Single-pass: one ``aggregate`` with a (keys[], position) accumulator,
+    so ``proj`` is referenced exactly once — per-band slice expressions
+    would make CollapseProject inline the projection aggregate once per
+    band. 2^(i mod r) via float pow is integer-exact for r ≤ 52.
+    """
+    r = rows_per_band
+    bits = F.transform(proj, lambda p: F.when(p > 0, F.lit(1))
+                       .otherwise(F.lit(0)).cast("long"))
+    st = F.aggregate(
+        bits,
+        F.struct(F.array_repeat(F.lit(0).cast("long"), bands).alias("ks"),
+                 F.lit(0).cast("int").alias("i")),
+        lambda acc, bit: F.struct(
+            F.transform(
+                acc["ks"],
+                lambda key, b: F.when(
+                    b == (acc["i"] / r).cast("int"),
+                    key + bit * F.pow(F.lit(2.0), acc["i"] % r).cast("long"),
+                ).otherwise(key),
+            ).alias("ks"),
+            (acc["i"] + 1).alias("i"),
+        ),
+    )
+    return st["ks"]
+
+
 def hyperplane_signature(vec: Column, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
-
-    Plane weights are a fixed pseudo-random pattern drawn from {-2,-1,1,2}
-    (never 0 — zero weights make sparse vectors knife-edge on a plane)
-    derived from (dimension_index * 31 + plane_index * 17) mod 4 — no
-    runtime randomness, so signatures are stable across runs and engines.
-    Vectors with the same signature land in the same ANN bucket.
+    Vectors with the same signature land in the same ANN bucket; key space
+    is 2^n_planes, so size n_planes ≈ log2(corpus_size / target_bucket_size)
+    — 8 planes suits ~10^4 vectors, a 10^9-vector corpus wants 20+.
     """
-    def _proj(j):
-        def _w(d):
-            m = (d * 31 + F.lit(j * 17)) % 4
-            return F.when(m < 2, m - 2).otherwise(m - 1).cast("double")
-
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x.cast("double") * _w(d),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        sig = sig + F.when(_proj(j) > 0,
-                           F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0))
-    return sig
+    return signature_from_projections(hyperplane_projections(vec, n_planes))

@@ -14,8 +14,10 @@ SURVEY.md §7.3). All shuffle-aware, no driver-side collects:
   * simhash_fingerprints / simhash_near_pairs — 60-bit SimHash, 15-bit
                              pigeonhole bands, hamming-filtered in-bucket
                              pairs (complete for hamming < bands).
-  * embedding_near_dups    — cosine ≥ t pairs, hyperplane-LSH bucketed
-                             with 1-bit multi-probe, exact-cosine verify.
+  * embedding_near_dups    — cosine ≥ t pairs: banded hyperplane-LSH
+                             (r-bit band keys, multi-probe), exact-cosine
+                             verify; embedding_exact_pairs is its brute-
+                             force recall-pinning companion.
   * connected_components   — pairs → dedup clusters (min-label
                              propagation, the pipeline's final step).
 """
@@ -374,28 +376,101 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
-                        threshold: float = 0.95,
-                        n_planes: int = 8) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, candidate-
-    generated by random-hyperplane LSH buckets with hamming-1 multi-probe
-    (near-identical vectors can still straddle one plane; probing 1-bit
-    neighbors recovers those pairs at n_planes× candidate cost)."""
-    from data_warehouse_migrate_spark.functions.vectors import cosine, hyperplane_signature
+def _probe_keys(key, r: int, probe_bits: int):
+    """Array of band keys within hamming distance ≤ probe_bits of ``key``
+    (flips stay inside the band's r bits)."""
+    keys = [key]
+    if probe_bits >= 1:
+        keys += [key.bitwiseXOR(F.lit(1 << i)) for i in range(r)]
+    if probe_bits >= 2:
+        keys += [key.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                 for i in range(r) for j in range(i + 1, r)]
+    return F.array(*keys)
 
-    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                    hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"))
-    probes = sig.withColumn("probe", F.explode(F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                           for j in range(n_planes)])))
-    a = probes.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(b, (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("a.vec").alias("vec_a"),
-                F.col("b.id").alias("id_b"), F.col("b.vec").alias("vec_b"))
+
+def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
+                        threshold: float = 0.4,
+                        n_planes: int = 24, bands: int = 4,
+                        probe_bits: int = 1) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold — banded
+    hyperplane LSH, mirroring ``minhash_lsh_pairs``.
+
+    The n_planes sign bits split into ``bands`` keys of r = n_planes/bands
+    bits each; a pair becomes a candidate when ANY band key matches
+    (exactly, or within ``probe_bits`` flipped bits — multi-probe).
+    Candidates are exact-cosine verified, so precision is 1.0 and only
+    recall is probabilistic. ``embedding_exact_pairs`` is the brute-force
+    companion that pins recall (asserted in tests/test_dedup.py).
+
+    S-curve: a plane bit agrees with probability p = 1 − θ/π (cos θ = t).
+    A band matches with P ≈ Σ_{m≤probe_bits} C(r,m)·p^(r−m)(1−p)^m and a
+    pair candidates with 1 − (1 − P_band)^bands. At the defaults
+    (r=6, b=4, probe 1, t=0.4 → p≈0.63) recall ≈ 0.74 with a 64-way key
+    space per band — sized for 10^3-10^5-vector validation corpora. At
+    100 TB use true near-dup thresholds and wider bands: t=0.95, r=24,
+    b=4, probe_bits=2 gives ≈0.96 recall with 16M buckets per band, so
+    bucket occupancy (and the in-bucket join) stays bounded as the corpus
+    grows. Candidate generation is a (band, key)-equi join — never
+    all-pairs; identical vectors share all band keys, so run
+    ``drop_exact_dups``-style collapse first on duplicate-heavy corpora.
+    """
+    from data_warehouse_migrate_spark.functions.vectors import (
+        band_keys_from_projections,
+        dot,
+        hyperplane_projections,
+        normalize,
+    )
+
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    # materialize once: unit-normalized vectors (per-pair cosine becomes a
+    # single dot) + projections (candidate join scans base three times)
+    base = _materialize(df.select(
+        F.col(id_col).alias("id"),
+        normalize(F.col(vec_col)).alias("vec"),
+        hyperplane_projections(F.col(vec_col), n_planes).alias("proj")))
+    keys = band_keys_from_projections(F.col("proj"), bands, r)
+    membership = base.select("id", F.posexplode(keys).alias("band", "band_key"))
+    probes = membership.select(
+        "id", "band",
+        F.explode(_probe_keys(F.col("band_key"), r, probe_bits)).alias("band_key"))
+    cand = (
+        probes.alias("a")
+        .join(membership.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+    )
+    n_rows = base.count()  # instant: cached by _materialize
+    va = _maybe_broadcast(
+        base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), n_rows)
+    vb = _maybe_broadcast(
+        base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), n_rows)
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_exact_pairs(df: DataFrame, vec_col: str, id_col: str,
+                          threshold: float = 0.4) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold — the oracle-checked companion
+    that pins ``embedding_near_dups``'s precision/recall. O(N²/2) compares
+    via a broadcast nested-loop join: the audit/validation path for sampled
+    corpora, NOT the 100 TB path (that's the LSH operator above). Vectors
+    are unit-normalized at the (per-row) broadcast boundary so each pair
+    costs one dot, not dot + two norms."""
+    from data_warehouse_migrate_spark.functions.vectors import dot, normalize
+
+    a = df.select(F.col(id_col).alias("id_a"), normalize(F.col(vec_col)).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), normalize(F.col(vec_col)).alias("vec_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

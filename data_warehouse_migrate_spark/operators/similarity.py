@@ -19,10 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_migrate_spark.functions.vectors import (
-    cosine,
-    hyperplane_signature,
-)
+from data_warehouse_migrate_spark.functions.vectors import cosine
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame,
@@ -46,12 +43,6 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
             .select("query_id", "corpus_id", "cosine", "rank"))
 
 
-def _neighbor_buckets(bucket: F.Column, n_planes: int, probe_bits: int) -> F.Column:
-    """Array of bucket ids within hamming distance ≤ probe_bits (0 or 1)."""
-    if probe_bits <= 0:
-        return F.array(bucket)
-    flips = [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
-    return F.array(bucket, *flips)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame,
@@ -105,24 +96,49 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame,
-             k: int = 10, n_planes: int = 8, probe_bits: int = 1,
+             k: int = 10, n_planes: int = 24, bands: int = 4,
+             probe_bits: int = 1,
              query_id: str = "query_id", query_vec: str = "query_vec",
              corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
              exclude_self: bool = True) -> DataFrame:
-    """Approximate top-k: corpus bucketed by hyperplane signature; each
-    query probes its own bucket plus hamming-1 neighbors. Join is
-    bucket-equi (shuffle on small bucket keys), then exact cosine + top-k
-    on the candidate set only."""
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(corpus_vec).alias("__cv"),
-                      hyperplane_signature(F.col(corpus_vec), n_planes).alias("bucket"))
-    q = (queries.select(F.col(query_id).alias("query_id"),
-                        F.col(query_vec).alias("__qv"),
-                        hyperplane_signature(F.col(query_vec), n_planes).alias("qbucket"))
-         .withColumn("bucket", F.explode(
-             _neighbor_buckets(F.col("qbucket"), n_planes, probe_bits)))
-         .drop("qbucket"))
-    scored = q.join(c, "bucket")
+    """Approximate top-k via multi-table hyperplane LSH: the corpus is
+    indexed in ``bands`` independent tables keyed by r = n_planes/bands
+    sign bits each; queries probe their key (plus keys within
+    ``probe_bits`` flips — multi-probe) in every table, and candidates
+    from any table are union-ranked by exact cosine.
+
+    Single-table sign-LSH cannot hold recall on unclustered data (one
+    r-bit key match has P ≈ p^r, p = 1−θ/π); the union over tables gives
+    1−(1−P_table)^bands — the standard recall/storage tradeoff, at
+    ``bands``× index entries per vector. Key space per table is 2^r: size
+    r ≈ log2(corpus/target_bucket) so bucket occupancy — and the per-query
+    candidate count — stays bounded as the corpus grows (r=6 suits ~10^4
+    vectors; a 10^9-vector corpus wants r≥24). The join is (table,
+    key)-equi, shuffle-partitioned on the key — never all-pairs; at 100 TB
+    the indexed corpus is written bucketed by (table, key) once and reused
+    across query batches."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        band_keys_from_projections,
+        hyperplane_projections,
+    )
+    from data_warehouse_migrate_spark.operators.dedup import _probe_keys
+
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+
+    def _indexed(df, id_name, vec_name, out_id, out_vec):
+        keys = band_keys_from_projections(
+            hyperplane_projections(F.col(vec_name), n_planes), bands, r)
+        return df.select(
+            F.col(id_name).alias(out_id), F.col(vec_name).alias(out_vec),
+            F.posexplode(keys).alias("band", "band_key"))
+
+    c = _indexed(corpus, corpus_id, corpus_vec, "corpus_id", "__cv")
+    q = (_indexed(queries, query_id, query_vec, "query_id", "__qv")
+         .select("query_id", "__qv", "band",
+                 F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
+                  .alias("band_key")))
+    scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = (scored

@@ -84,10 +84,27 @@ def test_embedding_near_dups(spark):
         (4, [-1.0, 0.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "id int, vec array<double>")
-    out = embedding_near_dups(df, "vec", "id", threshold=0.95, n_planes=6)
+    out = embedding_near_dups(df, "vec", "id", threshold=0.95)
     got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.99
     assert all(v >= 0.95 for v in got.values())
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    # the brute-force companion pins the LSH path: precision must be 1.0
+    # (verification join) and banded multi-probe recall must hold the
+    # S-curve bound (probe_bits=2 at r=6/b=4 predicts ~0.97 for t=0.4)
+    from data_warehouse_migrate_spark.operators.dedup import embedding_exact_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_exact_pairs(emb, "embedding", "vec_id", 0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4,
+                               n_planes=24, bands=4, probe_bits=2).collect()}
+    assert lsh, "LSH near-dup output is empty"
+    assert lsh.issubset(exact), "false positive survived exact verification"
+    assert len(lsh & exact) / len(exact) >= 0.8
 
 
 def test_dedup_plans_have_no_cartesian(spark, sf_dir):

@@ -47,7 +47,7 @@ def test_lsh_recall_vs_exact(emb):
              for r in brute_force_topk(_queries(emb), _corpus(emb), k=10).collect()}
     approx = {(r.query_id, r.corpus_id)
               for r in lsh_topk(_queries(emb), _corpus(emb), k=10,
-                                n_planes=6, probe_bits=1).collect()}
+                                n_planes=24, bands=4, probe_bits=1).collect()}
     # approximate results must themselves be valid neighbors and overlap
     # substantially with exact top-k
     recall = len(exact & approx) / len(exact)
