@@ -153,46 +153,82 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
 
 def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
                               label_col: str = "label",
-                              id_col: str = "vec_id",
-                              n_iter: int = 30) -> DataFrame:
-    """Per-label top principal direction of the embedding cloud — a custom
-    grouped operator built on ``applyInPandas`` (power iteration over the
-    group covariance; genuinely inexpressible with built-in aggregates).
+                              id_col: str = "vec_id") -> DataFrame:
+    """Per-label top principal direction of the embedding cloud.
 
-    Deterministic: rows are sorted by ``id_col`` inside each group before
-    any float reduction (Arrow delivers groups in partition-arrival order),
-    and power iteration starts from a fixed vector. Scale: state per group
-    is one dim×dim covariance — groups stream through Arrow batches, and
-    the shuffle is one hash partition by label.
+    Two-phase: (1) DISTRIBUTED second-moment reduction — each row explodes
+    to its upper-triangle outer-product terms (i ≤ j) and one
+    groupBy(label, i, j) sums them with map-side partial aggregation, so
+    executor state is bounded by labels·dim²/2 partial sums and NO group
+    is ever materialized in one worker (an ``applyInPandas`` variant
+    delivered each label's entire row set as one pandas frame — a skewed
+    label OOMs an executor at scale); (2) DRIVER-side exact eigendecomp
+    (``eigh``) of the tiny dim×dim covariance assembled from the collected
+    moments (labels·dim² floats — KBs). Power iteration is not used: on
+    near-degenerate spectra (random-ish data, λ2/λ1 → 1) it converges too
+    slowly, and driver-side the exact solve is free.
+
+    Deterministic under any partition layout: moments are summed as
+    decimals (float sums are partition-order dependent in the last ulp),
+    and the eigenvector sign is canonicalized (largest-|component| made
+    positive — eigh's sign is implementation-defined).
 
     Returns (label, n, explained, pc: array<double>) where ``explained``
     is the share of variance along the principal direction.
     """
     import numpy as np
-    import pandas as pd
 
-    schema = f"{label_col} int, n long, explained double, pc array<double>"
+    spark = df.sparkSession
+    vec = F.col(vec_col)
+    dec = "decimal(38,18)"
+    # upper-triangle product terms per row: struct(i, j, x_i * x_j)
+    tri = F.flatten(F.transform(
+        vec,
+        lambda x, i: F.transform(
+            F.slice(vec, i + 1, F.size(vec)),
+            lambda y, j: F.struct(
+                i.alias("i"), (i + j).alias("j"),
+                (x.cast("double") * y.cast("double")).cast(dec).alias("p"))),
+    ))
+    prods = (df.select(F.col(label_col).alias("label"), F.explode(tri).alias("e"))
+             .groupBy("label", F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+             .agg(F.sum("e.p").alias("pp"))
+             .collect())
+    sums = (df.select(F.col(label_col).alias("label"),
+                      F.posexplode(vec).alias("i", "x"))
+            .groupBy("label", "i")
+            .agg(F.sum(F.col("x").cast(dec)).alias("s"),
+                 F.count("*").alias("n"))
+            .collect())
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(id_col)
-        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        mu = X.mean(axis=0)
-        Xc = X - mu
-        C = Xc.T @ Xc / max(len(X) - 1, 1)
-        v = np.ones(C.shape[0]) / np.sqrt(C.shape[0])
-        for _ in range(n_iter):
-            w = C @ v
-            nv = np.linalg.norm(w)
-            if nv == 0:
-                break
-            v = w / nv
-        lam = float(v @ C @ v)
+    by_label: dict = {}
+    for r in sums:
+        st = by_label.setdefault(r.label, {"s": {}, "p": {}, "n": int(r.n)})
+        st["s"][r.i] = float(r.s)
+    for r in prods:
+        by_label[r.label]["p"][(r.i, r.j)] = float(r.pp)
+
+    rows = []
+    for label in sorted(by_label):
+        st = by_label[label]
+        dim = len(st["s"])
+        n = st["n"]
+        s = np.array([st["s"][i] for i in range(dim)])
+        P = np.zeros((dim, dim))
+        for (i, j), v in st["p"].items():
+            P[i, j] = v
+            P[j, i] = v
+        mu = s / n
+        C = (P - np.outer(mu, s)) / max(n - 1, 1)
+        C = (C + C.T) / 2.0  # exact symmetry for eigh
+        w, V = np.linalg.eigh(C)
+        v = V[:, -1]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        lam = float(w[-1])
         tot = float(np.trace(C)) or 1.0
-        return pd.DataFrame([{
-            label_col: int(pdf[label_col].iloc[0]),
-            "n": len(X),
-            "explained": round(lam / tot, 6),
-            "pc": [float(x) for x in np.round(v, 6)],
-        }])
+        rows.append((int(label), n, round(lam / tot, 6),
+                     [float(x) for x in np.round(v, 6)]))
 
-    return df.groupBy(label_col).applyInPandas(fn, schema)
+    return spark.createDataFrame(
+        rows, f"{label_col} int, n long, explained double, pc array<double>")

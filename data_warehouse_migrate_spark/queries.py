@@ -1553,9 +1553,10 @@ FROM sums ORDER BY label
 # ---------------------------------------------------------------------------
 
 def q_embedding_pca(spark, sf_dir):
-    """Per-label principal direction via applyInPandas power iteration.
-    No SQL oracle (iterative linear algebra); determinism and unit-norm
-    invariants asserted in tests/test_similarity.py."""
+    """Per-label principal direction: distributed decimal-summed moment
+    reduction, then driver-side power iteration on the dim×dim covariance.
+    No SQL oracle (iterative linear algebra); determinism, unit-norm and
+    eigenvector-accuracy invariants asserted in tests/test_similarity.py."""
     from data_warehouse_migrate_spark.operators.similarity import (
         label_principal_direction,
     )
