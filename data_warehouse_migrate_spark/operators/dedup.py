@@ -64,29 +64,60 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _BROADCAST_SETS_MAX_ROWS else df
 
 
-def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str]) -> DataFrame:
-    """Within-bucket candidate pairs WITHOUT a self-join.
+def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
+                  max_bucket_size: int = 512) -> DataFrame:
+    """Within-bucket candidate pairs, hot-bucket safe.
 
-    ``band_rows`` must have (band, band_key, *payload_cols). Groups each
-    (band, band_key) bucket, collects its members, and expands unordered
-    pairs inside an array expression — so candidate generation is ONE
-    shuffle keyed by bucket, and the self-join plan-duplication (which
-    recomputes the full fingerprint subtree on both sides) disappears.
-    Returns columns ``a.*``/``b.*`` structs. Skew note: a bucket of B
-    members yields B²/2 pairs in one task — banding parameters must keep
-    buckets small (that is their job); there is no hidden all-pairs path.
+    ``band_rows`` must have (band, band_key, *payload_cols). Normal
+    buckets are grouped, members collected, and unordered pairs expanded
+    inside an array expression — candidate generation is ONE shuffle keyed
+    by bucket, and the self-join plan-duplication (which recomputes the
+    full fingerprint subtree on both sides) disappears.
+
+    Hot-bucket guard: a bucket of B members yields B²/2 pairs, and the
+    in-array expansion materializes ALL of them in one task — fine while
+    banding keeps buckets small (its job), catastrophic when a degenerate
+    corpus (e.g. millions of byte-identical documents) lands one giant
+    bucket. Buckets larger than ``max_bucket_size`` therefore spill to a
+    streamed equi-self-join on (band, band_key): the same pairs, produced
+    incrementally by the join operator instead of one array expression.
+    (Prefer collapsing exact duplicates BEFORE banding — the pair list
+    over m identical docs is inherently O(m²).) One extra window count
+    over the bucket key; no extra Exchange — the groupBy and the self-join
+    reuse the window's hash partitioning.
+
+    Returns columns ``a``/``b`` structs of the payload; pairs are
+    unordered and ordered by the first payload column on the join path.
     """
+    from pyspark.sql import Window
+
+    order_col = payload_cols[0]
+    w = Window.partitionBy("band", "band_key")
+    sized = band_rows.withColumn("__bn", F.count("*").over(w))
+
     member = F.struct(*payload_cols)
-    buckets = (band_rows.groupBy("band", "band_key")
-               .agg(F.collect_list(member).alias("xs"))
-               .filter(F.size("xs") > 1))
+    small = (sized.filter(F.col("__bn") <= max_bucket_size)
+             .groupBy("band", "band_key")
+             .agg(F.collect_list(member).alias("xs"))
+             .filter(F.size("xs") > 1))
     xs = F.col("xs")
     pairs = F.flatten(F.transform(
         xs,
         lambda x, i: F.transform(F.slice(xs, i + F.lit(2), F.size(xs)),
                                  lambda y: F.struct(x.alias("a"), y.alias("b"))),
     ))
-    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    small_pairs = small.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+    big = sized.filter(F.col("__bn") > max_bucket_size).drop("__bn")
+    ba, bb = big.alias("ba"), big.alias("bb")
+    big_pairs = (
+        ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.band_key") == F.col("bb.band_key"))
+                & (F.col(f"ba.{order_col}") < F.col(f"bb.{order_col}")))
+        .select(F.struct(*[F.col(f"ba.{c}").alias(c) for c in payload_cols]).alias("a"),
+                F.struct(*[F.col(f"bb.{c}").alias(c) for c in payload_cols]).alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,30 @@ def test_dedup_plans_have_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_bucket_pairs_spills_big_buckets(spark):
+    from data_warehouse_migrate_spark.operators.dedup import _bucket_pairs
+
+    rows = ([(0, 7, i) for i in range(100)]          # big bucket: join path
+            + [(1, 3, i) for i in range(1000, 1003)])  # small: array path
+    df = spark.createDataFrame(rows, "band int, band_key long, id int")
+    out = _bucket_pairs(df, ["id"], max_bucket_size=10)
+    got = {frozenset((r.a.id, r.b.id)) for r in out.collect()}
+    assert len(got) == 100 * 99 // 2 + 3
+    assert out.count() == 100 * 99 // 2 + 3
+
+
+def test_hot_bucket_guard_degenerate_corpus(spark):
+    # 2k byte-identical docs land in ONE bucket in every band; candidate
+    # generation must stream through the join path (bounded per-task
+    # memory) rather than materializing B²/2 structs in one array, and
+    # still emit every pair exactly once
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id"), F.lit("the same text for every document").alias("text"))
+    pairs = simhash_near_pairs(docs, "text", "id", max_hamming=3, bands=4)
+    assert pairs.count() == n * (n - 1) // 2
+
+
 def test_connected_components(spark):
     from data_warehouse_migrate_spark.operators.dedup import connected_components
 
