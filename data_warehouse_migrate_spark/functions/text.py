@@ -200,9 +200,9 @@ def quality_score(col: Column) -> Column:
 
 def lang_id(col: Column) -> Column:
     """Stopword-vote language heuristic: argmax of per-language stopword
-    counts over whitespace tokens; ties and zero-evidence → 'und'
-    (undetermined). Vote order en > de > fr on strict-greater comparisons
-    keeps the argmax deterministic."""
+    counts over whitespace tokens; zero evidence for every language →
+    'und' (undetermined). Ties resolve by the fixed precedence en ≻ de ≻
+    fr (>= comparisons in that order), keeping the argmax deterministic."""
     toks = tokens(col)
 
     def _counter(ws):

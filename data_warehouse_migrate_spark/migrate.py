@@ -69,14 +69,24 @@ class MigrationJob:
     write_partition_by: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------------
-    def build_plan(self, spark: SparkSession) -> DataFrame:
-        """Construct the full lazy plan without executing it (the dry-run
-        planner explains exactly this plan)."""
+    def _mapping(self) -> Mapping | None:
+        if self.mapping is None:
+            return None
+        return (self.mapping if isinstance(self.mapping, Mapping)
+                else Mapping.from_dict(self.mapping))
+
+    # ------------------------------------------------------------------
+    def build_plan(self, spark: SparkSession, plan_only: bool = False) -> DataFrame:
+        """Construct the full lazy plan. With ``plan_only`` (the dry-run
+        path) NOTHING is executed: the latest-partition maxima (a full-scan
+        aggregate) are not resolved and the null-policy 'fail' count is not
+        run — both are reported as planned checks instead, so a dry run
+        touches no data beyond the LIMIT-1 access probe."""
         df = read_table(spark, self.source_path, fmt=self.source_format,
                         jdbc_options=self.source_jdbc)
 
         # partition pruning / full-scan guard (S2/P6)
-        if self.partition_columns:
+        if self.partition_columns and not plan_only:
             df = latest_partition_filter(df, self.partition_columns)
         if self.limit:
             df = df.limit(self.limit)
@@ -103,7 +113,9 @@ class MigrationJob:
         if self.dest_schema:
             df = project_to_destination(df, [c["name"] for c in self.dest_schema])
             df = apply_defaults_backfill(df, self.dest_schema)
-        if self.non_nullable:
+        if self.non_nullable and not (plan_only and self.null_policy == "fail"):
+            # 'fail' executes a full null-count aggregate (and can raise) —
+            # deferred to run() when planning only
             dest_types = {c["name"]: str(c.get("type", ""))
                           for c in (self.dest_schema or [])}
             df = apply_null_policy(df, self.non_nullable, policy=self.null_policy,
@@ -114,22 +126,81 @@ class MigrationJob:
     # ------------------------------------------------------------------
     def run(self, spark: SparkSession) -> dict[str, Any]:
         """Execute the migration; returns a summary dict. One write action —
-        Spark parallelizes what the reference did sequentially."""
+        Spark parallelizes what the reference did sequentially.
+
+        ``rows_written`` is measured ON the write via an Observation (zero
+        extra pass — the reference reports rows migrated,
+        ``migrator.py:334-338``); ``destination_rows`` is the post-write
+        destination total, counted only for columnar file sinks where it is
+        a metadata-cheap read (on JDBC it would be a full table scan, and in
+        append mode it includes pre-existing rows — reported as None there).
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         mode = MigrationMode.parse(self.mode)
         plan = self.build_plan(spark)
+        obs = Observation()
+        plan = plan.observe(obs, F.count(F.lit(1)).alias("n"))
+        mapping = self._mapping()
+        ctypes = (", ".join(f"{c} {t}" for c, t in mapping.type_override.items())
+                  if mapping and mapping.type_override else None)
         write_table(plan, self.destination_path, fmt=self.destination_format,
                     mode=mode, jdbc_options=self.destination_jdbc,
+                    create_table_column_types=ctypes,
                     partition_by=self.write_partition_by or None)
-        # post-write count reads the (columnar) destination, not the source
-        written = read_table(spark, self.destination_path,
-                             fmt=self.destination_format,
-                             jdbc_options=self.destination_jdbc)
+        rows_written = int(obs.get["n"])
+        if self.destination_format == "jdbc":
+            destination_rows = None
+        else:
+            destination_rows = read_table(
+                spark, self.destination_path,
+                fmt=self.destination_format).count()
         return {
             "status": "success",
             "destination": self.destination_path,
             "mode": mode.value,
-            "destination_rows": written.count(),
+            "rows_written": rows_written,
+            "destination_rows": destination_rows,
         }
+
+    # ------------------------------------------------------------------
+    def test_connections(self, spark: SparkSession) -> dict[str, bool]:
+        """S8: source + destination connectivity probes (reference
+        ``maxcompute_client.py:334-351``, ``mysql_writer.py:98-104``,
+        ``bigquery_client.py:381-395``). Source: LIMIT-1 read probe.
+        Destination: JDBC runs ``SELECT 1`` through the connection; file
+        and catalog destinations resolve their filesystem/identifier (a
+        not-yet-existing path is fine — the writer creates it)."""
+        try:
+            src = read_table(spark, self.source_path, fmt=self.source_format,
+                             jdbc_options=self.source_jdbc)
+            source_ok = validate_table_access(src)
+        except Exception as e:  # probe, never raises
+            logger.warning("source connection probe failed: %s", e)
+            source_ok = False
+
+        try:
+            if self.destination_format == "jdbc":
+                reader = spark.read.format("jdbc")
+                for k, v in (self.destination_jdbc or {}).items():
+                    if k != "dbtable":
+                        reader = reader.option(k, v)
+                reader.option("query", "SELECT 1").load().collect()
+                destination_ok = True
+            elif self.destination_format == "table":
+                destination_ok = spark.catalog.databaseExists(
+                    self.destination_path.rsplit(".", 1)[0]
+                    if "." in self.destination_path else "default")
+            else:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(self.destination_path)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                destination_ok = fs is not None  # URI scheme resolvable
+        except Exception as e:  # probe, never raises
+            logger.warning("destination connection probe failed: %s", e)
+            destination_ok = False
+        return {"source": source_ok, "destination": destination_ok}
 
     # ------------------------------------------------------------------
     def dry_run(self, spark: SparkSession) -> dict[str, Any]:
@@ -139,10 +210,16 @@ class MigrationJob:
         src = read_table(spark, self.source_path, fmt=self.source_format,
                          jdbc_options=self.source_jdbc)
         accessible = validate_table_access(src)
-        plan = self.build_plan(spark)
-        mapping = (self.mapping if isinstance(self.mapping, Mapping)
-                   else Mapping.from_dict(self.mapping) if self.mapping else None)
+        plan = self.build_plan(spark, plan_only=True)
+        mapping = self._mapping()
         return {
+            "planned_checks": {
+                "partition_filter": (f"latest of {list(self.partition_columns)}"
+                                     if self.partition_columns else None),
+                "null_policy": ({"policy": self.null_policy,
+                                 "columns": list(self.non_nullable)}
+                                if self.non_nullable else None),
+            },
             "source_accessible": accessible,
             "source_columns": len(src.columns),
             "partition_columns": list(self.partition_columns),

@@ -658,7 +658,7 @@ FROM documents
 
 
 def q_simhash(spark, sf_dir):
-    """32-bit SimHash fingerprints (array-math; oracle-twinned)."""
+    """60-bit SimHash fingerprints (array-math; oracle-twinned)."""
     d = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "simhash")

@@ -57,8 +57,12 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
         "__prev_ts", F.lag(ts_col).over(w)
     ).withColumn(
         "__new_session",
+        # cast('double') keeps sub-second precision — unix_timestamp()
+        # truncates to whole seconds, which can flip gaps that straddle
+        # exactly gap_s against a fractional-seconds oracle (same bug
+        # class as the as-of join tolerance)
         (F.col("__prev_ts").isNull() |
-         (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__prev_ts")) > gap_s)
+         (F.col(ts_col).cast("double") - F.col("__prev_ts").cast("double") > gap_s)
          ).cast("int"),
     ).withColumn("session_seq", F.sum("__new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

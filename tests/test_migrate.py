@@ -109,6 +109,73 @@ def test_dry_run_reports_without_writing(spark, orders_path, tmp_path):
     assert not os.path.exists(dest)
 
 
+def test_dry_run_defers_eager_checks(spark, tmp_path):
+    # a source with NULLs in a non-nullable column under policy='fail':
+    # dry_run must plan (and report the planned check) WITHOUT running the
+    # null-count aggregate or resolving partition maxima; run() enforces
+    src = str(tmp_path / "nullable_src")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (None, "b", "p2")], "id int, v string, pt string"
+    ).write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path=str(tmp_path / "out"),
+                       mode="overwrite", non_nullable=["id"],
+                       null_policy="fail", partition_columns=["pt"])
+    report = job.dry_run(spark)  # must not raise NullPolicyViolation
+    assert report["planned_checks"]["null_policy"] == {
+        "policy": "fail", "columns": ["id"]}
+    assert report["planned_checks"]["partition_filter"] == "latest of ['pt']"
+
+    from data_warehouse_migrate_spark.operators.constraints import NullPolicyViolation
+    # the run path still enforces: latest partition p2 holds the NULL row
+    with pytest.raises(NullPolicyViolation):
+        job.run(spark)
+
+
+def test_rows_written_vs_destination_rows(spark, orders_path, tmp_path):
+    dest = str(tmp_path / "rows_out")
+    n = MigrationJob(source_path=orders_path, destination_path=dest,
+                     mode="overwrite").run(spark)
+    assert n["rows_written"] == n["destination_rows"]
+    m = MigrationJob(source_path=orders_path, destination_path=dest,
+                     mode="append").run(spark)
+    # append reports only what THIS run wrote; destination holds both
+    assert m["rows_written"] == n["rows_written"]
+    assert m["destination_rows"] == 2 * n["rows_written"]
+
+
+def test_type_override_reaches_jdbc_writer(spark, orders_path, monkeypatch):
+    # C6: Mapping.type_override must surface as createTableColumnTypes on
+    # the write path (reference schema_mapper.py:122-128)
+    import data_warehouse_migrate_spark.migrate as mig
+
+    seen = {}
+
+    def fake_write(df, path, fmt="parquet", mode="append", jdbc_options=None,
+                   create_table_column_types=None, partition_by=None, **opts):
+        seen["ctypes"] = create_table_column_types
+        df.count()  # trigger the observed plan so run()'s Observation fires
+
+    monkeypatch.setattr(mig, "write_table", fake_write)
+    job = MigrationJob(
+        source_path=orders_path, destination_path="jdbc_table",
+        destination_format="jdbc",
+        mapping={"include": ["o_orderkey", "o_orderstatus"],
+                 "type_override": {"o_orderstatus": "VARCHAR(255)"}})
+    out = job.run(spark)
+    assert seen["ctypes"] == "o_orderstatus VARCHAR(255)"
+    assert out["rows_written"] > 0
+    assert out["destination_rows"] is None  # no post-write JDBC full scan
+
+
+def test_connection_probes(spark, orders_path, tmp_path):
+    ok = MigrationJob(source_path=orders_path,
+                      destination_path=str(tmp_path / "dst")).test_connections(spark)
+    assert ok == {"source": True, "destination": True}
+    bad = MigrationJob(source_path=str(tmp_path / "missing_src"),
+                       destination_path=str(tmp_path / "dst")).test_connections(spark)
+    assert bad["source"] is False
+
+
 def test_partition_columns_dropped_from_destination(spark, tmp_path):
     src = str(tmp_path / "partitioned_src")
     dest = str(tmp_path / "partitioned_dest")
