@@ -16,10 +16,15 @@ with broadcast queries the cross join itself never shuffles the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_migrate_spark.functions.vectors import cosine
+from data_warehouse_migrate_spark.functions.vectors import cosine, dot
+
+
+def _unit(v: list[float]) -> list[float]:
+    nrm = sum(x * x for x in v) ** 0.5
+    return [float(x) / nrm for x in v] if nrm > 0 else [float(x) for x in v]
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame,
@@ -45,44 +50,124 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
 
 
 
+def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
+                     k: int = 16, n_iter: int = 5) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer (Lloyd iterations,
+    fixed count — no RNG, no convergence test, so retries and re-runs give
+    identical centroids).
+
+    Seeds are the ``k`` lowest-id vectors (unit-normalized). Each round is
+    ONE narrow pass + ONE tiny shuffle: centroids are inlined as LITERAL
+    arrays into the assignment expression (no crossJoin, no per-row
+    window), each row picks argmax-dot cell expression-side, and
+    ``groupBy(cell)`` reduces k·dim per-element sums with map-side partial
+    aggregation — executor state is k·dim decimals regardless of corpus
+    size, and only k rows ever reach the driver. Element sums use DECIMAL
+    accumulators: float sums differ in the last ulp across partition
+    layouts, which would make centroids — and every downstream cell
+    assignment — nondeterministic (the round-1 z-score/centroid lesson).
+    Empty cells keep their previous centroid. The corpus is persisted for
+    the duration (``n_iter + 1`` passes) and unpersisted before return.
+
+    Returns plain ``list[list[float]]`` (k × dim, unit-normalized) — KBs,
+    intended to be re-inlined as literals by callers like ``ivf_topk``.
+    """
+    from data_warehouse_migrate_spark.functions.vectors import normalize
+
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("kmeans_centroids: empty corpus")
+    dim = first["d"]
+    unit = (corpus.select(F.col(id_col).alias("__id"),
+                          normalize(F.col(vec_col)).alias("__nv"))
+            .persist())
+    try:
+        seeds = (unit.orderBy("__id").limit(k).select("__nv").collect())
+        cents = [list(r["__nv"]) for r in seeds]
+        for _ in range(n_iter):
+            cell = _argmax_cell(F.col("__nv"), cents)
+            sums = (unit.select(cell.alias("__cell"), "__nv")
+                    .groupBy("__cell")
+                    .agg(F.count(F.lit(1)).alias("__n"),
+                         *[F.sum(F.element_at("__nv", i + 1)
+                                 .cast("decimal(38,12)")).alias(f"s{i}")
+                           for i in range(dim)])
+                    .collect())
+            new_cents = [list(c) for c in cents]
+            for row in sums:
+                mean = [float(row[f"s{i}"]) / row["__n"] for i in range(dim)]
+                nrm = sum(x * x for x in mean) ** 0.5
+                if nrm > 0:
+                    new_cents[row["__cell"]] = [x / nrm for x in mean]
+            cents = new_cents
+    finally:
+        unit.unpersist()
+    return cents
+
+
+def _cent_sims(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<sim,negcell>> of dot(vec, centroid_j) for literal unit
+    centroids. negcell (-j) makes struct-ordering ties resolve to the
+    LOWEST cell id under max/descending sort — deterministic argmax."""
+    return F.array(*[
+        F.struct(
+            dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(-j).alias("negcell"))
+        for j, c in enumerate(cents)])
+
+
+def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
+    return -F.array_max(_cent_sims(vec, cents))["negcell"]
+
+
+def _top_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    ranked = F.slice(F.sort_array(_cent_sims(vec, cents), asc=False),
+                     1, nprobe)
+    return F.transform(ranked, lambda s: -s["negcell"])
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame,
              k: int = 10, n_cells: int = 16, nprobe: int = 4,
              query_id: str = "query_id", query_vec: str = "query_vec",
              corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True,
+             centroids: list[list[float]] | str = "kmeans",
+             kmeans_iter: int = 5) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every corpus vector to its nearest centroid cell; each query probes its
     ``nprobe`` nearest cells and ranks exact cosine only within them.
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors — deterministic
-    (no RNG, stable across retries) and adequate as a coarse quantizer;
-    swap in k-means centroids for production recall. Centroid assignment
-    broadcasts the (tiny) centroid set, so building the index is one
-    narrow pass over the corpus; at 100 TB the assigned corpus is written
-    out partitioned by cell so queries prune to nprobe/n_cells of the data.
+    ``centroids``: "kmeans" (default) trains a deterministic spherical
+    k-means quantizer (``kmeans_centroids`` — note this runs n_iter+2 tiny
+    actions eagerly at plan-build time); "lowid" uses the ``n_cells``
+    lowest-id corpus vectors (the zero-action fallback); or pass a
+    precomputed k×dim list to reuse a trained quantizer across query
+    batches — at 100 TB you train once, write the corpus partitioned by
+    cell, and every later batch prunes to nprobe/n_cells of the data.
+    Assignment inlines the centroids as literals — a narrow projection, no
+    crossJoin and no per-row window; scale ``n_cells`` with the corpus
+    (cells ≈ sqrt(rows) is the usual IVF sizing) so each cell stays a
+    bounded slice.
     """
-    cents = F.broadcast(
-        corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(corpus_vec).alias("__cv"))
-        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("corpus_id"))))
-        .filter(F.col("__rn") <= n_cells)
-        .select(F.col("__rn").alias("cell"), F.col("__cv").alias("__cent")))
+    if centroids == "kmeans":
+        cents = kmeans_centroids(corpus, corpus_vec, corpus_id,
+                                 k=n_cells, n_iter=kmeans_iter)
+    elif centroids == "lowid":
+        rows = (corpus.select(F.col(corpus_id).alias("i"),
+                              F.col(corpus_vec).alias("v"))
+                .orderBy("i").limit(n_cells).collect())
+        cents = [_unit(list(r["v"])) for r in rows]
+    else:
+        cents = centroids
 
-    def _assign(df, id_col, vec_col, n_keep):
-        scored = (df.crossJoin(cents)
-                  .withColumn("__sim", cosine(F.col(vec_col), F.col("__cent"))))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__sim").desc(), F.col("cell").asc())
-        return (scored.withColumn("__cr", F.row_number().over(w))
-                .filter(F.col("__cr") <= n_keep)
-                .drop("__cent", "__sim", "__cr"))
-
-    c = _assign(corpus.select(F.col(corpus_id).alias("corpus_id"),
-                              F.col(corpus_vec).alias("__cv")),
-                "corpus_id", "__cv", 1)
-    q = _assign(queries.select(F.col(query_id).alias("query_id"),
-                               F.col(query_vec).alias("__qv")),
-                "query_id", "__qv", nprobe)
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(corpus_vec).alias("__cv"),
+                      _argmax_cell(F.col(corpus_vec), cents).alias("cell"))
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("__qv"),
+                        _top_cells(F.col(query_vec), cents, nprobe)
+                        .alias("__cells"))
+         .withColumn("cell", F.explode("__cells")).drop("__cells"))
     scored = q.join(c, "cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))

@@ -123,3 +123,37 @@ def test_label_principal_direction_matches_numpy(emb):
         assert abs(abs(float(np.dot(r.pc, true_pc))) - 1.0) < 1e-3
         assert abs(r.explained - w[-1] / w.sum()) < 1e-4
         assert r.n == len(X)
+
+
+def test_kmeans_centroids_deterministic_unit(emb):
+    from data_warehouse_migrate_spark.operators.similarity import kmeans_centroids
+    a = kmeans_centroids(emb, "embedding", "vec_id", k=8, n_iter=3)
+    b = kmeans_centroids(emb, "embedding", "vec_id", k=8, n_iter=3)
+    assert a == b                                  # bit-identical across runs
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+    for c in a:
+        nrm = sum(x * x for x in c) ** 0.5
+        assert abs(nrm - 1.0) < 1e-9               # spherical: unit centroids
+
+
+def test_kmeans_centroids_partition_invariant(emb):
+    # decimal accumulators: same centroids under any partition layout
+    from data_warehouse_migrate_spark.operators.similarity import kmeans_centroids
+    a = kmeans_centroids(emb.repartition(1), "embedding", "vec_id", k=4, n_iter=2)
+    b = kmeans_centroids(emb.repartition(17), "embedding", "vec_id", k=4, n_iter=2)
+    assert a == b
+
+
+def test_ivf_kmeans_precomputed_reuse(emb):
+    # training once and passing the centroid list gives the same answer as
+    # inline training — the 100 TB reuse path
+    from data_warehouse_migrate_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids)
+    cents = kmeans_centroids(_corpus(emb), "corpus_vec", "corpus_id",
+                             k=16, n_iter=5)
+    inline = {(r.query_id, r.rank, r.corpus_id)
+              for r in ivf_topk(_queries(emb), _corpus(emb), k=3).collect()}
+    reused = {(r.query_id, r.rank, r.corpus_id)
+              for r in ivf_topk(_queries(emb), _corpus(emb), k=3,
+                                centroids=cents).collect()}
+    assert inline == reused
