@@ -218,3 +218,40 @@ def lang_id(col: Column) -> Column:
         .when(de >= fr, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+
+
+def duplicate_token_fraction(col: Column) -> Column:
+    """Share of tokens that are repeats of an earlier token — the
+    token-level analogue of Gopher's duplicate-line fraction (Rae et al.
+    2021, public quality-filter heuristics). 0.0 for empty text; rounded
+    to 6dp (the ratio is a small-denominator rational — identical across
+    engines). Pure per-row array math, no shuffle."""
+    toks = tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) -
+                F.size(F.array_distinct(toks)) / F.size(toks), 6))
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of all word n-grams taken by the single most frequent one
+    (Gopher's top-n-gram repetition filter). Computed per row in
+    O(t log t): sort the shingle array, then ONE ``aggregate`` pass tracks
+    the longest equal-run — no per-distinct-gram rescan (the naive
+    distinct×filter form is O(t²) per row, which a 100 TB corpus of long
+    documents cannot afford). 0.0 for empty text."""
+    grams = F.sort_array(word_shingles(col, n))
+
+    def _step(acc, g):
+        run = (F.when(acc["prev"].isNull() | (acc["prev"] != g), F.lit(1))
+               .otherwise(acc["run"] + 1))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(
+        grams,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        _step,
+        lambda acc: acc["best"])
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.round(best / F.size(grams), 6))

@@ -1,0 +1,95 @@
+"""Deterministic sampling for training-data pipelines (beyond-reference;
+SURVEY.md §7.3 — dataset curation ops a 100 TB corpus build needs).
+
+Every operator here is DETERMINISTIC and hash-driven — no RNG, no
+``rand()``: re-runs, task retries, and different partition layouts all
+select the SAME rows, which is what makes a sampled training set
+reproducible and makes exact SQL oracles possible. The shared primitive is
+``md5_prefix_int`` (first 60 bits of md5 as int64): a row's uniform draw is
+``u = h / 2**60``, and every comparison below is arranged as INTEGER or
+decimal arithmetic so both Spark and any ANSI engine agree bit-for-bit —
+no float thresholds anywhere near a selection boundary.
+
+Scale notes: all samplers are narrow single-pass filters or projections —
+no shuffle — except ``stratified_sample`` (one shuffle on the strata key,
+inherent to exact per-stratum counts) and ``reservoir_n`` (global top-n via
+TakeOrdered: per-partition heads then a driver merge of n·partitions rows,
+never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions.text import md5_prefix_int
+
+HASH_SPACE = 1 << 60  # md5_prefix_int range
+
+
+def _draw(id_col: str) -> F.Column:
+    """60-bit uniform draw from a row id (id stringified — bigint ids
+    render identically in Spark and ANSI SQL)."""
+    return md5_prefix_int(F.col(id_col).cast("string"))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff hash(id) < fraction·2^60.
+    The threshold is computed as a Python int ONCE (exact), so the filter
+    is a pure integer comparison — portable and pushdown-friendly (a
+    narrow filter, no shuffle; at 100 TB this is a scan predicate)."""
+    threshold = int(fraction * HASH_SPACE)
+    return df.filter(_draw(id_col) < F.lit(threshold))
+
+
+def train_eval_split(df: DataFrame, id_col: str, n_buckets: int = 100,
+                     eval_buckets: int = 1, test_buckets: int = 1) -> DataFrame:
+    """Deterministic train/eval/test split by hash bucket (the standard
+    reproducible corpus split): bucket = hash(id) mod n_buckets; the last
+    ``test_buckets`` buckets are "test", the ``eval_buckets`` before them
+    "eval", the rest "train". Adding data never moves an existing row
+    across splits — membership depends only on the row's own id. Pure
+    projection: no shuffle, no state."""
+    bucket = F.pmod(_draw(id_col), F.lit(n_buckets))
+    eval_lo = n_buckets - test_buckets - eval_buckets
+    test_lo = n_buckets - test_buckets
+    return df.withColumn("split",
+                         F.when(bucket >= F.lit(test_lo), F.lit("test"))
+                         .when(bucket >= F.lit(eval_lo), F.lit("eval"))
+                         .otherwise(F.lit("train")))
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
+                      id_col: str) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by hash order (uniform within
+    the stratum, deterministic). One shuffle on the strata key — inherent
+    to exact counts; skewed strata are safe because the per-row state is
+    just the rank. For fraction-per-stratum (no exactness), prefer
+    ``hash_sample`` filtered per stratum — shuffle-free."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _draw(id_col).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk"))
+
+
+def weighted_bernoulli_sample(df: DataFrame, id_col: str, weight_col: str,
+                              max_weight: float) -> DataFrame:
+    """Weighted Bernoulli: keep with probability weight/max_weight,
+    deterministically. The comparison u < w/W is cross-multiplied into
+    exact integer arithmetic — h·(W·100) < w_cents·2^60 — with 128-bit-safe
+    decimal operands, so engines with different float rounding still select
+    identical rows. Weights are taken at cent precision (2 decimal
+    places). Narrow filter, no shuffle."""
+    w_cents = F.round(F.col(weight_col) * 100, 0).cast("decimal(38,0)")
+    lhs = _draw(id_col).cast("decimal(38,0)") * F.lit(int(max_weight * 100))
+    rhs = w_cents * F.lit(HASH_SPACE).cast("decimal(38,0)")
+    return df.filter(lhs < rhs)
+
+
+def reservoir_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Fixed-size uniform sample without replacement (the deterministic
+    analogue of reservoir sampling): global top-n by (hash, id). Spark
+    plans orderBy+limit as TakeOrdered — each partition keeps its local
+    top-n and the driver merges; the full data is never sorted or
+    shuffled."""
+    return df.orderBy(_draw(id_col).asc(), F.col(id_col).asc()).limit(n)

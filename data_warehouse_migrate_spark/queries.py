@@ -1606,6 +1606,178 @@ FROM agg
 """
 
 
+# --- deterministic sampling + corpus hygiene (operators/sampling.py,
+#     operators/contamination.py, functions/text.py repetition filters) ---
+
+# shared md5-prefix 60-bit draw over a stringified id (DuckDB twin of
+# functions.text.md5_prefix_int — same expression the fingerprints use)
+def _draw_sql(id_expr: str) -> str:
+    return ("CAST(concat('0x', substr(md5(CAST(" + id_expr +
+            " AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
+def q_hash_sample_orders(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample — integer threshold compare."""
+    from data_warehouse_migrate_spark.operators.sampling import hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 0.10).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+O_HASH_SAMPLE_ORDERS = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE {_draw_sql('o_orderkey')} < {int(0.10 * (1 << 60))}
+"""
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Reproducible train/eval/test corpus split by hash bucket."""
+    from data_warehouse_migrate_spark.operators.sampling import train_eval_split
+
+    d = _t(spark, sf_dir, "documents")
+    return train_eval_split(d, "doc_id").select("doc_id", "split")
+
+
+O_TRAIN_EVAL_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_draw_sql('doc_id')} % 100 >= 99 THEN 'test'
+            WHEN {_draw_sql('doc_id')} % 100 >= 98 THEN 'eval'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 20 uniformly-chosen customers per market segment."""
+    from data_warehouse_migrate_spark.operators.sampling import stratified_sample
+
+    c = _t(spark, sf_dir, "customer")
+    return stratified_sample(c, ["c_mktsegment"], 20, "c_custkey").select(
+        "c_mktsegment", "c_custkey", "c_name")
+
+
+O_STRATIFIED_SAMPLE = f"""
+SELECT c_mktsegment, c_custkey, c_name
+FROM (SELECT c_mktsegment, c_custkey, c_name,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY {_draw_sql('c_custkey')}, c_custkey) AS rk
+      FROM customer)
+WHERE rk <= 20
+"""
+
+
+def q_weighted_sample_orders(spark, sf_dir):
+    """Weighted Bernoulli (p ∝ o_totalprice) via exact cross-multiplied
+    integer compare — no float near the selection boundary."""
+    from data_warehouse_migrate_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return weighted_bernoulli_sample(o, "o_orderkey", "o_totalprice",
+                                     600000.0).select(
+        "o_orderkey", "o_totalprice")
+
+
+O_WEIGHTED_SAMPLE_ORDERS = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE CAST({_draw_sql('o_orderkey')} AS HUGEINT) * {600000 * 100}
+      < CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+        * {1 << 60}
+"""
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Fixed-size (n=50) uniform sample — TakeOrdered, never a full sort."""
+    from data_warehouse_migrate_spark.operators.sampling import reservoir_n
+
+    d = _t(spark, sf_dir, "documents")
+    return reservoir_n(d, "doc_id", 50).select("doc_id", "n_chars")
+
+
+O_RESERVOIR_SAMPLE = f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY {_draw_sql('doc_id')}, doc_id
+LIMIT 50
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters: duplicate-token fraction +
+    top-bigram fraction, with the keep verdict both imply."""
+    from data_warehouse_migrate_spark.functions.text import (
+        duplicate_token_fraction,
+        top_ngram_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dup = duplicate_token_fraction(F.col("text"))
+    top2 = top_ngram_fraction(F.col("text"), 2)
+    return d.select(
+        "doc_id", dup.alias("dup_token_frac"), top2.alias("top_bigram_frac"),
+        ((dup < 0.55) & (top2 < 0.10)).alias("keep"))
+
+
+O_DOC_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE),
+               6) AS dup_token_frac,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks)), i ->
+                     array_to_string(toks[i:i+1], ' ')) END AS grams
+  FROM toks),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+        FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.dup_token_frac,
+       round(t.mx / CAST(t.tot AS DOUBLE), 6) AS top_bigram_frac,
+       (b.dup_token_frac < 0.55
+        AND round(t.mx / CAST(t.tot AS DOUBLE), 6) < 0.10) AS keep
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Train/eval n-gram contamination: odd doc_ids are the eval set, even
+    the training corpus; one shingle-hash equi-join, no all-pairs."""
+    from data_warehouse_migrate_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    tr = d.filter(F.col("doc_id") % 2 == 0)
+    return ngram_contamination(ev, tr, "text", "doc_id", n=3)
+
+
+O_CONTAMINATION_CHECK = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh WHERE doc_id % 2 = 1),
+tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 2 = 0),
+agg AS (
+  SELECT eval_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM ev LEFT JOIN tr ON ev.s = tr.s
+  GROUP BY eval_id)
+SELECT eval_id, n_shingles, n_contaminated,
+       round(n_contaminated / CAST(n_shingles AS DOUBLE), 6)
+         AS contamination_rate,
+       (round(n_contaminated / CAST(n_shingles AS DOUBLE), 6) >= 0.8)
+         AS is_contaminated
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1679,6 +1851,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,
     "multimodal_decode": q_multimodal_decode,
+    # deterministic sampling + corpus hygiene
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "reservoir_sample": q_reservoir_sample,
+    "doc_repetition": q_doc_repetition,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -1746,4 +1926,11 @@ ORACLES: dict[str, str] = {
     # embedding_lsh_ann: intentionally no oracle (approximate)
     "embedding_centroids": O_EMBEDDING_CENTROIDS,
     "multimodal_decode": O_MULTIMODAL_DECODE,
+    "hash_sample_orders": O_HASH_SAMPLE_ORDERS,
+    "train_eval_split": O_TRAIN_EVAL_SPLIT,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
+    "weighted_sample_orders": O_WEIGHTED_SAMPLE_ORDERS,
+    "reservoir_sample": O_RESERVOIR_SAMPLE,
+    "doc_repetition": O_DOC_REPETITION,
+    "contamination_check": O_CONTAMINATION_CHECK,
 }
