@@ -223,13 +223,16 @@ def lang_id(col: Column) -> Column:
 def duplicate_token_fraction(col: Column) -> Column:
     """Share of tokens that are repeats of an earlier token — the
     token-level analogue of Gopher's duplicate-line fraction (Rae et al.
-    2021, public quality-filter heuristics). 0.0 for empty text; rounded
-    to 6dp (the ratio is a small-denominator rational — identical across
-    engines). Pure per-row array math, no shuffle."""
+    2021, public quality-filter heuristics). Rounded to 6dp (the ratio is
+    a small-denominator rational — identical across engines). Pure per-row
+    array math, no shuffle.
+
+    Empty/blank text: ``tokens`` yields the single token ``''`` (never an
+    empty array — the DuckDB oracle's split agrees), so the fraction is
+    0.0 (one distinct token, no repeats). NULL text propagates NULL."""
     toks = tokens(col)
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(1.0) -
-                F.size(F.array_distinct(toks)) / F.size(toks), 6))
+    return F.round(F.lit(1.0) -
+                   F.size(F.array_distinct(toks)) / F.size(toks), 6)
 
 
 def top_ngram_fraction(col: Column, n: int = 2) -> Column:
@@ -238,7 +241,13 @@ def top_ngram_fraction(col: Column, n: int = 2) -> Column:
     O(t log t): sort the shingle array, then ONE ``aggregate`` pass tracks
     the longest equal-run — no per-distinct-gram rescan (the naive
     distinct×filter form is O(t²) per row, which a 100 TB corpus of long
-    documents cannot afford). 0.0 for empty text."""
+    documents cannot afford).
+
+    Empty/blank text: ``tokens`` yields the single token ``''`` (never an
+    empty array — the DuckDB oracle's split agrees), so the single
+    ''-shingle IS the top n-gram and the fraction is 1.0 — meaning
+    ``q_doc_repetition`` marks empty documents keep=False, the right
+    outcome for a quality filter. NULL text propagates NULL."""
     grams = F.sort_array(word_shingles(col, n))
 
     def _step(acc, g):

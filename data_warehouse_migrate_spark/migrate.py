@@ -184,7 +184,10 @@ class MigrationJob:
             if self.destination_format == "jdbc":
                 reader = spark.read.format("jdbc")
                 for k, v in (self.destination_jdbc or {}).items():
-                    if k != "dbtable":
+                    # drop BOTH table-selection options: the probe sets its
+                    # own 'query', and Spark raises on dbtable+query (a
+                    # caller-supplied 'query' would fail a healthy probe)
+                    if k not in ("dbtable", "query"):
                         reader = reader.option(k, v)
                 reader.option("query", "SELECT 1").load().collect()
                 destination_ok = True
@@ -233,7 +236,14 @@ class MigrationJob:
                 "defaults": mapping.defaults if mapping else {},
                 "order": mapping.order if mapping else [],
             },
-            "physical_plan": explain_plan(plan),
+            "physical_plan": explain_plan(plan) + (
+                "\n-- NOTE: plan-only mode. The latest-partition filter"
+                f" (columns {list(self.partition_columns)}) and the"
+                " null-policy check are resolved at run() time and are NOT"
+                " in this plan; see planned_checks for what run() adds."
+                if self.partition_columns or (
+                    self.non_nullable and self.null_policy == "fail")
+                else ""),
         }
 
 

@@ -82,21 +82,35 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     streamed equi-self-join on (band, band_key): the same pairs, produced
     incrementally by the join operator instead of one array expression.
     (Prefer collapsing exact duplicates BEFORE banding — the pair list
-    over m identical docs is inherently O(m²).) One extra window count
-    over the bucket key; no extra Exchange — the groupBy and the self-join
-    reuse the window's hash partitioning.
+    over m identical docs is inherently O(m²).)
+
+    Bucket sizing costs one COUNT aggregate, not a window pass: per-bucket
+    counts reduce map-side to one narrow row per distinct bucket (the
+    round-2 window variant shuffled + sorted the full band_rows set just
+    to annotate sizes — measured +25-30% on the banding queries). The
+    oversized keys — structurally rare: banding's whole job is small
+    buckets — are broadcast, and the small/hot split is a broadcast
+    anti/semi-join that never re-shuffles band_rows; ReuseExchange
+    dedupes the two references to the same broadcast.
+
+    CONTRACT: ``payload_cols[0]`` must be a UNIQUE id. The spill path
+    generates pairs with a strict ``<`` self-join on it, so rows sharing
+    that value inside a hot bucket would silently produce no pair (the
+    in-array path would emit them). Both in-tree callers pass a unique
+    doc/vector id first.
 
     Returns columns ``a``/``b`` structs of the payload; pairs are
     unordered and ordered by the first payload column on the join path.
     """
-    from pyspark.sql import Window
-
     order_col = payload_cols[0]
-    w = Window.partitionBy("band", "band_key")
-    sized = band_rows.withColumn("__bn", F.count("*").over(w))
+    hot_keys = F.broadcast(
+        band_rows.groupBy("band", "band_key")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+        .select("band", "band_key"))
 
     member = F.struct(*payload_cols)
-    small = (sized.filter(F.col("__bn") <= max_bucket_size)
+    small = (band_rows.join(hot_keys, ["band", "band_key"], "left_anti")
              .groupBy("band", "band_key")
              .agg(F.collect_list(member).alias("xs"))
              .filter(F.size("xs") > 1))
@@ -108,7 +122,7 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     ))
     small_pairs = small.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
-    big = sized.filter(F.col("__bn") > max_bucket_size).drop("__bn")
+    big = band_rows.join(hot_keys, ["band", "band_key"], "left_semi")
     ba, bb = big.alias("ba"), big.alias("bb")
     big_pairs = (
         ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
@@ -420,7 +434,7 @@ def _probe_keys(key, r: int, probe_bits: int):
 
 
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
-                        threshold: float = 0.4,
+                        threshold: float = 0.95,
                         n_planes: int = 24, bands: int = 4,
                         probe_bits: int = 1) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold — banded
@@ -435,15 +449,19 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
 
     S-curve: a plane bit agrees with probability p = 1 − θ/π (cos θ = t).
     A band matches with P ≈ Σ_{m≤probe_bits} C(r,m)·p^(r−m)(1−p)^m and a
-    pair candidates with 1 − (1 − P_band)^bands. At the defaults
-    (r=6, b=4, probe 1, t=0.4 → p≈0.63) recall ≈ 0.74 with a 64-way key
-    space per band — sized for 10^3-10^5-vector validation corpora. At
-    100 TB use true near-dup thresholds and wider bands: t=0.95, r=24,
-    b=4, probe_bits=2 gives ≈0.96 recall with 16M buckets per band, so
-    bucket occupancy (and the in-bucket join) stays bounded as the corpus
-    grows. Candidate generation is a (band, key)-equi join — never
-    all-pairs; identical vectors share all band keys, so run
-    ``drop_exact_dups``-style collapse first on duplicate-heavy corpora.
+    pair candidates with 1 − (1 − P_band)^bands. The default threshold
+    (0.95) is the production near-duplicate operating point: at t=0.95
+    (p≈0.90) the defaults r=6, b=4, probe 1 give recall ≈ 0.999. Looser
+    thresholds need proportionally wider nets — the validation suite runs
+    t=0.4 (the synthetic corpus' cosines top out near 0.51) and passes it
+    EXPLICITLY at every call site, where r=6/probe-1 recall is ≈ 0.74,
+    pinned against ``embedding_exact_pairs`` in tests/test_dedup.py. At
+    100 TB widen the bands with the corpus: r=24, b=4, probe_bits=2 keeps
+    ≈0.96 recall at t=0.95 with 16M buckets per band, so bucket occupancy
+    (and the in-bucket join) stays bounded as the corpus grows. Candidate
+    generation is a (band, key)-equi join — never all-pairs; identical
+    vectors share all band keys, so run ``drop_exact_dups``-style collapse
+    first on duplicate-heavy corpora.
     """
     from data_warehouse_migrate_spark.functions.vectors import (
         band_keys_from_projections,

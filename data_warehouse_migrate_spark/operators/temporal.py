@@ -81,9 +81,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     out = filled.filter(F.col(_R)).drop(_R)
     if tolerance_seconds is not None:
         # timestamp→double keeps sub-second precision (unix_timestamp
-        # truncates to whole seconds, off-by-one at tolerance boundaries)
-        delta = F.abs(F.col(on).cast("double")
-                      - F.col("__match_ts").cast("double"))
+        # truncates to whole seconds, off-by-one at tolerance boundaries).
+        # The cast('timestamp') hop makes this NTZ-safe (no direct
+        # NTZ→numeric cast exists); with the session pinned to UTC the
+        # offset is constant, so the DIFFERENCE is exact either way
+        delta = F.abs(F.col(on).cast("timestamp").cast("double")
+                      - F.col("__match_ts").cast("timestamp").cast("double"))
         out = out.select(
             *lcols,
             *[F.when(delta <= tolerance_seconds, F.col(c)).otherwise(None).alias(c)

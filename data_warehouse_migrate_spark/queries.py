@@ -1783,59 +1783,15 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # reference-surface operators
-    "scan_project_filter": q_scan_project_filter,
-    "scan_orderby_limit": q_scan_orderby_limit,
-    "latest_partition_scan": q_latest_partition_scan,
-    "metadata_probes": q_metadata_probes,
-    "mapping_rename_reorder": q_mapping_rename_reorder,
-    "mapping_computed": q_mapping_computed,
-    "mapping_format": q_mapping_format,
-    "mapping_defaults": q_mapping_defaults,
-    "dest_projection": q_dest_projection,
-    "latest_partition_multi": q_latest_partition_multi,
-    "cast_source_schema": q_cast_source_schema,
-    "string_preservation": q_string_preservation,
-    "inf_cleanup": q_inf_cleanup,
-    "null_policy_skip": q_null_policy_skip,
-    "null_policy_fill": q_null_policy_fill,
-    "default_backfill": q_default_backfill,
-    "migrate_pipeline": q_migrate_pipeline,
-    # analytics
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "order_priority_counts": q_order_priority_counts,
-    "region_rollup": q_region_rollup,
-    "events_hourly": q_events_hourly,
-    "sessionize": q_sessionize,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "running_total": q_running_total,
-    "shipping_priority": q_shipping_priority,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "events_hourly_stream": q_events_hourly_stream,
-    "hypertable_rollup": q_hypertable_rollup,
-    "late_ship_orders": q_late_ship_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "value_percentiles": q_value_percentiles,
-    "revenue_rollup": q_revenue_rollup,
-    "set_ops_users": q_set_ops_users,
-    "distinct_users_exact": q_distinct_users_exact,
-    "approx_distinct_users": q_approx_distinct_users,
-    "salted_event_totals": q_salted_event_totals,
-    "event_zscore": q_event_zscore,
-    "props_json_extract": q_props_json_extract,
-    "event_type_pivot": q_event_type_pivot,
-    # LLM-pipeline
-    "text_stats": q_text_stats,
-    "quality_score": q_quality_score,
-    "minhash_sigs": q_minhash_sigs,
-    "frame_sample": q_frame_sample,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    "lang_id": q_lang_id,
-    "doc_fingerprints": q_doc_fingerprints,
-    "simhash": q_simhash,
+    # Registry ORDER is part of the verification contract: the driver's
+    # correctness harness checks the first 50 entries each round.  The 22
+    # queries below went unverified in rounds 1-2 (they sat past position
+    # 50), so they lead; next come the 28 queries most exposed to this
+    # round's code changes (dedup/text/embedding paths) plus the flagship
+    # and a reference-surface spread; the tail holds queries that were
+    # driver-green in BOTH r01 and r02 on untouched code paths.
+    #
+    # --- 1-22: first driver verification (never had a CORRECTNESS row) ---
     "dedup_exact": q_dedup_exact,
     "dedup_keep_rows": q_dedup_keep_rows,
     "csv_roundtrip": q_csv_roundtrip,
@@ -1851,7 +1807,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,
     "multimodal_decode": q_multimodal_decode,
-    # deterministic sampling + corpus hygiene
     "hash_sample_orders": q_hash_sample_orders,
     "train_eval_split": q_train_eval_split,
     "stratified_sample": q_stratified_sample,
@@ -1859,6 +1814,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reservoir_sample": q_reservoir_sample,
     "doc_repetition": q_doc_repetition,
     "contamination_check": q_contamination_check,
+    # --- 23-50: regression-sensitive this round + flagship + spread ---
+    "migrate_pipeline": q_migrate_pipeline,
+    "scan_project_filter": q_scan_project_filter,
+    "latest_partition_scan": q_latest_partition_scan,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "null_policy_skip": q_null_policy_skip,
+    "default_backfill": q_default_backfill,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "events_hourly_stream": q_events_hourly_stream,
+    "hypertable_rollup": q_hypertable_rollup,
+    "salted_event_totals": q_salted_event_totals,
+    "event_zscore": q_event_zscore,
+    "distinct_users_exact": q_distinct_users_exact,
+    "approx_distinct_users": q_approx_distinct_users,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_sigs": q_minhash_sigs,
+    "simhash": q_simhash,
+    "frame_sample": q_frame_sample,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    # --- 51-72: driver-green in both r01 and r02, untouched code paths ---
+    "scan_orderby_limit": q_scan_orderby_limit,
+    "mapping_rename_reorder": q_mapping_rename_reorder,
+    "mapping_computed": q_mapping_computed,
+    "mapping_format": q_mapping_format,
+    "mapping_defaults": q_mapping_defaults,
+    "dest_projection": q_dest_projection,
+    "latest_partition_multi": q_latest_partition_multi,
+    "string_preservation": q_string_preservation,
+    "inf_cleanup": q_inf_cleanup,
+    "null_policy_fill": q_null_policy_fill,
+    "order_priority_counts": q_order_priority_counts,
+    "region_rollup": q_region_rollup,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "running_total": q_running_total,
+    "shipping_priority": q_shipping_priority,
+    "late_ship_orders": q_late_ship_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "value_percentiles": q_value_percentiles,
+    "revenue_rollup": q_revenue_rollup,
+    "set_ops_users": q_set_ops_users,
+    "props_json_extract": q_props_json_extract,
+    "event_type_pivot": q_event_type_pivot,
 }
 
 ORACLES: dict[str, str] = {

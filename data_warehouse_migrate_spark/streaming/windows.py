@@ -60,9 +60,14 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
         # cast('double') keeps sub-second precision — unix_timestamp()
         # truncates to whole seconds, which can flip gaps that straddle
         # exactly gap_s against a fractional-seconds oracle (same bug
-        # class as the as-of join tolerance)
+        # class as the as-of join tolerance). The intermediate
+        # cast('timestamp') makes this NTZ-safe: parquet timestamp[us]
+        # without timezone arrives as TIMESTAMP_NTZ (no direct numeric
+        # cast); with the session pinned to UTC the NTZ→LTZ hop is a
+        # constant offset, so gap DIFFERENCES are exact either way
         (F.col("__prev_ts").isNull() |
-         (F.col(ts_col).cast("double") - F.col("__prev_ts").cast("double") > gap_s)
+         (F.col(ts_col).cast("timestamp").cast("double")
+          - F.col("__prev_ts").cast("timestamp").cast("double") > gap_s)
          ).cast("int"),
     ).withColumn("session_seq", F.sum("__new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -226,7 +231,11 @@ def streaming_windowed_counts(spark: SparkSession, source_path: str,
     trigger (production). The watermark bounds state for late data — the
     canonical 100 TB streaming-agg shape.
     """
+    # withWatermark requires TIMESTAMP (LTZ) — parquet timestamp[us]
+    # without timezone arrives as TIMESTAMP_NTZ; the session is pinned to
+    # UTC so this cast is a constant (zero) offset on event time
     stream = (spark.readStream.format(fmt).schema(schema).load(source_path)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
               .withWatermark(ts_col, watermark))
     return (stream
             .groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)

@@ -125,6 +125,34 @@ def test_label_principal_direction_matches_numpy(emb):
         assert r.n == len(X)
 
 
+def test_label_principal_direction_high_dim(spark):
+    # dim ≥ 256: the moment reduction must stay a per-partition BLAS fold
+    # (the old upper-triangle explode generated dim²/2 ≈ 45k rows PER INPUT
+    # ROW at dim=300 — this test with 400 rows would explode to 18M rows)
+    from data_warehouse_migrate_spark.operators.similarity import (
+        label_principal_direction,
+    )
+    import numpy as np
+
+    dim, n = 300, 400
+    rng = np.random.RandomState(7)
+    base = rng.randn(n, dim)
+    base[:, 0] *= 5.0  # plant a dominant direction
+    rows = [(i, int(i % 2), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    got = {r.label: r for r in label_principal_direction(df).collect()}
+    assert set(got) == {0, 1}
+    for lbl in (0, 1):
+        X = np.array([base[i] for i in range(n) if i % 2 == lbl])
+        C = np.cov(X, rowvar=False)
+        w, V = np.linalg.eigh(C)
+        r = got[lbl]
+        assert len(r.pc) == dim and r.n == len(X)
+        assert abs(abs(float(np.dot(r.pc, V[:, -1]))) - 1.0) < 1e-3
+        assert abs(r.explained - w[-1] / w.sum()) < 1e-4
+
+
 def test_kmeans_centroids_deterministic_unit(emb):
     from data_warehouse_migrate_spark.operators.similarity import kmeans_centroids
     a = kmeans_centroids(emb, "embedding", "vec_id", k=8, n_iter=3)
