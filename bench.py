@@ -15,7 +15,7 @@ import os
 import sys
 import time
 
-from data_warehouse_migrate_spark.queries import ORACLES, QUERIES
+from data_warehouse_migrate_spark.queries import DIAGNOSTICS, ORACLES, QUERIES
 from data_warehouse_migrate_spark.session import get_spark
 
 TABLES = ("region nation customer supplier part orders lineitem events "
@@ -54,6 +54,31 @@ def reference_loop_migrate_sec(sf_dir: str) -> float:
         n += len(pdf)
     assert n > 0
     return time.perf_counter() - t0
+
+def build_scaled_orders(sf_dir: str, factor: int) -> str:
+    """Union-scale orders.parquet ``factor``× (shifted keys) into /tmp —
+    the input for the scale-crossover measurement. Single parquet file so
+    the reference loop reads it exactly like the originals; cached across
+    bench runs. sf0.1 × 10 ≈ 1.5M orders — TPC-H sf1 size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/dwms_scale_{tag}_x{factor}"
+    path = f"{out_dir}/orders.parquet"
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/orders.parquet")
+        ki = t.schema.get_field_index("o_orderkey")
+        copies = [
+            t.set_column(ki, "o_orderkey",
+                         pc.add(t.column("o_orderkey"), 100_000_000 * i))
+            for i in range(factor)
+        ]
+        pq.write_table(pa.concat_tables(copies), path)
+    return out_dir
+
 
 HEADLINE = [
     "migrate_pipeline",
@@ -115,6 +140,35 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
 
+    # Volume counters for the dedup/LSH family (AFTER all timing — the
+    # eager counts inside the diag path persist intermediates and would
+    # otherwise pollute the measurements). A future timing drift is then
+    # attributable from artifacts alone: counters moved → data/plan
+    # regression; counters identical, time moved → host noise.
+    diagnostics: dict[str, dict] = {}
+    for name, fn in DIAGNOSTICS.items():
+        spark.catalog.clearCache()
+        diagnostics[name] = fn(spark, sf_dir)
+        print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
+
+    # Scale crossover: Spark's fixed per-query scheduling floor dominates
+    # the flagship at sub-second scale (ratio > 1 vs the sequential pandas
+    # loop); the loop scales linearly with rows and Spark doesn't. Measure
+    # BOTH engines on a factor-x union of orders to demonstrate the flip.
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    scale_dir = build_scaled_orders(sf_dir, factor)
+    spark_scaled = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES["migrate_pipeline"](spark, scale_dir).count()
+        el = time.perf_counter() - t0
+        spark_scaled = el if spark_scaled is None else min(spark_scaled, el)
+    ref_scaled = min(reference_loop_migrate_sec(scale_dir),
+                     reference_loop_migrate_sec(scale_dir))
+    print(f"  scale x{factor}: spark {spark_scaled:.3f}s vs reference loop "
+          f"{ref_scaled:.3f}s", file=sys.stderr)
+
     # Single-node baseline: DuckDB running the SAME queries' oracle SQL on
     # the same parquet at the same scale factor (the reference publishes no
     # numbers — BASELINE.md — so this reference-equivalent engine is the
@@ -143,12 +197,26 @@ def main() -> int:
     ref_loop = round(min(reference_loop_migrate_sec(sf_dir),
                          reference_loop_migrate_sec(sf_dir)), 3)
 
+    import pyspark
+
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pyspark_version": pyspark.__version__,
+        "diagnostics": diagnostics,
+        "scale_crossover": {
+            "workload": "flagship migrate_pipeline vs the reference's "
+                        "sequential 10k-rows/batch pandas loop, both on "
+                        f"orders scaled {factor}x (single parquet file)",
+            "factor": factor,
+            "spark_sec": round(spark_scaled, 3),
+            "reference_loop_sec": round(ref_scaled, 3),
+            "ratio_spark_vs_reference": (round(spark_scaled / ref_scaled, 3)
+                                         if ref_scaled else None),
+        },
         "baseline": {
             "reference_single_node": {
                 "workload": "flagship migrate_pipeline, sequential "

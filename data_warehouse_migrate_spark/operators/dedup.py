@@ -65,7 +65,8 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
 
 
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
-                  max_bucket_size: int = 512) -> DataFrame:
+                  max_bucket_size: int = 512,
+                  diag: dict | None = None) -> DataFrame:
     """Within-bucket candidate pairs, hot-bucket safe.
 
     ``band_rows`` must have (band, band_key, *payload_cols). Normal
@@ -93,6 +94,13 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     anti/semi-join that never re-shuffles band_rows; ReuseExchange
     dedupes the two references to the same broadcast.
 
+    ``band_rows`` is materialized first: three plan branches consume it
+    (sizing, small, hot), and without the persist each branch re-derives
+    the full fingerprint subtree — measured +40% on ``dedup_simhash``,
+    whose SimHash expression is the dominant cost (the round-2 window
+    variant also recomputed it, once per output branch). Narrow columns
+    (id + fingerprint + band key), so the persist is cheap at any scale.
+
     CONTRACT: ``payload_cols[0]`` must be a UNIQUE id. The spill path
     generates pairs with a strict ``<`` self-join on it, so rows sharing
     that value inside a hot bucket would silently produce no pair (the
@@ -101,13 +109,28 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
 
     Returns columns ``a``/``b`` structs of the payload; pairs are
     unordered and ordered by the first payload column on the join path.
+
+    ``diag`` (optional dict) receives bucket-occupancy stats — band_rows /
+    n_buckets / max_bucket / hot_buckets — eagerly. Bench-only: it lets a
+    future run distinguish a data/plan regression (occupancy moved) from
+    host noise (occupancy identical, time moved) without re-deriving the
+    operator internals.
     """
     order_col = payload_cols[0]
+    band_rows = _materialize(band_rows)
+    counts = (band_rows.groupBy("band", "band_key")
+              .agg(F.count("*").alias("__bn")))
     hot_keys = F.broadcast(
-        band_rows.groupBy("band", "band_key")
-        .agg(F.count("*").alias("__bn"))
-        .filter(F.col("__bn") > max_bucket_size)
+        counts.filter(F.col("__bn") > max_bucket_size)
         .select("band", "band_key"))
+    if diag is not None:
+        stats = counts.agg(
+            F.count("*").alias("nb"), F.max("__bn").alias("mx"),
+            F.sum((F.col("__bn") > max_bucket_size).cast("int")).alias("hot"),
+        ).first()
+        diag.update(band_rows=band_rows.count(),  # instant: materialized
+                    n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
+                    hot_buckets=int(stats["hot"] or 0))
 
     member = F.struct(*payload_cols)
     small = (band_rows.join(hot_keys, ["band", "band_key"], "left_anti")
@@ -181,13 +204,17 @@ def _hash_shingle(s):
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = None,
+                        diag: dict | None = None) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via inverted-index join.
 
     Returns (id_a, id_b, jaccard) for all pairs with J ≥ threshold,
     id_a < id_b. Complete: a pair with J>0 shares ≥1 shingle and is found
     by the shingle join. ``max_shingle_freq`` drops shingles occurring in
-    more than F docs (skew cap; see module docstring).
+    more than F docs (skew cap; see module docstring). ``diag`` (optional
+    dict, bench-only) eagerly records docs / distinct_shingles /
+    prefix_rows / candidate_pairs — the volumes that pin whether a bench
+    drift is a plan regression or host noise.
     """
     sets = _materialize(_shingle_sets(df, text_col, id_col, n))
     inv = sets.select("id", F.explode("shingles").alias("shingle"))
@@ -237,6 +264,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if diag is not None:
+        cand = _materialize(cand)  # the count below feeds the verify join
+        diag.update(docs=sets.count(), distinct_shingles=freq.count(),
+                    prefix_rows=pref.count(), candidate_pairs=cand.count())
     n_sets = sets.count()  # instant: cached by _materialize
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -269,7 +300,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, k: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      diag: dict | None = None) -> DataFrame:
     """Near-dup pairs via LSH banding over MinHash signatures, verified
     with exact Jaccard on the shingle sets.
 
@@ -289,12 +321,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         ])).alias("band", "band_key"),
     )
     candidates = (
-        _bucket_pairs(band_rows, ["id"])
+        _bucket_pairs(band_rows, ["id"], diag=diag)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"))
         .distinct()
     )
+    if diag is not None:
+        candidates = _materialize(candidates)
+        diag["candidate_pairs"] = candidates.count()
     sets = sigs.select("id", "shingles")
     n_sets = sigs.count()  # instant: cached by _materialize
     out = (
@@ -328,7 +363,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3, bands: int = 4,
-                       bits: int = SIMHASH_BITS) -> DataFrame:
+                       bits: int = SIMHASH_BITS,
+                       diag: dict | None = None) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via banded exact-match
     (pigeonhole: ≤ bands-1 differing bits leaves ≥1 identical band).
     Complete (no missed pairs) iff bands > max_hamming; a larger radius
@@ -347,7 +383,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("band", "band_key"),
     )
-    cand = _bucket_pairs(band_rows, ["id", "simhash"])
+    cand = _bucket_pairs(band_rows, ["id", "simhash"], diag=diag)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (cand.select(
                 F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
@@ -436,7 +472,8 @@ def _probe_keys(key, r: int, probe_bits: int):
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95,
                         n_planes: int = 24, bands: int = 4,
-                        probe_bits: int = 1) -> DataFrame:
+                        probe_bits: int = 1,
+                        diag: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold — banded
     hyperplane LSH, mirroring ``minhash_lsh_pairs``.
 
@@ -492,6 +529,13 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if diag is not None:
+        cand = _materialize(cand)
+        stats = (membership.groupBy("band", "band_key").count()
+                 .agg(F.count("*").alias("nb"), F.max("count").alias("mx"))
+                 .first())
+        diag.update(vectors=base.count(), candidate_pairs=cand.count(),
+                    n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]))
     n_rows = base.count()  # instant: cached by _materialize
     va = _maybe_broadcast(
         base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), n_rows)

@@ -2,11 +2,14 @@
 with typed metadata (beyond-reference; SURVEY.md §7.3).
 
 The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signatures, partitioning — is real and tested. The actual media decode is
-STUBBED (image/audio libraries are not available in this environment):
-``decode_fn=None`` raises NotImplementedError at evaluation time;
-``fake_decode=True`` substitutes a deterministic fake (byte-statistics
-pseudo-features) so pipelines are testable end-to-end.
+signatures, partitioning — is real and tested. Image decode is soft-wired:
+an explicit ``decode_fn`` always wins; ``fake_decode=True`` pins the
+deterministic fake (byte-statistics pseudo-features — what the oracle-
+checked query uses, so its results never depend on installed libraries);
+otherwise PIL is auto-detected when importable, and absent all three the
+stub raises NotImplementedError at evaluation time (clearly marked per
+project brief). WAV audio decode (``decode_audio_features``) is REAL —
+stdlib ``wave`` header+PCM parse, no third-party dependency.
 
 Scale notes: media bytes dominate row size — ``mapInPandas`` streams Arrow
 batches so a partition never needs to hold decoded frames for more than one
@@ -73,6 +76,35 @@ def _fake_decode(content: bytes) -> dict:
     }
 
 
+def pil_decode_fn() -> Callable[[bytes], dict] | None:
+    """A real PIL-backed image decoder, or None when PIL is not importable
+    (soft import — this sandbox ships no image libraries, production
+    clusters usually do). Features: dimensions + mean pixel byte + a 4-dim
+    summary (n_bytes-mod, extrema, first/last pixel byte)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    import io
+
+    def _decode(content: bytes) -> dict:
+        with Image.open(io.BytesIO(content)) as im:
+            gray = im.convert("L")
+            data = gray.tobytes()
+            n = len(data)
+            mean = (sum(data) * 1_000_000 // n) / 1e6 if n else 0.0
+            return {
+                "width": im.width,
+                "height": im.height,
+                "mean_byte": mean,
+                "feature": [float(len(content) % 251), float(min(data) if n else 0),
+                            float(max(data) if n else 0), float(data[-1] if n else 0)],
+            }
+
+    return _decode
+
+
 def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
                           decode_fn: Callable[[bytes], dict] | None = None,
                           fake_decode: bool = False,
@@ -81,15 +113,20 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
     ``mapInPandas`` (Arrow-batched — the only sane Python path for binary
     blobs).
 
-    ``decode_fn(bytes) -> {'width','height','mean_byte','feature'}`` plugs a
-    real decoder (PIL/opencv) in; absent one, ``fake_decode=True`` uses the
-    deterministic stub, else evaluation raises NotImplementedError (clearly
-    marked stub per project brief).
+    Decoder resolution, most- to least-explicit: ``decode_fn(bytes) ->
+    {'width','height','mean_byte','feature'}`` plugs any real decoder in;
+    ``fake_decode=True`` pins the deterministic byte-statistics fake (the
+    oracle-checked registry query uses this, so its results are identical
+    whether or not an image library is installed); otherwise PIL is
+    auto-detected via ``pil_decode_fn``; absent all three, evaluation
+    raises NotImplementedError (clearly marked stub per project brief).
     """
     if decode_fn is None:
         if fake_decode:
             decode_fn = _fake_decode
         else:
+            decode_fn = pil_decode_fn()
+        if decode_fn is None:
             def decode_fn(_: bytes) -> dict:
                 raise NotImplementedError(
                     "media decode requires an image library not present in "
@@ -117,6 +154,61 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode for WAV blobs — stdlib ``wave`` (RIFF header +
+    PCM frames), no third-party dependency, so this path is exercised
+    end-to-end even in this sandbox. Per-blob features: channel count,
+    sample rate, duration, and int16 RMS amplitude. Undecodable blobs
+    yield NULL features (never fail the batch — mirrors the engine's
+    cast contract T3: per-item try, never poison the pipeline).
+
+    Same Arrow-batched ``mapInPandas`` shape as the image path: one
+    streamed batch in executor memory at a time, media bytes never
+    shuffle (the output is the narrow feature frame).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(binary_col).alias("content"))
+    cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, content in zip(pdf["id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                content = bytes(content) if content is not None else b""
+                try:
+                    with wave.open(io.BytesIO(content), "rb") as w:
+                        nch, rate = w.getnchannels(), w.getframerate()
+                        nfr = w.getnframes()
+                        pcm = np.frombuffer(w.readframes(nfr), dtype="<i2")
+                        rms = (float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                               if pcm.size else 0.0)
+                        rows.append((rid, len(content), nch, rate,
+                                     nfr, nfr * 1000 // rate if rate else None,
+                                     round(rms, 6)))
+                except (wave.Error, EOFError, ValueError):
+                    rows.append((rid, len(content), None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, binary_col: str, id_col: str,

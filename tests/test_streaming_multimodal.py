@@ -107,6 +107,66 @@ def test_fake_decode_deterministic(binary_df):
     assert all(v[0] > 0 and len(v[4]) == 4 for v in out1.values())
 
 
+def test_decode_resolution_order(binary_df):
+    # explicit fake_decode must pin the deterministic fake even when a
+    # real decoder is auto-detectable — the oracle-checked query depends
+    # on environment-independent results
+    from data_warehouse_migrate_spark.operators import multimodal as mm
+
+    assert (mm.pil_decode_fn() is None) == (not _has_pil())
+    fake = {r.id: r.mean_byte
+            for r in decode_image_features(binary_df, "content", "id",
+                                           fake_decode=True).collect()}
+    assert len(fake) == 5
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _wav_bytes(rate=8000, freq=440, n=800, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = b"".join(
+            struct.pack("<h", int(10000 * math.sin(2 * math.pi * freq * i / rate)))
+            * channels
+            for i in range(n))
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def test_decode_audio_features_real_wav(spark):
+    from data_warehouse_migrate_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    rows = [(0, _wav_bytes(rate=8000, n=800)),       # 100 ms mono tone
+            (1, _wav_bytes(rate=16000, n=1600, channels=2)),
+            (2, b"not a wav at all")]                # undecodable
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in decode_audio_features(df, "content", "id").collect()}
+    assert out[0].sample_rate == 8000 and out[0].n_channels == 1
+    assert out[0].n_samples == 800 and out[0].duration_ms == 100
+    # 10000-amplitude sine has RMS ≈ 10000/sqrt(2) ≈ 7071
+    assert abs(out[0].rms - 7071) < 120
+    assert out[1].sample_rate == 16000 and out[1].n_channels == 2
+    assert out[1].duration_ms == 100
+    assert out[2].sample_rate is None and out[2].rms is None  # never fails batch
+    assert out[2].n_bytes == len(b"not a wav at all")
+
+
 def test_sample_frames(binary_df):
     out = sample_frames(binary_df, "content", "id", every_n_bytes=40, max_frames=4)
     rows = out.filter(F.col("id") == 4).orderBy("frame_idx").collect()
