@@ -25,6 +25,7 @@ from data_warehouse_migrate_spark.functions.text import (
     md5_prefix_int,
     word_shingles,
 )
+from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
 def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
@@ -32,7 +33,8 @@ def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
     sh = F.array_distinct(
         F.transform(word_shingles(F.col(text_col), n),
                     lambda s: md5_prefix_int(s)))
-    return df.select(F.col(id_col).alias(out_id), F.explode(sh).alias("sh"))
+    return spread_input(df).select(
+        F.col(id_col).alias(out_id), F.explode(sh).alias("sh"))
 
 
 def ngram_contamination(eval_df: DataFrame, train_df: DataFrame,

@@ -35,6 +35,7 @@ from data_warehouse_migrate_spark.functions.text import (
     simhash,
     word_shingles,
 )
+from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -185,7 +186,13 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingles: array<long>) — distinct hashed word n-grams per doc."""
+    """(id, shingles: array<long>) — distinct hashed word n-grams per doc.
+
+    Input is spread to the session's parallelism first (no-op at scale):
+    the shingle+md5 expression tree is the dominant cost of every operator
+    built on this, and a small single-file scan would otherwise compute it
+    all on one core."""
+    df = spread_input(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -373,7 +380,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     32768 keeps buckets tiny — then expands pairs in-bucket and filters
     hamming BEFORE the dedup shuffle (candidates that fail the radius
     never hit a distinct)."""
-    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    fp = simhash_fingerprints(spread_input(df), text_col, id_col, bits)
     width = bits // bands
     mask = (1 << width) - 1
     band_rows = fp.select(
@@ -510,7 +517,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     r = n_planes // bands
     assert bands * r == n_planes, "n_planes must divide evenly into bands"
     # materialize once: unit-normalized vectors (per-pair cosine becomes a
-    # single dot) + projections (candidate join scans base three times)
+    # single dot) + projections (candidate join scans base three times);
+    # spread first — the n_planes dot products per row serialize on a
+    # single-partition scan otherwise
+    df = spread_input(df)
     base = _materialize(df.select(
         F.col(id_col).alias("id"),
         normalize(F.col(vec_col)).alias("vec"),
@@ -559,7 +569,10 @@ def embedding_exact_pairs(df: DataFrame, vec_col: str, id_col: str,
     costs one dot, not dot + two norms."""
     from data_warehouse_migrate_spark.functions.vectors import dot, normalize
 
-    a = df.select(F.col(id_col).alias("id_a"), normalize(F.col(vec_col)).alias("vec_a"))
+    # spread the STREAM side: a single-partition scan would run the whole
+    # N²/2 nested loop on one core (the broadcast side's layout is moot)
+    a = spread_input(df).select(
+        F.col(id_col).alias("id_a"), normalize(F.col(vec_col)).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), normalize(F.col(vec_col)).alias("vec_b"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.functions.vectors import cosine, dot
+from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
 def _unit(v: list[float]) -> list[float]:
@@ -37,7 +38,10 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
     stays narrow and shuffle-free until the per-query top-k window."""
     q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
                                    F.col(query_vec).alias("__qv")))
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("__cv"))
+    # spread the stream side: a single-partition corpus scan would score
+    # every (query, corpus) pair on one core (no-op at scale)
+    c = spread_input(corpus).select(
+        F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("__cv"))
     scored = q.crossJoin(c)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
@@ -78,8 +82,11 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     if first is None:
         raise ValueError("kmeans_centroids: empty corpus")
     dim = first["d"]
-    unit = (corpus.select(F.col(id_col).alias("__id"),
-                          normalize(F.col(vec_col)).alias("__nv"))
+    # spread before the persist: all n_iter+1 passes (k dot products per
+    # row each) otherwise run on a single-partition scan's one core
+    unit = (spread_input(corpus)
+            .select(F.col(id_col).alias("__id"),
+                    normalize(F.col(vec_col)).alias("__nv"))
             .persist())
     try:
         seeds = (unit.orderBy("__id").limit(k).select("__nv").collect())
@@ -160,9 +167,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     else:
         cents = centroids
 
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(corpus_vec).alias("__cv"),
-                      _argmax_cell(F.col(corpus_vec), cents).alias("cell"))
+    c = spread_input(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _argmax_cell(F.col(corpus_vec), cents).alias("cell"))
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).alias("__qv"),
                         _top_cells(F.col(query_vec), cents, nprobe)
@@ -218,7 +226,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
             F.col(id_name).alias(out_id), F.col(vec_name).alias(out_vec),
             F.posexplode(keys).alias("band", "band_key"))
 
-    c = _indexed(corpus, corpus_id, corpus_vec, "corpus_id", "__cv")
+    c = _indexed(spread_input(corpus), corpus_id, corpus_vec,
+                 "corpus_id", "__cv")
     q = (_indexed(queries, query_id, query_vec, "query_id", "__qv")
          .select("query_id", "__qv", "band",
                  F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
@@ -279,8 +288,11 @@ def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
     import pandas as pd
 
     spark = df.sparkSession
-    src = df.select(F.col(label_col).cast("int").alias("label"),
-                    F.col(vec_col).cast("array<double>").alias("__v"))
+    # spread first: one Arrow worker would otherwise fold every batch (the
+    # 6dp rounding absorbs the sub-ulp layout sensitivity — see above)
+    src = spread_input(df).select(
+        F.col(label_col).cast("int").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
 
     def moment_partials(batches):
         acc: dict = {}  # label -> [n, sum_vec, moment_matrix]

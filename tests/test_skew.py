@@ -1,0 +1,45 @@
+import pyspark.sql.functions as F
+
+from data_warehouse_migrate_spark.operators.skew import salted_agg, spread_input
+
+
+def test_spread_input_widens_narrow_scan(spark, sf_dir):
+    # single parquet file plans as one input partition; spread_input must
+    # widen it to the session's parallelism without changing the rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = spread_input(docs)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == docs.count()
+    a = {r.doc_id for r in docs.select("doc_id").collect()}
+    b = {r.doc_id for r in out.select("doc_id").collect()}
+    assert a == b
+
+
+def test_spread_input_noop_when_already_wide(spark):
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism + 2)
+    # already at/above parallelism: the SAME plan comes back (no shuffle)
+    assert spread_input(wide) is wide
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    import pytest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = {
+        (r.event_type): (r.count_all, r.sum_value)
+        for r in salted_agg(ev, ["event_type"],
+                            {"*": "count", "value": "sum"},
+                            salt_buckets=8).collect()
+    }
+    plain = {
+        (r.event_type): (r.c, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s")).collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert salted[k][0] == plain[k][0]
+        # double sums: two-phase addition order differs in the last ulp
+        assert salted[k][1] == pytest.approx(plain[k][1], rel=1e-12)
