@@ -76,6 +76,44 @@ def test_structured_streaming_windowed_counts(spark, events, tmp_path):
     assert mismatches == 0
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    from data_warehouse_migrate_spark.streaming.dedup import run_dedup_exact_stream
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (1, "the cat sat", 0),
+        (2, "THE  cat   sat ", 60),       # normalized dup of 1, 1 min later
+        (3, "a different doc", 120),
+        (4, "the cat sat", 30 * 60),      # dup inside the 10-min horizon? no
+        (5, "a different doc", 5 * 60),   # dup of 3 within horizon
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, off long").write \
+        .mode("overwrite").parquet(src)
+
+    def with_ts(s):
+        return s.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("off")))
+
+    out = run_dedup_exact_stream(spark, src, text_col="text",
+                                 ts_col="ts", watermark="10 minutes",
+                                 prepare=with_ts)
+    survivors = out.select("doc_id", "text_hash").collect()
+    hashes = [r.text_hash for r in survivors]
+    ids = {r.doc_id for r in survivors}
+    # dup groups: {1,2,4} share a normalized text, {3,5} share another.
+    # WHICH row of a group survives is first-seen order (not id) — assert
+    # exactly one survivor per group instead:
+    assert len(survivors) == 2
+    assert len(ids & {1, 2, 4}) == 1
+    assert len(ids & {3, 5}) == 1
+    assert len(hashes) == len(set(hashes))  # one survivor per hash
+
+    # unbounded variant (no ts): exact global dedup, 2 distinct texts
+    out2 = run_dedup_exact_stream(spark, src, text_col="text")
+    assert out2.select("text_hash").distinct().count() == 2
+    assert out2.count() == 2
+
+
 @pytest.fixture()
 def binary_df(spark):
     rows = [(i, bytes(range(i % 7, i % 7 + 40)) * (i + 1)) for i in range(5)]
