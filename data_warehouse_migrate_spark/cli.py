@@ -45,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fail", "fill", "skip"])
     p.add_argument("--dry-run", dest="dry_run", action="store_const", const=True,
                    default=None)
+    p.add_argument("--stream", dest="stream", action="store_const", const=True,
+                   default=None,
+                   help="continuous/incremental migration: run the mapping "
+                        "chain as a Structured Streaming job over the source "
+                        "directory (requires --checkpoint; availableNow "
+                        "catch-up unless --processing-time is given)")
+    p.add_argument("--checkpoint", dest="checkpoint",
+                   help="streaming checkpoint directory (tracks processed "
+                        "source files across runs)")
+    p.add_argument("--processing-time", dest="processing_time",
+                   help='always-on trigger interval, e.g. "30 seconds" '
+                        "(default: drain available files, then stop)")
     p.add_argument("--yes", action="store_true",
                    help="skip the overwrite confirmation prompt")
     p.add_argument("--log-level", dest="log_level")
@@ -76,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("aborted")
                 return 1
 
+    stream = cfg.get("stream")
+    if stream and not cfg.get("checkpoint"):
+        print("error: --stream requires --checkpoint", file=sys.stderr)
+        return 2
+
     job = job_from_config(cfg)
     spark = get_spark("dwms-cli")
     if cfg.get("dry_run"):
@@ -84,7 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report, indent=2, default=str))
         print(plan)
         return 0
-    result = job.run(spark)
+    if stream:
+        pt = cfg.get("processing_time")
+        result = job.run_stream(spark, cfg["checkpoint"],
+                                available_now=not pt, processing_time=pt)
+    else:
+        result = job.run(spark)
     print(json.dumps(result, default=str))
     return 0
 

@@ -90,7 +90,15 @@ class MigrationJob:
             df = latest_partition_filter(df, self.partition_columns)
         if self.limit:
             df = df.limit(self.limit)
+        return self._transform(df, plan_only=plan_only)
 
+    # ------------------------------------------------------------------
+    def _transform(self, df: DataFrame, plan_only: bool = False) -> DataFrame:
+        """The cast → map → project → backfill → constrain chain on an
+        already-read DataFrame — shared verbatim by the batch plan and the
+        per-micro-batch path of ``run_stream`` (where ``df`` is the batch
+        DataFrame ``foreachBatch`` hands over, so even the eager
+        null-policy 'fail' count works unchanged)."""
         # T3: declared-source-type casting
         schema = self.source_schema or specs_from_dataframe(df)
         schema = dedup_columns(schema)
@@ -162,6 +170,104 @@ class MigrationJob:
             "mode": mode.value,
             "rows_written": rows_written,
             "destination_rows": destination_rows,
+        }
+
+    # ------------------------------------------------------------------
+    def run_stream(self, spark: SparkSession, checkpoint_dir: str,
+                   available_now: bool = True,
+                   processing_time: str | None = None) -> dict[str, Any]:
+        """CONTINUOUS migration (beyond-reference — the reference migrates
+        snapshots; this migrates arrivals): the source directory becomes a
+        Structured Streaming file source, and every micro-batch runs the
+        SAME cast → map → project → backfill → constrain chain
+        (``_transform``) and the same sink writer via ``foreachBatch``.
+
+        Incremental contract: the checkpoint tracks which source files
+        were processed — a restarted job resumes where it stopped and
+        never re-reads old files. ``available_now=True`` drains everything
+        currently unprocessed then stops (the incremental catch-up run:
+        schedule it instead of re-migrating the table); pass
+        ``processing_time="30 seconds"`` with ``available_now=False`` for
+        an always-on migration.
+
+        Semantics kept from ``run()``: null_policy='fail' still executes
+        its eager count — per micro-batch, on the batch DataFrame that
+        ``foreachBatch`` hands over, aborting the stream on violation
+        BEFORE the batch writes. Mode 'overwrite' truncates on the FIRST
+        batch of a fresh checkpoint only; later batches append (a stream
+        that overwrote per-batch would keep only the last batch).
+        Delivery is exactly-once for idempotent/transactional sinks and
+        at-least-once otherwise (standard foreachBatch contract — a crash
+        between write and checkpoint commit replays the batch).
+
+        Unsupported in streaming: JDBC/table SOURCES (no file listing to
+        checkpoint), ``limit`` and latest-partition pruning (a stream IS
+        the increment — new files only). JDBC DESTINATIONS are fine.
+        """
+        if self.source_format in ("jdbc", "table"):
+            raise ValueError(
+                "run_stream requires a file-based source format "
+                f"(parquet/csv/json/orc), got {self.source_format!r}")
+        if self.partition_columns or self.limit:
+            raise ValueError(
+                "limit/partition_columns do not apply to run_stream: the "
+                "stream's checkpoint already scopes work to NEW files")
+
+        mode = MigrationMode.parse(self.mode)
+        mapping = self._mapping()
+        ctypes = (", ".join(f"{c} {t}" for c, t in mapping.type_override.items())
+                  if mapping and mapping.type_override else None)
+        # schema inference needs a batch read (file streams require an
+        # explicit schema); also validates the source exists up front
+        import os
+
+        batch_src = read_table(spark, self.source_path, fmt=self.source_format)
+        reader = (spark.readStream.format(self.source_format)
+                  .schema(batch_src.schema)
+                  .options(**({"header": "true"}
+                              if self.source_format == "csv" else {})))
+        if os.path.isdir(self.source_path) or "://" in self.source_path:
+            stream = reader.load(self.source_path)
+        else:  # single local file: file sources need a directory + glob
+            base, fname = os.path.split(self.source_path.rstrip("/"))
+            stream = reader.option("pathGlobFilter", fname).load(base)
+
+        totals = {"rows_written": 0, "batches": 0}
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            # null_policy='fail' runs its eager count inside _transform
+            # and raises BEFORE the write, aborting the stream
+            out = self._transform(batch_df)
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+            batch_mode = (mode if totals["batches"] == 0 and batch_id == 0
+                          else MigrationMode.APPEND)
+            write_table(out, self.destination_path,
+                        fmt=self.destination_format, mode=batch_mode,
+                        jdbc_options=self.destination_jdbc,
+                        create_table_column_types=ctypes,
+                        partition_by=self.write_partition_by or None)
+            totals["rows_written"] += int(obs.get["n"])
+            totals["batches"] += 1
+
+        writer = (stream.writeStream.foreachBatch(handle)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        q = writer.start()
+        q.awaitTermination()
+        return {
+            "status": "success",
+            "destination": self.destination_path,
+            "mode": mode.value,
+            "rows_written": totals["rows_written"],
+            "batches": totals["batches"],
+            "checkpoint": checkpoint_dir,
         }
 
     # ------------------------------------------------------------------

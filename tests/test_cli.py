@@ -48,3 +48,35 @@ def test_cli_config_file_with_mapping(spark, sf_dir, tmp_path):
     back = spark.read.parquet(dest)
     assert "total_price" in back.columns and "tag" in back.columns
     assert back.filter("tag NOT LIKE 'X-%'").count() == 0
+
+
+def test_cli_stream_migration(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200) \
+        .write.mode("overwrite").parquet(src)
+    rc = main([
+        "--source-path", src, "--destination-path", dest,
+        "--mode", "overwrite", "--yes",
+        "--stream", "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(dest).count() == 200
+    # a second catch-up run with nothing new writes nothing new
+    rc = main([
+        "--source-path", src, "--destination-path", dest,
+        "--mode", "overwrite", "--yes",
+        "--stream", "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(dest).count() == 200
+
+
+def test_cli_stream_requires_checkpoint(tmp_path, capsys):
+    rc = main([
+        "--source-path", str(tmp_path), "--destination-path", str(tmp_path / "o"),
+        "--stream", "--yes",
+    ])
+    assert rc == 2
+    assert "checkpoint" in capsys.readouterr().err

@@ -235,3 +235,48 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(order_month" in plan, plan
     expected = o.filter(F.col("order_month") == pick).count()
     assert filtered.count() == expected
+
+
+def test_run_stream_incremental(spark, sf_dir, tmp_path):
+    """Streaming migration: drain existing files, then migrate ONLY the
+    delta on the next run (checkpoint-scoped incrementality), applying the
+    same mapping chain as the batch path."""
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    dest = str(tmp_path / "stream_dest")
+    ckpt = str(tmp_path / "stream_ckpt")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(400)
+    base.write.mode("overwrite").parquet(src)
+    shutil.rmtree(f"{src}/_spark_metadata", ignore_errors=True)
+
+    mapping = {"rename": {"o_totalprice": "total_price"},
+               "computed": {"status_tag": "concat('S-', o_orderstatus)"}}
+    job = MigrationJob(source_path=src, destination_path=dest,
+                       mode="overwrite", mapping=mapping)
+    r1 = job.run_stream(spark, ckpt)
+    assert r1["status"] == "success"
+    assert r1["rows_written"] == 400
+    got = spark.read.parquet(dest)
+    assert "total_price" in got.columns and "status_tag" in got.columns
+    assert got.count() == 400
+
+    # new file arrives; a fresh catch-up run migrates ONLY the delta
+    delta = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .orderBy("o_orderkey").limit(100))
+    delta.coalesce(1).write.mode("append").parquet(src)
+    r2 = job.run_stream(spark, ckpt)
+    assert r2["rows_written"] == 100  # not 500: checkpoint skips old files
+    assert spark.read.parquet(dest).count() == 500  # appended, not clobbered
+
+
+def test_run_stream_rejects_unsupported(spark, sf_dir, tmp_path):
+    job = MigrationJob(source_path=f"{sf_dir}/orders.parquet",
+                       destination_path=str(tmp_path / "d"),
+                       source_format="jdbc")
+    with pytest.raises(ValueError, match="file-based"):
+        job.run_stream(spark, str(tmp_path / "c"))
+    job2 = MigrationJob(source_path=f"{sf_dir}/orders.parquet",
+                        destination_path=str(tmp_path / "d"), limit=10)
+    with pytest.raises(ValueError, match="NEW files"):
+        job2.run_stream(spark, str(tmp_path / "c"))
