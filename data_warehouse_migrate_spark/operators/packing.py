@@ -1,0 +1,80 @@
+"""Sequence packing for LLM training data (beyond-reference;
+SURVEY.md §7.3).
+
+GPT-style concat-and-chunk packing: documents are concatenated in a
+deterministic order and split at fixed token-budget boundaries, so every
+training sequence is exactly ``budget`` tokens with no padding (the
+standard pre-training data layout; documents may span a chunk boundary).
+The assignment for each document is pure arithmetic over a running token
+total — which makes it ONE window shuffle in Spark, deterministic under
+any partitioning, and expressible in ANSI SQL for the DuckDB oracle.
+
+100 TB shape: a single ``sum() OVER (PARTITION BY group ORDER BY id)``
+— the shuffle is keyed by ``group`` (``pmod(hash(id), n_groups)``), so
+parallelism and per-reducer state are set by ``n_groups``, not corpus
+size; there are no all-pairs stages and no driver-side data. Groups
+mirror how a real pipeline shards packing across workers: packing is
+sequential WITHIN a shard by construction, embarrassing-parallel across
+shards. Size ``n_groups`` ≈ cores-at-target-scale (or files); each group
+needs only its own running total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions.text import token_count
+
+
+def pack_sequences(df: DataFrame, text_col: str, id_col: str,
+                   budget: int = 2048, n_groups: int = 32,
+                   group_expr=None) -> DataFrame:
+    """Assign every document a training-sequence slot.
+
+    Returns (id, n_tokens, pack_group, seq_id, start_offset) where
+    ``seq_id`` is the global chunk index the document STARTS in and
+    ``start_offset`` its token offset inside that chunk; a document with
+    ``start_offset + n_tokens > budget`` spans into the next chunk(s) —
+    concat-and-chunk semantics, no padding, bounded by arithmetic only.
+
+    Deterministic: documents are ordered by id within
+    ``pmod(hash(id), n_groups)`` groups (Murmur3 — balanced for arbitrary
+    id spaces), independent of input partitioning. Pass ``group_expr``
+    (any long Column) to override sharding — e.g. ``pmod(id, n)`` when a
+    cross-engine-reproducible assignment matters more than hash balance
+    (the oracle-checked registry query does). Empty/whitespace documents
+    count 0 tokens and occupy a slot of zero width (kept — dropping is a
+    quality-filter decision, not a packing one).
+    """
+    if group_expr is None:
+        group_expr = F.pmod(F.hash(F.col(id_col)), F.lit(n_groups))
+    w = (Window.partitionBy("pack_group").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        group_expr.cast("long").alias("pack_group"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (base
+            .withColumn("__before", cum_before)
+            .select(
+                "id", "n_tokens", "pack_group",
+                (F.col("pack_group") * F.lit(1_000_000_000)
+                 + F.floor(F.col("__before") / budget)).alias("seq_id"),
+                F.pmod(F.col("__before"), F.lit(budget)).alias("start_offset")))
+
+
+def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-group packing summary: documents, tokens, sequences produced
+    (ceil of the group total), and fill ratio of the last (only partially
+    filled) sequence — the whole-corpus waste metric for concat-and-chunk
+    is just ``1 - total_tokens / (n_seqs * budget)``."""
+    return (packed.groupBy("pack_group")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .withColumn("n_seqs",
+                        F.ceil(F.col("total_tokens") / budget).cast("long"))
+            .withColumn("fill_ratio",
+                        F.round(F.col("total_tokens")
+                                / (F.col("n_seqs") * budget), 6)))

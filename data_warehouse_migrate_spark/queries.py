@@ -1805,6 +1805,75 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline: sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_GROUPS = 8
+
+_PACKED_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+         doc_id % {_PACK_GROUPS} AS pack_group
+  FROM documents),
+c AS (
+  SELECT id, n_tokens, pack_group,
+         CAST(sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - n_tokens AS bef
+  FROM t)
+SELECT id, n_tokens, pack_group,
+       pack_group * 1000000000
+         + CAST(floor(bef / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       bef % {_PACK_BUDGET} AS start_offset
+FROM c
+"""
+
+
+def _packed(spark, sf_dir):
+    from data_warehouse_migrate_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "text", "doc_id", budget=_PACK_BUDGET, n_groups=_PACK_GROUPS,
+        # modulo sharding (not hash): reproducible across engines, so the
+        # oracle can replay the assignment exactly; production default is
+        # Murmur3-hash sharding for arbitrary id spaces
+        group_expr=F.pmod(F.col("doc_id"), F.lit(_PACK_GROUPS)))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-sequence assignment: one window shuffle
+    keyed by pack_group; every column is arithmetic over a running token
+    total, so the oracle replays it exactly."""
+    return _packed(spark, sf_dir)
+
+
+O_PACK_SEQUENCES = _PACKED_SQL
+
+
+def q_packing_stats(spark, sf_dir):
+    """Per-shard packing rollup: sequences produced and fill ratio."""
+    from data_warehouse_migrate_spark.operators.packing import packing_stats
+
+    return packing_stats(_packed(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+O_PACKING_STATS = f"""
+WITH p AS ({_PACKED_SQL})
+SELECT pack_group, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS n_seqs,
+       round(sum(n_tokens)
+             / (CAST(ceil(sum(n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+                * {_PACK_BUDGET}.0), 6) AS fill_ratio
+FROM p GROUP BY pack_group
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1896,6 +1965,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-verified queries up front plus the near-dup exact twin at its
     # edge — keeps its round-3 composition; rotate into the window next
     "dedup_exact_stream": q_dedup_exact_stream,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1929,6 +2000,8 @@ ORACLES: dict[str, str] = {
     "range_join_clicks": O_RANGE_JOIN_CLICKS,
     "events_hourly_stream": O_EVENTS_HOURLY_STREAM,
     "dedup_exact_stream": O_DEDUP_EXACT_STREAM,
+    "pack_sequences": O_PACK_SEQUENCES,
+    "packing_stats": O_PACKING_STATS,
     "hypertable_rollup": O_HYPERTABLE_ROLLUP,
     "late_ship_orders": O_LATE_SHIP_ORDERS,
     "customers_without_orders": O_CUSTOMERS_WITHOUT_ORDERS,

@@ -1,0 +1,49 @@
+import pyspark.sql.functions as F
+
+from data_warehouse_migrate_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+def test_pack_sequences_arithmetic(spark):
+    # one group, known token counts -> hand-checkable chunk layout
+    rows = [(1, "a b c d"),          # 4 tokens, starts seq 0 @ 0
+            (2, "e f g"),            # 3 tokens, starts seq 0 @ 4
+            (3, "h i j k l m n o"),  # 8 tokens, starts seq 0 @ 7, spans
+            (4, "p q"),              # 2 tokens, starts seq 1 @ 5
+            (5, "")]                 # 0 tokens, zero-width slot @ 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in pack_sequences(
+        df, "text", "doc_id", budget=10, n_groups=1,
+        group_expr=F.lit(0)).collect()}
+    assert [out[i].n_tokens for i in range(1, 6)] == [4, 3, 8, 2, 0]
+    assert [out[i].seq_id for i in range(1, 6)] == [0, 0, 0, 1, 1]
+    assert [out[i].start_offset for i in range(1, 6)] == [0, 4, 7, 5, 7]
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = pack_sequences(docs, "text", "doc_id", budget=256, n_groups=4)
+    b = pack_sequences(docs.repartition(7), "text", "doc_id",
+                       budget=256, n_groups=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every document lands in exactly one slot
+    assert a.count() == docs.count()
+    assert a.select("id").distinct().count() == docs.count()
+    # offsets always inside the budget
+    assert a.filter((F.col("start_offset") < 0)
+                    | (F.col("start_offset") >= 256)).count() == 0
+
+
+def test_packing_stats_conservation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, "text", "doc_id", budget=256, n_groups=4)
+    stats = packing_stats(packed, budget=256)
+    rows = stats.collect()
+    assert {r.pack_group for r in rows} <= {0, 1, 2, 3}
+    total = packed.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r.total_tokens for r in rows) == total
+    for r in rows:
+        assert 0 < r.fill_ratio <= 1.0
+        assert r.n_seqs * 256 >= r.total_tokens > (r.n_seqs - 1) * 256
