@@ -264,3 +264,38 @@ def top_ngram_fraction(col: Column, n: int = 2) -> Column:
         lambda acc: acc["best"])
     return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
         F.round(best / F.size(grams), 6))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (standard pre-training hygiene: redact contact strings
+# before anything downstream sees the text). Pure regexp_replace chains —
+# JVM expressions with exact DuckDB twins; patterns stay within the
+# Java-regex ∩ RE2 subset (character classes, \b, bounded repeats) so both
+# engines match identically.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # applied in declaration order: URLs first (they may contain @ or
+    # digit runs that the later patterns would otherwise bite into)
+    "url": (r"https?://[^\s]+", "[URL]"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    "phone": (r"\+?[0-9][0-9-]{6,}[0-9]", "[PHONE]"),
+}
+
+
+def pii_counts_exprs(col: Column) -> list[Column]:
+    """One ``n_{kind}`` count column per PII pattern (counted on the RAW
+    text, before any replacement disturbs overlapping matches)."""
+    return [F.regexp_count(col, F.lit(pat)).alias(f"n_{kind}")
+            for kind, (pat, _) in PII_PATTERNS.items()]
+
+
+def redact_pii(col: Column) -> Column:
+    """Text with every PII match replaced by its ``[KIND]`` token —
+    a fixed chain of 4 ``regexp_replace`` (all-occurrence) expressions,
+    order as declared in ``PII_PATTERNS``."""
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

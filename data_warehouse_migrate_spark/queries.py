@@ -1874,6 +1874,62 @@ FROM p GROUP BY pack_group
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline: PII scrubbing
+# ---------------------------------------------------------------------------
+
+def q_scrub_pii(spark, sf_dir):
+    """Redact emails / URLs / IPv4s / phone numbers (pre-training
+    hygiene). The synthetic corpus carries no PII, so the query injects a
+    deterministic contact block derived from doc_id first — the oracle
+    replays the same injection, so every regex is exercised for real on
+    every row (counts are taken on the raw text, before redaction)."""
+    from data_warehouse_migrate_spark.functions.text import (
+        pii_counts_exprs,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@mail.example.com via "),
+        F.lit("https://ex.org/d/"), sid,
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 tel 555-0100-"), sid)
+    return d.select(
+        "doc_id",
+        *pii_counts_exprs(injected),
+        redact_pii(injected).alias("clean_text"))
+
+
+O_SCRUB_PII = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com via https://ex.org/d/'
+              || CAST(doc_id AS VARCHAR)
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.1 tel 555-0100-' || CAST(doc_id AS VARCHAR) AS raw
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(raw,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(raw, '\+?[0-9][0-9-]{6,}[0-9]')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, 'https?://[^\s]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+         '\+?[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1967,6 +2023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_stream": q_dedup_exact_stream,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
+    "scrub_pii": q_scrub_pii,
 }
 
 ORACLES: dict[str, str] = {
@@ -2002,6 +2059,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_stream": O_DEDUP_EXACT_STREAM,
     "pack_sequences": O_PACK_SEQUENCES,
     "packing_stats": O_PACKING_STATS,
+    "scrub_pii": O_SCRUB_PII,
     "hypertable_rollup": O_HYPERTABLE_ROLLUP,
     "late_ship_orders": O_LATE_SHIP_ORDERS,
     "customers_without_orders": O_CUSTOMERS_WITHOUT_ORDERS,

@@ -105,3 +105,30 @@ def test_minhash_signature_shape_and_similarity(spark):
     match12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
     match13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
     assert match12 > match13  # similar docs agree on more minhash slots
+
+
+def test_redact_pii(spark):
+    from data_warehouse_migrate_spark.functions.text import (
+        pii_counts_exprs,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b-c_d@sub.example.co.uk now"),
+        (2, "see https://x.io/p?q=1#f and http://y.org"),
+        (3, "host 192.168.0.1 and 10.0.255.7 up"),
+        (4, "call +1-555-0100-999 or 5550100123"),
+        (5, "clean text with no pii at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id", *pii_counts_exprs(F.col("text")),
+        redact_pii(F.col("text")).alias("clean")).collect()}
+    assert out[1].n_email == 1 and out[1].clean == "mail [EMAIL] now"
+    assert out[2].n_url == 2 and out[2].clean == "see [URL] and [URL]"
+    assert out[3].n_ipv4 == 2 and out[3].clean == "host [IP] and [IP] up"
+    assert out[4].n_phone == 2 and out[4].clean == "call [PHONE] or [PHONE]"
+    assert out[5].clean == rows[4][1]
+    assert sum([out[5].n_url, out[5].n_email, out[5].n_ipv4, out[5].n_phone]) == 0
+    assert out[6].clean is None and out[6].n_email is None
