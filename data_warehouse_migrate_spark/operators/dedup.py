@@ -478,7 +478,7 @@ def _probe_keys(key, r: int, probe_bits: int):
 
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95,
-                        n_planes: int = 24, bands: int = 4,
+                        n_planes: int | None = None, bands: int = 4,
                         probe_bits: int = 1,
                         diag: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold — banded
@@ -491,22 +491,31 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     recall is probabilistic. ``embedding_exact_pairs`` is the brute-force
     companion that pins recall (asserted in tests/test_dedup.py).
 
+    ``n_planes=None`` (default) AUTO-SIZES the key space from the corpus:
+    r = max(6, ceil(log2(n / 8))) bits per band targets ~8 rows per
+    bucket at any scale (2k vectors → r=8; 1e9 → r=27), at the cost of one
+    count() over the input. This matters: the key space does NOT scale by
+    itself, and a fixed r=6 (64 buckets/band) that is fine at 2k vectors
+    degenerates toward all-pairs as the corpus grows — measured 75M
+    candidate pairs (37% of all possible) on a 20k-vector corpus, vs
+    bounded occupancy with auto-sizing (PLANS.md, embedding 10× stress).
+
     S-curve: a plane bit agrees with probability p = 1 − θ/π (cos θ = t).
     A band matches with P ≈ Σ_{m≤probe_bits} C(r,m)·p^(r−m)(1−p)^m and a
     pair candidates with 1 − (1 − P_band)^bands. The default threshold
     (0.95) is the production near-duplicate operating point: at t=0.95
-    (p≈0.90) the defaults r=6, b=4, probe 1 give recall ≈ 0.999. Looser
-    thresholds need proportionally wider nets — the validation suite runs
-    t=0.4 (the synthetic corpus' cosines top out near 0.51) and passes it
-    EXPLICITLY at every call site, where r=6/probe-1 recall is ≈ 0.74,
-    pinned against ``embedding_exact_pairs`` in tests/test_dedup.py. At
-    100 TB widen the bands with the corpus: r=24, b=4, probe_bits=2 keeps
-    ≈0.96 recall at t=0.95 with 16M buckets per band, so bucket occupancy
-    (and the in-bucket join) stays bounded as the corpus grows. Candidate
-    generation is a (band, key)-equi join — never all-pairs; identical
-    vectors share all band keys, so run ``drop_exact_dups``-style collapse
-    first on duplicate-heavy corpora.
+    (p≈0.90), r=8/probe-1 gives recall ≈ 0.97 per the formula; larger
+    auto-sized r wants ``probe_bits=2`` to hold recall (r=16, probe 2:
+    ≈ 0.98 at t=0.95). Looser thresholds need proportionally wider nets —
+    the validation suite runs t=0.4 (the synthetic corpus' cosines top out
+    near 0.51) and passes n_planes/probe_bits EXPLICITLY at every call
+    site, pinned against ``embedding_exact_pairs`` in tests/test_dedup.py.
+    Candidate generation is a (band, key)-equi join — never all-pairs;
+    identical vectors share all band keys, so run ``drop_exact_dups``-
+    style collapse first on duplicate-heavy corpora.
     """
+    import math
+
     from data_warehouse_migrate_spark.functions.vectors import (
         band_keys_from_projections,
         dot,
@@ -514,6 +523,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         normalize,
     )
 
+    if n_planes is None:
+        n = df.count()
+        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
+        n_planes = bands * r
     r = n_planes // bands
     assert bands * r == n_planes, "n_planes must divide evenly into bands"
     # materialize once: unit-normalized vectors (per-pair cosine becomes a
@@ -545,7 +558,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                  .agg(F.count("*").alias("nb"), F.max("count").alias("mx"))
                  .first())
         diag.update(vectors=base.count(), candidate_pairs=cand.count(),
-                    n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]))
+                    n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
+                    n_planes=n_planes, r_bits=r)
     n_rows = base.count()  # instant: cached by _materialize
     va = _maybe_broadcast(
         base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), n_rows)

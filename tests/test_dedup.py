@@ -107,6 +107,27 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.8
 
 
+def test_embedding_near_dups_autosized_key_space(spark, sf_dir):
+    # n_planes=None sizes r from the corpus so bucket occupancy stays
+    # bounded as it grows (fixed r=6 measured 37%-of-all-pairs candidates
+    # on a 20k corpus — PLANS.md); planted exact copies must still be
+    # found (identical vectors collide in every band at any r)
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    diag: dict = {}
+    out = embedding_near_dups(emb.unionByName(copies), "embedding", "vec_id",
+                              threshold=0.95, probe_bits=1, diag=diag)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    for r in emb.limit(20).select("vec_id").collect():
+        assert (r.vec_id, r.vec_id + 1_000_000) in pairs
+    n = diag["vectors"]
+    assert diag["r_bits"] >= 6 and 2 ** diag["r_bits"] >= n / 16
+    # candidates stay far from all-pairs on this (duplicate-planted) corpus
+    assert diag["candidate_pairs"] < 0.35 * n * (n - 1) / 2
+
+
 def test_dedup_plans_have_no_cartesian(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from data_warehouse_migrate_spark.plans.dryrun import explain_plan
