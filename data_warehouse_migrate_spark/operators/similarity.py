@@ -189,7 +189,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame,
-             k: int = 10, n_planes: int = 24, bands: int = 4,
+             k: int = 10, n_planes: int | None = None, bands: int = 4,
              probe_bits: int = 1,
              query_id: str = "query_id", query_vec: str = "query_vec",
              corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
@@ -203,19 +203,27 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     Single-table sign-LSH cannot hold recall on unclustered data (one
     r-bit key match has P ≈ p^r, p = 1−θ/π); the union over tables gives
     1−(1−P_table)^bands — the standard recall/storage tradeoff, at
-    ``bands``× index entries per vector. Key space per table is 2^r: size
-    r ≈ log2(corpus/target_bucket) so bucket occupancy — and the per-query
-    candidate count — stays bounded as the corpus grows (r=6 suits ~10^4
-    vectors; a 10^9-vector corpus wants r≥24). The join is (table,
-    key)-equi, shuffle-partitioned on the key — never all-pairs; at 100 TB
-    the indexed corpus is written bucketed by (table, key) once and reused
-    across query batches."""
+    ``bands``× index entries per vector. Key space per table is 2^r and
+    does NOT grow by itself: ``n_planes=None`` (default) auto-sizes
+    r = max(6, ceil(log2(corpus/8))) from one corpus count() — ~8 rows
+    per bucket at any scale (same sizing rule, same rationale, and same
+    measured 20k-corpus degeneration as ``dedup.embedding_near_dups``;
+    raise ``probe_bits`` with larger r per that docstring's S-curve).
+    The join is (table, key)-equi, shuffle-partitioned on the key — never
+    all-pairs; at 100 TB the indexed corpus is written bucketed by
+    (table, key) once and reused across query batches."""
+    import math
+
     from data_warehouse_migrate_spark.functions.vectors import (
         band_keys_from_projections,
         hyperplane_projections,
     )
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
+    if n_planes is None:
+        n = corpus.count()
+        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
+        n_planes = bands * r
     r = n_planes // bands
     assert bands * r == n_planes, "n_planes must divide evenly into bands"
 
