@@ -253,6 +253,99 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
             .select("query_id", "corpus_id", "cosine", "rank"))
 
 
+def build_lsh_index(corpus: DataFrame, table: str,
+                    n_planes: int | None = None, bands: int = 4,
+                    corpus_id: str = "corpus_id",
+                    corpus_vec: str = "corpus_vec",
+                    n_buckets: int = 64) -> dict:
+    """Index ONCE, query many: persist the banded hyperplane index as a
+    BUCKETED managed table so later query batches join it without
+    re-projecting or re-shuffling the corpus (the 100 TB contract the
+    ``lsh_topk`` docstring promises). Bucketed+sorted by (band, band_key)
+    — exactly the probe join key — so the planner reuses the table's
+    layout and only the (tiny) probe side exchanges.
+
+    The hyperplanes are deterministic in (dimension, plane) — see
+    ``vectors.hyperplane_projections`` — so probes computed in ANY later
+    session land in the right buckets as long as they use the same
+    n_planes/bands; those are recorded on the table as TBLPROPERTIES
+    (``dwms.lsh.n_planes`` / ``dwms.lsh.bands``), making the index
+    self-describing. Returns {table, n_planes, bands, r}.
+    """
+    import math
+
+    from data_warehouse_migrate_spark.functions.vectors import (
+        band_keys_from_projections,
+        hyperplane_projections,
+    )
+    from data_warehouse_migrate_spark.sources.sinks import write_bucketed
+
+    if n_planes is None:
+        n = corpus.count()
+        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
+        n_planes = bands * r
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    keys = band_keys_from_projections(
+        hyperplane_projections(F.col(corpus_vec), n_planes), bands, r)
+    rows = spread_input(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).alias("corpus_vec"),
+        F.posexplode(keys).alias("band", "band_key"))
+    write_bucketed(rows, table, ["band", "band_key"], n_buckets=n_buckets,
+                   sort_cols=["band", "band_key"])
+    spark = corpus.sparkSession
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES("
+              f"'dwms.lsh.n_planes'='{n_planes}', 'dwms.lsh.bands'='{bands}')")
+    return {"table": table, "n_planes": n_planes, "bands": bands, "r": r}
+
+
+def lsh_topk_indexed(queries: DataFrame, index_table: str,
+                     k: int = 10, probe_bits: int = 1,
+                     query_id: str = "query_id", query_vec: str = "query_vec",
+                     exclude_self: bool = True) -> DataFrame:
+    """ANN top-k against a ``build_lsh_index`` table. Reads
+    n_planes/bands from the table's TBLPROPERTIES, projects ONLY the
+    query batch, and probes the bucketed index — the corpus side is
+    scanned in its stored bucket layout (no exchange); only the probe
+    rows shuffle. Output schema matches ``lsh_topk``."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        band_keys_from_projections,
+        hyperplane_projections,
+    )
+    from data_warehouse_migrate_spark.operators.dedup import _probe_keys
+
+    spark = queries.sparkSession
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()}
+    n_planes = int(props["dwms.lsh.n_planes"])
+    bands = int(props["dwms.lsh.bands"])
+    r = n_planes // bands
+
+    keys = band_keys_from_projections(
+        hyperplane_projections(F.col(query_vec), n_planes), bands, r)
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("__qv"),
+                        F.posexplode(keys).alias("band", "band_key"))
+         .select("query_id", "__qv", "band",
+                 F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
+                  .alias("band_key")))
+    c = spark.table(index_table)
+    scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = (scored
+              .withColumn("cosine",
+                          F.round(cosine(F.col("__qv"), F.col("corpus_vec")), 6))
+              .select("query_id", "corpus_id", "cosine")
+              .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
 def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
                               label_col: str = "label",
                               id_col: str = "vec_id") -> DataFrame:

@@ -185,3 +185,44 @@ def test_ivf_kmeans_precomputed_reuse(emb):
               for r in ivf_topk(_queries(emb), _corpus(emb), k=3,
                                 centroids=cents).collect()}
     assert inline == reused
+
+
+def test_lsh_index_build_and_query(spark, sf_dir):
+    """Index once, query many: results must equal the one-shot lsh_topk
+    at the same parameters, and the index side of the probe join must be
+    scanned in its stored bucket layout (no Exchange above its scan)."""
+    from data_warehouse_migrate_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(20).select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("query_vec"))
+    c = emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").alias("corpus_vec"))
+    meta = build_lsh_index(c, "lsh_idx_test", n_planes=24, bands=4,
+                           n_buckets=8)
+    try:
+        assert meta["r"] == 6
+        got = lsh_topk_indexed(q, "lsh_idx_test", k=5, probe_bits=1)
+        want = lsh_topk(q, c, k=5, n_planes=24, bands=4, probe_bits=1)
+        a = {(r.query_id, r.rank): r.corpus_id for r in got.collect()}
+        b = {(r.query_id, r.rank): r.corpus_id for r in want.collect()}
+        assert a == b and a
+        # plan: only the probe side exchanges before the join — the scan
+        # of the bucketed index feeds the SMJ without hashpartitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probes = lsh_topk_indexed(q, "lsh_idx_test", k=5, probe_bits=1)
+            plan = explain_plan(probes)
+            assert "Bucketed: true" in plan, plan
+            # exactly ONE exchange on the probe join key — the probe side;
+            # the index scan feeds the join in its stored bucket layout
+            assert plan.count("hashpartitioning(band") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
