@@ -105,6 +105,13 @@ def main(argv: list[str] | None = None) -> int:
         pt = cfg.get("processing_time")
         result = job.run_stream(spark, cfg["checkpoint"],
                                 available_now=not pt, processing_time=pt)
+        if result.get("status") == "running":
+            # always-on migration: block until externally stopped
+            q = result.pop("query")
+            result.pop("totals", None)
+            print(json.dumps(result, default=str), flush=True)
+            q.awaitTermination()
+            return 0
     else:
         result = job.run(spark)
     print(json.dumps(result, default=str))

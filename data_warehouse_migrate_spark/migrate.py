@@ -185,10 +185,13 @@ class MigrationJob:
         Incremental contract: the checkpoint tracks which source files
         were processed — a restarted job resumes where it stopped and
         never re-reads old files. ``available_now=True`` drains everything
-        currently unprocessed then stops (the incremental catch-up run:
-        schedule it instead of re-migrating the table); pass
-        ``processing_time="30 seconds"`` with ``available_now=False`` for
-        an always-on migration.
+        currently unprocessed, terminates, and returns a summary (the
+        incremental catch-up run: schedule it instead of re-migrating the
+        table). ``available_now=False`` with
+        ``processing_time="30 seconds"`` starts an ALWAYS-ON migration
+        and returns immediately with ``status="running"``, the live
+        ``query`` (stop/awaitTermination belong to the caller), and a
+        ``totals`` dict the batch handler keeps updating in place.
 
         Semantics kept from ``run()``: null_policy='fail' still executes
         its eager count — per micro-batch, on the batch DataFrame that
@@ -208,6 +211,10 @@ class MigrationJob:
             raise ValueError(
                 "run_stream requires a file-based source format "
                 f"(parquet/csv/json/orc), got {self.source_format!r}")
+        if not available_now and not processing_time:
+            raise ValueError(
+                "run_stream with available_now=False requires "
+                "processing_time (the always-on trigger interval)")
         if self.partition_columns or self.limit:
             raise ValueError(
                 "limit/partition_columns do not apply to run_stream: the "
@@ -256,18 +263,29 @@ class MigrationJob:
         writer = (stream.writeStream.foreachBatch(handle)
                   .option("checkpointLocation", checkpoint_dir))
         if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        q = writer.start()
-        q.awaitTermination()
+            # catch-up mode: drain, terminate, report what moved
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return {
+                "status": "success",
+                "destination": self.destination_path,
+                "mode": mode.value,
+                "rows_written": totals["rows_written"],
+                "batches": totals["batches"],
+                "checkpoint": checkpoint_dir,
+            }
+        # always-on mode never terminates, so blocking here could never
+        # return a summary: hand back the live StreamingQuery (stop/await
+        # belong to the caller) plus the totals dict, which the foreachBatch
+        # closure keeps updating in place as batches commit
+        q = writer.trigger(processingTime=processing_time).start()
         return {
-            "status": "success",
+            "status": "running",
             "destination": self.destination_path,
             "mode": mode.value,
-            "rows_written": totals["rows_written"],
-            "batches": totals["batches"],
+            "totals": totals,
             "checkpoint": checkpoint_dir,
+            "query": q,
         }
 
     # ------------------------------------------------------------------

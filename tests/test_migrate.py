@@ -280,3 +280,30 @@ def test_run_stream_rejects_unsupported(spark, sf_dir, tmp_path):
                         destination_path=str(tmp_path / "d"), limit=10)
     with pytest.raises(ValueError, match="NEW files"):
         job2.run_stream(spark, str(tmp_path / "c"))
+
+
+def test_run_stream_always_on(spark, sf_dir, tmp_path):
+    """processing_time mode returns a live query immediately; totals
+    advance as batches commit; the caller owns stop()."""
+    import time
+
+    src = str(tmp_path / "ao_src")
+    dest = str(tmp_path / "ao_dest")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100) \
+        .write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path=dest, mode="append")
+    with pytest.raises(ValueError, match="processing_time"):
+        job.run_stream(spark, str(tmp_path / "ao_ckpt0"),
+                       available_now=False)
+    r = job.run_stream(spark, str(tmp_path / "ao_ckpt"),
+                       available_now=False, processing_time="1 seconds")
+    q = r["query"]
+    try:
+        assert r["status"] == "running"
+        deadline = time.time() + 60
+        while r["totals"]["batches"] == 0 and time.time() < deadline:
+            time.sleep(0.5)
+        assert r["totals"] == {"rows_written": 100, "batches": 1}
+        assert spark.read.parquet(dest).count() == 100
+    finally:
+        q.stop()
