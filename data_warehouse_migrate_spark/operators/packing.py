@@ -47,6 +47,9 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
     count 0 tokens and occupy a slot of zero width (kept — dropping is a
     quality-filter decision, not a packing one).
     """
+    if budget < 1 or n_groups < 1:
+        raise ValueError(
+            f"budget and n_groups must be >= 1 (got {budget}, {n_groups})")
     if group_expr is None:
         group_expr = F.pmod(F.hash(F.col(id_col)), F.lit(n_groups))
     w = (Window.partitionBy("pack_group").orderBy("id")
