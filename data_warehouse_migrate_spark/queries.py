@@ -1937,10 +1937,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round.  The 22
     # queries below went unverified in rounds 1-2 (they sat past position
-    # 50), so they lead; next come the 28 queries most exposed to this
-    # round's code changes (dedup/text/embedding paths) plus the flagship
-    # and a reference-surface spread; the tail holds queries that were
-    # driver-green in BOTH r01 and r02 on untouched code paths.
+    # 50), so they lead; next come the 4 NEW round-3 queries (streaming
+    # dedup, sequence packing, PII scrub — highest verification value,
+    # zero driver rows so far) and then the queries most exposed to this
+    # round's code changes (dedup/text/embedding paths) plus the flagship;
+    # the tail holds queries that were driver-green in BOTH r01 and r02 on
+    # untouched code paths (4 of them — scan_project_filter,
+    # latest_partition_scan, null_policy_skip, default_backfill — rotated
+    # out this round to make room; their readers/mapping/constraints code
+    # is unchanged since r02 and their regression risk is lowest).
     #
     # --- 1-22: first driver verification (never had a CORRECTNESS row) ---
     "dedup_exact": q_dedup_exact,
@@ -1965,14 +1970,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reservoir_sample": q_reservoir_sample,
     "doc_repetition": q_doc_repetition,
     "contamination_check": q_contamination_check,
-    # --- 23-50: regression-sensitive this round + flagship + spread ---
+    # --- 23-26: NEW this round (streaming dedup, packing, PII scrub) ---
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
+    "scrub_pii": q_scrub_pii,
+    # --- 27-50: regression-sensitive this round + flagship + spread ---
     "migrate_pipeline": q_migrate_pipeline,
-    "scan_project_filter": q_scan_project_filter,
-    "latest_partition_scan": q_latest_partition_scan,
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
-    "null_policy_skip": q_null_policy_skip,
-    "default_backfill": q_default_backfill,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
@@ -2017,13 +2023,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_users": q_set_ops_users,
     "props_json_extract": q_props_json_extract,
     "event_type_pivot": q_event_type_pivot,
-    # appended (not inserted) so the driver's 50-row check window — the 22
-    # never-verified queries up front plus the near-dup exact twin at its
-    # edge — keeps its round-3 composition; rotate into the window next
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "pack_sequences": q_pack_sequences,
-    "packing_stats": q_packing_stats,
-    "scrub_pii": q_scrub_pii,
+    # rotated out of the window this round (driver-green r01 AND r02,
+    # code paths untouched since) to make room for the 4 new queries
+    "scan_project_filter": q_scan_project_filter,
+    "latest_partition_scan": q_latest_partition_scan,
+    "null_policy_skip": q_null_policy_skip,
+    "default_backfill": q_default_backfill,
 }
 
 ORACLES: dict[str, str] = {
