@@ -56,13 +56,79 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 # Broadcast the (cached, already-counted) set side of a verification join
-# below this row count — planner size estimates for cached subtrees are
-# unreliable at plan time, so we decide from the actual materialized count.
-_BROADCAST_SETS_MAX_ROWS = 2_000_000
+# below this estimated SIZE — planner size estimates for cached subtrees
+# are unreliable at plan time, so we decide from the actual materialized
+# count times a measured average row width. A row-count cutoff is wrong
+# for variable-width payloads: 2M rows of shingle arrays (hundreds of
+# longs per doc) or embedding vectors is multi-GB — past the 8 GB
+# broadcast hard cap and enough to OOM the driver, at exactly the corpus
+# sizes where the guard matters. 512 MB keeps the broadcast comfortably
+# inside executor memory at 1000-executor scale.
+_BROADCAST_MAX_BYTES = 512 * 1024 * 1024
+_BROADCAST_SAMPLE_ROWS = 2048
 
 
-def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
-    return F.broadcast(df) if n_rows <= _BROADCAST_SETS_MAX_ROWS else df
+def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
+    """Estimated in-memory bytes per row of ``df``.
+
+    Fixed-width columns are priced from the schema alone (no job);
+    variable-width columns (string/binary/array) are priced by averaging
+    octet/element counts over the first ``_BROADCAST_SAMPLE_ROWS`` rows —
+    one tiny aggregate on an already-cached subtree. A head sample is an
+    estimate, not a census; the 512 MB cutoff leaves a wide margin below
+    the 8 GB broadcast cap to absorb sampling bias.
+    """
+    from pyspark.sql import types as T
+
+    fixed = 8.0  # per-row null bitmap / object overhead
+    var_exprs = []
+    for fld in df.schema.fields:
+        dt = fld.dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            var_exprs.append(
+                F.coalesce(F.octet_length(F.col(fld.name)).cast("double"),
+                           F.lit(0.0)) + F.lit(16.0))
+        elif isinstance(dt, T.ArrayType):
+            el = dt.elementType
+            w = (8.0 if isinstance(el, (T.LongType, T.DoubleType,
+                                        T.TimestampType))
+                 else 4.0 if isinstance(el, (T.IntegerType, T.FloatType,
+                                             T.DateType))
+                 else 16.0)  # strings/structs inside arrays: rough
+            var_exprs.append(
+                F.coalesce(F.size(F.col(fld.name)).cast("double"),
+                           F.lit(0.0)) * w + F.lit(16.0))
+        elif isinstance(dt, (T.BooleanType, T.ByteType)):
+            fixed += 1.0
+        elif isinstance(dt, (T.IntegerType, T.FloatType, T.DateType,
+                             T.ShortType)):
+            fixed += 4.0
+        else:  # long/double/timestamp/decimal and anything exotic
+            fixed += 8.0
+    if not var_exprs:
+        return fixed
+    total = var_exprs[0]
+    for e in var_exprs[1:]:
+        total = total + e
+    row = (df.limit(min(n_rows, _BROADCAST_SAMPLE_ROWS) or 1)
+           .agg(F.avg(total)).first())
+    return fixed + float(row[0] or 0.0)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int,
+                     avg_row_bytes: float | None = None) -> DataFrame:
+    """Broadcast iff ``n_rows × avg_row_bytes`` fits ``_BROADCAST_MAX_BYTES``.
+
+    Callers joining the same base frame twice (id_a/id_b verification
+    joins) should compute ``avg_row_bytes`` once via :func:`_avg_row_bytes`
+    and pass it to both calls — one sampling job instead of two. Returns
+    ``df`` unchanged (same object) when the broadcast is declined, so the
+    join falls back to a shuffle hash/sort-merge join.
+    """
+    if avg_row_bytes is None:
+        avg_row_bytes = _avg_row_bytes(df, n_rows)
+    return (F.broadcast(df) if n_rows * avg_row_bytes <= _BROADCAST_MAX_BYTES
+            else df)
 
 
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
@@ -276,12 +342,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         diag.update(docs=sets.count(), distinct_shingles=freq.count(),
                     prefix_rows=pref.count(), candidate_pairs=cand.count())
     n_sets = sets.count()  # instant: cached by _materialize
+    sets_bytes = _avg_row_bytes(sets.select("id", "shingles"), n_sets)
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
-        n_sets)
+        n_sets, sets_bytes)
     sb = _maybe_broadcast(
         sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
-        n_sets)
+        n_sets, sets_bytes)
     out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -339,14 +406,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         diag["candidate_pairs"] = candidates.count()
     sets = sigs.select("id", "shingles")
     n_sets = sigs.count()  # instant: cached by _materialize
+    sets_bytes = _avg_row_bytes(sets, n_sets)
     out = (
         candidates
         .join(_maybe_broadcast(
             sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
-            n_sets), "id_a")
+            n_sets, sets_bytes), "id_a")
         .join(_maybe_broadcast(
             sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
-            n_sets), "id_b")
+            n_sets, sets_bytes), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.round(
             F.col("n_inter") /
@@ -561,10 +629,13 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     n_planes=n_planes, r_bits=r)
     n_rows = base.count()  # instant: cached by _materialize
+    base_bytes = _avg_row_bytes(base.select("id", "vec"), n_rows)
     va = _maybe_broadcast(
-        base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), n_rows)
+        base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+        n_rows, base_bytes)
     vb = _maybe_broadcast(
-        base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), n_rows)
+        base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+        n_rows, base_bytes)
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))

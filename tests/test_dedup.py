@@ -172,3 +172,33 @@ def test_connected_components(spark):
     out = {r.id: r.cluster_id for r in
            connected_components(nodes, edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_broadcast_guard_is_byte_aware(spark):
+    """_maybe_broadcast declines wide payloads whose estimated bytes exceed
+    the 512 MB cap even when the row COUNT is tiny — the round-3 guard was
+    row-count-based and would have broadcast multi-GB shingle/vector sides."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        _avg_row_bytes, _maybe_broadcast)
+
+    # narrow side: 1k rows of (long, long) — a few KB, must broadcast
+    narrow = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+    est_n = _avg_row_bytes(narrow, 1000)
+    assert est_n < 100
+    assert _maybe_broadcast(narrow, 1000, est_n) is not narrow  # hinted
+
+    # wide side: each row carries a ~1 MB array → 1k rows ≈ 1 GB > 512 MB.
+    # Estimate from a metadata-identical but physically tiny frame, then
+    # hand the estimate to _maybe_broadcast (the documented shared-estimate
+    # path) so the test itself moves no gigabytes.
+    wide = spark.range(1000).select(
+        F.col("id"), F.array_repeat(F.col("id").cast("double"),
+                                    131_072).alias("payload"))
+    est_w = _avg_row_bytes(wide.limit(8), 8)
+    assert est_w > 1_000_000  # ~1 MB/row measured from the sample
+    assert _maybe_broadcast(wide, 1000, est_w) is wide  # declined: same obj
+
+    # count-based regression guard: 10M hypothetical narrow rows of 24 B
+    # (~240 MB) still broadcast — the byte guard is not just stricter
+    assert _maybe_broadcast(narrow, 10_000_000, 24.0) is not narrow
