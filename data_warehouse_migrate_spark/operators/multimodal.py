@@ -178,6 +178,12 @@ def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
     Same Arrow-batched ``mapInPandas`` shape as the image path: one
     streamed batch in executor memory at a time, media bytes never
     shuffle (the output is the narrow feature frame).
+
+    Sample widths: 8-bit (unsigned, centered at 128), 16-bit, and 32-bit
+    PCM decode explicitly by ``wave.getsampwidth()``; any other width
+    (e.g. 24-bit packed) yields the NULL-features row rather than
+    misparsing the frame buffer under a wrong dtype. RMS is in the
+    sample's native integer units (width-dependent by nature).
     """
     import io
     import wave
@@ -187,6 +193,7 @@ def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(binary_col).alias("content"))
     cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+    dtypes = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -196,10 +203,18 @@ def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
                 content = bytes(content) if content is not None else b""
                 try:
                     with wave.open(io.BytesIO(content), "rb") as w:
+                        sw = w.getsampwidth()
+                        if sw not in dtypes:
+                            rows.append((rid, len(content), None, None,
+                                         None, None, None))
+                            continue
                         nch, rate = w.getnchannels(), w.getframerate()
                         nfr = w.getnframes()
-                        pcm = np.frombuffer(w.readframes(nfr), dtype="<i2")
-                        rms = (float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                        pcm = np.frombuffer(w.readframes(nfr),
+                                            dtype=dtypes[sw]).astype(np.float64)
+                        if sw == 1:
+                            pcm -= 128.0  # 8-bit WAV is unsigned
+                        rms = (float(np.sqrt(np.mean(pcm ** 2)))
                                if pcm.size else 0.0)
                         rows.append((rid, len(content), nch, rate,
                                      nfr, nfr * 1000 // rate if rate else None,

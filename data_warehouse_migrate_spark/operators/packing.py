@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.functions.text import token_count
 
+# seq_id packs (pack_group, chunk-within-group) into one long as
+# group * _MAX_CHUNKS_PER_GROUP + chunk. A group may therefore hold at
+# most 1e9 chunks = budget×1e9 tokens (≈2×10¹² at budget 2048); the
+# chunk index is range-checked at runtime and raises on overflow rather
+# than silently colliding with the next group's ids. Sizing rule for a
+# 100 TB corpus: choose n_groups ≥ corpus_tokens / (budget × 1e9) —
+# with even hash sharding, any n_groups ≥ 32 covers ~10¹⁴ tokens.
+_MAX_CHUNKS_PER_GROUP = 1_000_000_000
+
 
 def pack_sequences(df: DataFrame, text_col: str, id_col: str,
                    budget: int = 2048, n_groups: int = 32,
@@ -59,12 +68,19 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         group_expr.cast("long").alias("pack_group"))
     cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    chunk = F.floor(F.col("__before") / budget)
+    chunk_checked = F.when(
+        chunk < _MAX_CHUNKS_PER_GROUP, chunk
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("pack_sequences: group "), F.col("pack_group"),
+        F.lit(f" exceeds {_MAX_CHUNKS_PER_GROUP} chunks (budget×1e9 "
+              "tokens); raise n_groups or budget"))))
     return (base
             .withColumn("__before", cum_before)
             .select(
                 "id", "n_tokens", "pack_group",
-                (F.col("pack_group") * F.lit(1_000_000_000)
-                 + F.floor(F.col("__before") / budget)).alias("seq_id"),
+                (F.col("pack_group") * F.lit(_MAX_CHUNKS_PER_GROUP)
+                 + chunk_checked).alias("seq_id"),
                 F.pmod(F.col("__before"), F.lit(budget)).alias("start_offset")))
 
 

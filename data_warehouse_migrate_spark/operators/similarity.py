@@ -381,7 +381,12 @@ def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
     cost is bounded by dim², never by corpus size.
 
     Returns (label, n, explained, pc: array<double>) where ``explained``
-    is the share of variance along the principal direction.
+    is the share of variance along the principal direction. ``label``
+    keeps the INPUT column's type and values: arbitrary atomic labels
+    (ints, strings, dates, NULL) are dense-ranked to a compact int index
+    for the distributed fold and mapped back on output — a NULL label is
+    its own group, matching SQL GROUP BY, never silently dropped (the
+    round-3 int-cast grouping made non-integer labels vanish).
     """
     import math
 
@@ -389,11 +394,27 @@ def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
     import pandas as pd
 
     spark = df.sparkSession
+    # Dense-rank raw label values to ints driver-side. #labels is small by
+    # the operator's own contract (driver merge holds labels·dim² floats),
+    # so this collect is bounded by labels, never corpus size.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    label_type = df.schema[label_col].dataType
+    label_vals = [r[0] for r in
+                  df.select(F.col(label_col).alias("__lab")).distinct()
+                  .collect()]
+    label_vals.sort(key=lambda v: (v is None, str(v)))
+    lab_map = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(label_vals)],
+        schema=StructType([StructField("__lab", label_type, True),
+                           StructField("__idx", IntegerType(), False)]))
     # spread first: one Arrow worker would otherwise fold every batch (the
     # 6dp rounding absorbs the sub-ulp layout sensitivity — see above)
-    src = spread_input(df).select(
-        F.col(label_col).cast("int").alias("label"),
-        F.col(vec_col).cast("array<double>").alias("__v"))
+    src = (spread_input(df)
+           .join(F.broadcast(lab_map),
+                 F.col(label_col).eqNullSafe(F.col("__lab")))
+           .select(F.col("__idx").alias("label"),
+                   F.col(vec_col).cast("array<double>").alias("__v")))
 
     def moment_partials(batches):
         acc: dict = {}  # label -> [n, sum_vec, moment_matrix]
@@ -443,8 +464,14 @@ def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
             v = -v
         lam = float(w[-1])
         tot = float(np.trace(C)) or 1.0
-        rows.append((int(label), n, round(lam / tot, 6),
+        rows.append((label_vals[label], n, round(lam / tot, 6),
                      [float(x) for x in np.round(v, 6)]))
 
-    return spark.createDataFrame(
-        rows, f"{label_col} int, n long, explained double, pc array<double>")
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    return spark.createDataFrame(rows, StructType([
+        StructField(label_col, label_type, True),
+        StructField("n", LongType(), False),
+        StructField("explained", DoubleType(), False),
+        StructField("pc", ArrayType(DoubleType()), False)]))

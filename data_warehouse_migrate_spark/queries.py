@@ -1129,16 +1129,24 @@ def q_dedup_exact_stream(spark, sf_dir):
     """REAL Structured Streaming dedup-at-ingestion: file source →
     ``dropDuplicatesWithinWatermark`` on the normalized-text hash →
     memory sink (append mode, availableNow trigger). Event time is
-    derived deterministically from doc_id (the table carries none); the
-    watermark horizon covers the whole corpus at test SFs, so the
-    surviving hash set equals batch DISTINCT — which the oracle checks.
-    Output is the hash column only: WHICH duplicate row survives is
-    first-arrival (partition-order) dependent, the hash set is not."""
+    derived deterministically from doc_id (the table carries none), one
+    second apart; the watermark horizon is derived from the corpus's
+    doc_id SPAN (one column-pruned min/max probe) so it provably covers
+    the whole table at ANY scale factor — the surviving hash set then
+    equals batch DISTINCT, which the oracle checks. (A fixed horizon
+    would structurally break the oracle contract past ~86k rows: beyond-
+    horizon duplicates re-emit by design.) Output is the hash column
+    only: WHICH duplicate row survives is first-arrival (partition-order)
+    dependent, the hash set is not."""
     from data_warehouse_migrate_spark.streaming.dedup import run_dedup_exact_stream
 
+    path = f"{sf_dir}/documents.parquet"
+    lo, hi = spark.read.parquet(path).agg(
+        F.min("doc_id"), F.max("doc_id")).first()
+    horizon_sec = int(hi) - int(lo) + 2
     out = run_dedup_exact_stream(
-        spark, f"{sf_dir}/documents.parquet",
-        text_col="text", ts_col="ts", watermark="24 hours",
+        spark, path,
+        text_col="text", ts_col="ts", watermark=f"{horizon_sec} seconds",
         prepare=lambda s: s.withColumn(
             "ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id"))))
     return out.select("text_hash")

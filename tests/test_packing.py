@@ -1,4 +1,5 @@
 import pyspark.sql.functions as F
+import pytest
 
 from data_warehouse_migrate_spark.operators.packing import (
     pack_sequences,
@@ -47,3 +48,20 @@ def test_packing_stats_conservation(spark, sf_dir):
     for r in rows:
         assert 0 < r.fill_ratio <= 1.0
         assert r.n_seqs * 256 >= r.total_tokens > (r.n_seqs - 1) * 256
+
+
+def test_pack_sequences_chunk_overflow_raises(spark, monkeypatch):
+    """A group exceeding the chunks-per-group bound raises instead of
+    silently colliding with the next group's seq_ids (bound shrunk via
+    monkeypatch — the real 1e9 needs 2×10^12 tokens to trip)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_warehouse_migrate_spark.operators import packing
+
+    monkeypatch.setattr(packing, "_MAX_CHUNKS_PER_GROUP", 4)
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(10)], "id long, text string")
+    out = packing.pack_sequences(docs, "text", "id", budget=5, n_groups=1,
+                                 group_expr=F.lit(0))
+    with pytest.raises(SparkRuntimeException, match="exceeds 4 chunks"):
+        out.collect()

@@ -110,3 +110,42 @@ def test_substr_is_zero_based_like_reference(spark, vals, start, length):
     got = [r.o for r in df.select(expr.alias("o")).collect()]
     for v, o in zip(vals, got):
         assert o == v[start:start + length], (v, start, length, o)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=24),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=3))
+def test_pack_sequences_roundtrip_reconstruction(spark, token_counts,
+                                                 budget, n_groups):
+    """Concat-and-chunk invariant: every document's token interval,
+    reconstructed from (seq_id, start_offset, n_tokens) alone, tiles each
+    group's token stream exactly — contiguous, non-overlapping, in id
+    order from offset 0 — including documents spanning chunk boundaries.
+    """
+    from data_warehouse_migrate_spark.operators.packing import (
+        _MAX_CHUNKS_PER_GROUP,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(token_counts)],
+        "id long, text string")
+    rows = pack_sequences(docs, "text", "id", budget=budget,
+                          n_groups=n_groups).collect()
+    assert len(rows) == len(token_counts)
+    by_group: dict = {}
+    for r in rows:
+        # reconstruct the document's global token start from its slot
+        chunk = r.seq_id - r.pack_group * _MAX_CHUNKS_PER_GROUP
+        assert 0 <= r.start_offset < budget or (r.start_offset == 0)
+        global_start = chunk * budget + r.start_offset
+        by_group.setdefault(r.pack_group, []).append(
+            (r.id, global_start, r.n_tokens))
+    for grp, members in by_group.items():
+        members.sort()  # id order
+        cursor = 0
+        for _id, start, n in members:
+            assert start == cursor, (grp, _id, start, cursor)
+            cursor += n

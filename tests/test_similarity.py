@@ -226,3 +226,24 @@ def test_lsh_index_build_and_query(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+
+
+def test_label_principal_direction_raw_labels(spark):
+    """String and NULL labels group as-is (r3 int-cast silently dropped
+    them); label column keeps the input type, NULL is its own group."""
+    import numpy as np
+
+    from data_warehouse_migrate_spark.operators.similarity import (
+        label_principal_direction,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for lab in ("en", "fr", None):
+        for _ in range(20):
+            rows.append((lab, [float(x) for x in rng.normal(size=4)]))
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    out = label_principal_direction(df)
+    assert dict(out.dtypes)["label"] == "string"
+    got = {r.label: r.n for r in out.collect()}
+    assert got == {"en": 20, "fr": 20, None: 20}

@@ -205,6 +205,44 @@ def test_decode_audio_features_real_wav(spark):
     assert out[2].n_bytes == len(b"not a wav at all")
 
 
+def _wav_bytes_width(sampwidth, samples, rate=8000, channels=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def test_decode_audio_features_sample_widths(spark):
+    """8/16/32-bit PCM decode by declared width; 24-bit (unsupported)
+    yields the NULL-features row instead of misparsing as int16."""
+    import struct
+
+    from data_warehouse_migrate_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    # 8-bit unsigned: constant 228 → centered at 128 → |amp| 100 → RMS 100
+    w8 = _wav_bytes_width(1, bytes([228] * 800))
+    # 32-bit: constant 1_000_000 → RMS 1_000_000
+    w32 = _wav_bytes_width(4, b"".join(struct.pack("<i", 1_000_000)
+                                       for _ in range(800)))
+    # 24-bit packed: valid RIFF, unsupported width
+    w24 = _wav_bytes_width(3, b"\x00\x10\x00" * 800)
+    df = spark.createDataFrame(
+        [(0, w8), (1, w32), (2, w24)], "id long, content binary")
+    out = {r.id: r for r in decode_audio_features(df, "content", "id").collect()}
+    assert out[0].n_samples == 800 and abs(out[0].rms - 100.0) < 1e-6
+    assert out[1].n_samples == 800 and abs(out[1].rms - 1_000_000) < 1e-3
+    assert out[2].rms is None and out[2].n_samples is None
+    assert out[2].n_bytes == len(w24)
+
+
 def test_sample_frames(binary_df):
     out = sample_frames(binary_df, "content", "id", every_n_bytes=40, max_frames=4)
     rows = out.filter(F.col("id") == 4).orderBy("frame_idx").collect()
