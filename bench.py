@@ -1,11 +1,21 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (round-4 fix — round 3's single ~4 KB line was truncated
+mid-line by the driver's tail capture and the official record was lost):
+
+  stdout line 1: {"bench_detail": {...}}  — diagnostics, index-contract
+                 timings, 10x stress counters, scale crossover, baselines
+                 (also written to BENCH_DETAIL.json for full fidelity)
+  stdout FINAL line (the driver-parsed artifact, compact by design):
+                 {"metric", "value", "unit", "queries", "sf",
+                  "pyspark_version"}
 
 Each query is executed to completion via a count() action (forces the full
 plan without driver-side materialization of result sets).
+
+Flags/env: --no-stress or SPARK_GRAFT_STRESS=0 skips the 10x stress
+section; SPARK_GRAFT_SCALE_FACTOR sets the crossover/stress factor.
 """
 
 from __future__ import annotations
@@ -55,6 +65,7 @@ def reference_loop_migrate_sec(sf_dir: str) -> float:
     assert n > 0
     return time.perf_counter() - t0
 
+
 def build_scaled_orders(sf_dir: str, factor: int) -> str:
     """Union-scale orders.parquet ``factor``× (shifted keys) into /tmp —
     the input for the scale-crossover measurement. Single parquet file so
@@ -74,6 +85,33 @@ def build_scaled_orders(sf_dir: str, factor: int) -> str:
         copies = [
             t.set_column(ki, "o_orderkey",
                          pc.add(t.column("o_orderkey"), 100_000_000 * i))
+            for i in range(factor)
+        ]
+        pq.write_table(pa.concat_tables(copies), path)
+    return out_dir
+
+
+def build_stress_tables(sf_dir: str, factor: int) -> str:
+    """Union-scale documents + embeddings ``factor``× with SHIFTED ids and
+    IDENTICAL payloads — every doc/vector gains ``factor`` exact copies,
+    the duplicate-heavy shape of a real crawl and ~factor² the true-pair
+    cardinality (copies pair quadratically). Same protocol as the round-3
+    PLANS.md stress tables; cached in /tmp across runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/dwms_stress_{tag}_x{factor}"
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        path = f"{out_dir}/{name}.parquet"
+        if os.path.exists(path):
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        ki = t.schema.get_field_index(key)
+        copies = [
+            t.set_column(ki, key, pc.add(t.column(key), 10_000_000 * i))
             for i in range(factor)
         ]
         pq.write_table(pa.concat_tables(copies), path)
@@ -110,9 +148,114 @@ HEADLINE = [
 ]
 
 
+def bench_index_contract(spark, sf_dir: str) -> dict:
+    """'Index once, query many' evidence (similarity.py:256-300): build
+    the persisted bucketed LSH index ONCE (timed), then time an indexed
+    probe batch vs the full ``lsh_topk`` (which re-projects and
+    re-shuffles the corpus every call) on the SAME query batch and the
+    same LSH parameters. Best of 2 each, post-build."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migrate_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 100)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").alias("corpus_vec"))
+    table = "dwms_bench_lsh_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t0 = time.perf_counter()
+    build_lsh_index(c, table, n_planes=24, bands=4)
+    build_sec = time.perf_counter() - t0
+    try:
+        indexed = full = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lsh_topk_indexed(q, table, k=5, probe_bits=1).count()
+            el = time.perf_counter() - t0
+            indexed = el if indexed is None else min(indexed, el)
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            lsh_topk(q, c, k=5, n_planes=24, bands=4, probe_bits=1).count()
+            el = time.perf_counter() - t0
+            full = el if full is None else min(full, el)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return {
+        "workload": "top-5 ANN, 100-query batch, n_planes=24/bands=4: "
+                    "probe of the persisted bucketed index vs full "
+                    "lsh_topk corpus re-projection",
+        "build_index_sec": round(build_sec, 3),
+        "indexed_probe_sec": round(indexed, 3),
+        "full_lsh_sec": round(full, 3),
+        "probe_speedup": round(full / indexed, 2) if indexed else None,
+    }
+
+
+def run_stress(spark, sf_dir: str, factor: int) -> dict:
+    """Machine-readable 10× dedup/embedding stress (the round-3 PLANS.md
+    tables, now regress-checked per round): each operator runs ONCE on
+    the factor-scaled duplicate-heavy corpus with its bench-query
+    parameters; counters + output volumes anchor the scale claims (a
+    future drift with identical counters is host noise, with moved
+    counters a plan/data regression). Single-shot timings — the counters,
+    not the seconds, are the regression anchor here."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        embedding_near_dups,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    sdir = build_stress_tables(sf_dir, factor)
+    docs = spark.read.parquet(f"{sdir}/documents.parquet")
+    emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
+    out: dict = {"factor": factor,
+                 "documents_rows": docs.count(),
+                 "embeddings_rows": emb.count()}
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        diag: dict = {}
+        t0 = time.perf_counter()
+        n = fn(diag).count()
+        sec = round(time.perf_counter() - t0, 3)
+        out[name] = {"sec": sec, "output_rows": n, **diag}
+        print(f"  stress {name}: {out[name]}", file=sys.stderr)
+
+    timed("exact_dedup",
+          lambda d: exact_dedup(docs, "text", "doc_id"))
+    timed("simhash_near_pairs",
+          lambda d: simhash_near_pairs(docs, "text", "doc_id",
+                                       max_hamming=3, bands=4, diag=d))
+    timed("minhash_lsh_pairs",
+          lambda d: minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=16,
+                                      bands=8, threshold=0.6, diag=d))
+    timed("ngram_jaccard_pairs",
+          lambda d: ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                        threshold=0.6, diag=d))
+    # embedding near-dup at operator DEFAULTS (auto-sized key space,
+    # t=0.95) — the configuration the 100 TB claim is made for; the
+    # fixed-r degenerate regime is pinned separately by the sf-scale
+    # embedding_near_dup diagnostic (t=0.4, r=6).
+    timed("embedding_near_dups_auto",
+          lambda d: embedding_near_dups(emb, "embedding", "vec_id", diag=d))
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    do_stress = ("--no-stress" not in sys.argv
+                 and os.environ.get("SPARK_GRAFT_STRESS", "1") != "0")
     spark = get_spark("dwms-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -151,11 +294,20 @@ def main() -> int:
         diagnostics[name] = fn(spark, sf_dir)
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
+    # Persisted-index contract: index once, query many (timing evidence
+    # for similarity.build_lsh_index / lsh_topk_indexed).
+    index_contract = bench_index_contract(spark, sf_dir)
+    print(f"  index_contract: {index_contract}", file=sys.stderr)
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+    # 10× duplicate-heavy stress (PLANS.md protocol, machine-readable).
+    stress = run_stress(spark, sf_dir, factor) if do_stress else None
+
     # Scale crossover: Spark's fixed per-query scheduling floor dominates
     # the flagship at sub-second scale (ratio > 1 vs the sequential pandas
     # loop); the loop scales linearly with rows and Spark doesn't. Measure
     # BOTH engines on a factor-x union of orders to demonstrate the flip.
-    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     scale_dir = build_scaled_orders(sf_dir, factor)
     spark_scaled = None
     for _ in range(2):
@@ -199,14 +351,10 @@ def main() -> int:
 
     import pyspark
 
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "pyspark_version": pyspark.__version__,
+    detail = {
         "diagnostics": diagnostics,
+        "index_contract": index_contract,
+        "stress": stress,
         "scale_crossover": {
             "workload": "flagship migrate_pipeline vs the reference's "
                         "sequential 10k-rows/batch pandas loop, both on "
@@ -244,6 +392,23 @@ def main() -> int:
                     if baseline_total else None),
             },
         },
+    }
+    # full-fidelity committed artifact (survives any stdout truncation)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"sf": sf, "headline_total_sec": total, "queries": times,
+                   **detail}, f, indent=2, sort_keys=False)
+    # detail first (own line), compact driver-parsed headline LAST —
+    # the driver's tail capture truncates from the front, so the final
+    # line survives intact (round-3 lesson: BENCH_r03 "parsed": null).
+    print(json.dumps({"bench_detail": detail}))
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pyspark_version": pyspark.__version__,
     }))
     spark.stop()
     return 0
