@@ -1,0 +1,95 @@
+"""Corpus unigram language-model scoring (beyond-reference LLM-pipeline
+surface): the CCNet/C4-style "how much does this document look like the
+corpus" signal, usable for quality gating and outlier mining.
+
+Two passes, both plain DataFrame aggregates:
+
+  1. ``unigram_model`` — token frequencies over the whole corpus plus
+     each token's log10 probability. One explode + one hash aggregate
+     (map-side partial combine keeps the shuffle at distinct-token
+     volume, not token-instance volume).
+  2. ``doc_unigram_logprob`` — per-document mean token log-probability:
+     explode, join the model on token, aggregate per doc.
+
+100 TB shape: the model is distinct-token sized (Heaps' law: ~10⁶-10⁸
+rows at corpus scale — far below instance counts); the scoring join
+shuffles on the token key and aggregates per doc. No UDFs, no driver
+data paths, no collect. Tokenization is the engine's shared BPE-ish
+regex (``functions.text.TOKEN_REGEX``) over lowercased text, identical
+to the ANSI-SQL oracle's ``regexp_extract_all``.
+
+Self-scoring note: scoring the same corpus the model was built from has
+no out-of-vocabulary tokens by construction. When scoring OTHER text
+against a reference-corpus model, pass ``oov_logp`` (e.g. the model's
+minimum logp minus 1) so unseen tokens penalize instead of dropping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.functions.text import TOKEN_REGEX
+
+
+def _tokens(text_col) -> F.Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_REGEX), 0)
+
+
+def unigram_model(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, n, logp): corpus token frequencies and log10 probability.
+
+    ``logp`` is rounded to 6dp — the model is the cross-engine contract
+    surface, so its values are pinned before any downstream averaging.
+    """
+    toks = docs.select(
+        F.explode(_tokens(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("__total"))
+    return (freq.crossJoin(F.broadcast(total))
+            .select("token", "n",
+                    F.round(F.log10(F.col("n") / F.col("__total")), 6)
+                    .alias("logp")))
+
+
+def doc_unigram_logprob(docs: DataFrame, text_col: str, id_col: str,
+                        model: DataFrame | None = None,
+                        oov_logp: float | None = None) -> DataFrame:
+    """(id, n_tokens, avg_logprob) per document.
+
+    ``model`` defaults to a model built from ``docs`` itself
+    (self-scoring — no OOV possible). With an external model, tokens
+    missing from it take ``oov_logp`` when given, else their rows drop
+    from the average (disclosed: dropping inflates scores of
+    OOV-heavy documents; prefer an explicit penalty).
+
+    Documents with zero tokens survive with n_tokens=0 and NULL score
+    (empty is a length-filter concern, not a score of 0 — which would
+    be a PERFECT logprob).
+    """
+    if model is None:
+        model = unigram_model(docs, text_col)
+    dtoks = docs.select(F.col(id_col).alias("id"),
+                        F.explode(_tokens(F.col(text_col))).alias("token"))
+    how = "left" if oov_logp is not None else "inner"
+    scored = dtoks.join(model.select("token", "logp"), "token", how)
+    if oov_logp is not None:
+        scored = scored.withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(oov_logp))))
+    # Order-independent mean: the model's logp values are 6dp-rounded, so
+    # ×1e6 they are EXACT integers — summing longs is associative where a
+    # double sum is not (cross-engine ±1ulp flipped the 6dp rounding).
+    # The long sum stays far under 2^63; the final division is one
+    # deterministic double op.
+    micro = F.round(F.col("logp") * 1e6).cast("long")
+    per_doc = (scored.groupBy("id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.round(F.sum(micro)
+                            / (F.count("*") * F.lit(1_000_000.0)), 6)
+                    .alias("avg_logprob")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    "avg_logprob"))

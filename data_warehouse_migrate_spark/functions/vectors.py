@@ -136,3 +136,34 @@ def hyperplane_signature(vec: Column, n_planes: int = 8) -> Column:
     — 8 planes suits ~10^4 vectors, a 10^9-vector corpus wants 20+.
     """
     return signature_from_projections(hyperplane_projections(vec, n_planes))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 scalar quantization: struct(scale, q) with
+    scale = max|x|/127 and q_i = round(x_i/scale) ∈ [-127, 127] — the
+    standard 4× embedding compression for ANN serving (reconstruction is
+    q·scale). The all-zero vector quantizes to scale 0 / all-zero q.
+
+    Pure JVM array expressions. The scale subtree is re-evaluated per
+    element inside the lambda (no cross-lambda CSE) — O(dim²) per row,
+    the same disclosed trade as ``normalize``; negligible at embedding
+    dims, and the compressed corpus (1 byte/dim + one double) is what
+    ships to the serving tier.
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == F.lit(0.0),
+               F.transform(v, lambda x: F.lit(0))
+               ).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def quantization_error(vec: Column, quant: Column) -> Column:
+    """Relative L2 reconstruction error ‖x − q·scale‖ / ‖x‖ of a
+    ``quantize_int8`` result (0 for the all-zero vector)."""
+    recon = F.transform(quant["q"], lambda qi: qi.cast("double") * quant["scale"])
+    diff = F.zip_with(vec, recon, lambda x, r: x.cast("double") - r)
+    nx = norm(vec)
+    return F.when(nx == F.lit(0.0), F.lit(0.0)).otherwise(norm(diff) / nx)

@@ -1,0 +1,103 @@
+"""Corpus composition operators: mixture weighting and quality banding.
+
+Beyond-reference LLM-pipeline surface (the reference has no sampling of
+any kind): a pre-training corpus is not just deduped — it is COMPOSED.
+Two standard moves:
+
+  * mixture_sample — hit target per-source mixture weights (the
+    Pile/RedPajama-style "20% web, 10% code, ..." recipe) by downsampling
+    each source deterministically.
+  * quality_band_filter — keep documents above a per-group quality
+    percentile (C4/CCNet-style quality gating, but rank-based so the
+    threshold adapts per language instead of one global magic number).
+
+Both are built on the deterministic integer-hash draw from
+``operators.sampling`` (no RNG, reproducible across engines and runs,
+and expressible in ANSI SQL for the oracle).
+
+100 TB shape: mixture_sample is ONE tiny aggregate (per-source counts —
+rows = #sources) + a narrow scan-predicate filter (no shuffle of the
+corpus); quality_band_filter is one window shuffle keyed by the group
+column — inherent to exact ranks; per-row window state is O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.sampling import HASH_SPACE, _draw
+
+
+def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
+                   weights: dict[str, float],
+                   total_rows: int) -> DataFrame:
+    """Deterministic mixture sampling: downsample each stratum so the
+    kept corpus approximates ``total_rows`` distributed by ``weights``
+    (weights are normalized; strata absent from ``weights`` are dropped).
+
+    Per-stratum keep fraction = min(1, weight·total / stratum_rows) —
+    a stratum smaller than its target keeps everything (an UPSAMPLING
+    decision — repeating data — is a training-loop concern, not a corpus
+    filter's). Selection is the integer-hash Bernoulli draw keyed on the
+    row id: adding rows to one stratum never changes which rows of
+    another survive, and reruns are reproducible.
+
+    One aggregate over #strata rows (collected — bounded by the number
+    of sources, never corpus size), then one narrow filter: thresholds
+    are inlined as integer literals, so the filter pushes down to the
+    scan. Expected kept counts are binomial around the target (exact-N
+    per stratum would cost a window shuffle; see
+    ``sampling.stratified_sample`` when exactness matters more than a
+    shuffle).
+    """
+    if not weights or total_rows < 0:
+        raise ValueError("weights must be non-empty and total_rows >= 0")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    counts = {r[0]: r[1] for r in
+              (df.filter(F.col(strata_col).isin(list(weights)))
+               .groupBy(strata_col).agg(F.count("*")).collect())}
+    thresholds: dict[str, int] = {}
+    for stratum, w in weights.items():
+        n = counts.get(stratum, 0)
+        if n == 0:
+            continue
+        frac = min(1.0, (w / wsum) * total_rows / n)
+        thresholds[stratum] = int(frac * HASH_SPACE)
+    if not thresholds:
+        return df.filter(F.lit(False))
+
+    draw = _draw(id_col)
+    cond = None
+    for stratum, thr in thresholds.items():
+        keep = (F.col(strata_col) == stratum) & (draw < F.lit(thr))
+        cond = keep if cond is None else cond | keep
+    return df.filter(cond)
+
+
+def quality_band_filter(df: DataFrame, score_col, group_col: str,
+                        keep_top: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep the top ``keep_top`` fraction of each group by score rank.
+
+    Rank-based gating: ``percent_rank`` within the group (ties broken by
+    id so the cut is deterministic), keep rows with
+    percent_rank >= 1 - keep_top — the highest-scoring fraction. The
+    threshold adapts per group: a language whose scores run low still
+    keeps its best half, where a global score cutoff would delete it
+    wholesale.
+
+    ``score_col`` may be a Column expression (computed on the fly) or a
+    column name. Adds ``q_rank`` (the percent_rank, rounded 6dp) to the
+    output — downstream curriculum stages weight by it.
+    """
+    if not 0.0 < keep_top <= 1.0:
+        raise ValueError(f"keep_top must be in (0, 1] (got {keep_top})")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    w = Window.partitionBy(group_col).orderBy(
+        score.asc(), F.col(id_col).asc())
+    return (df.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+            .filter(F.col("q_rank") >= F.round(F.lit(1.0 - keep_top), 6)))

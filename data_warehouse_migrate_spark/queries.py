@@ -1938,6 +1938,212 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: incremental migration, corpus composition, unigram LM,
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+def q_incremental_migrate(spark, sf_dir):
+    """CDC-style snapshot delta (operators/delta.py): diff the current
+    source orders against a deterministically-derived STALE destination
+    snapshot — every 10th order missing (→ insert), price drift on every
+    o_orderkey%10==3 (→ update), phantom shifted-key rows (→ delete) —
+    and return the rows a sync would ship. One full-outer join on the
+    business key; change detection is a null-safe expression."""
+    from data_warehouse_migrate_spark.operators.delta import snapshot_delta
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders = _t(spark, sf_dir, "orders")
+    dest = (orders.filter(F.col("o_orderkey") % 10 != 7)
+            .select("o_orderkey", "o_custkey",
+                    F.when(F.col("o_orderkey") % 10 == 3,
+                           F.col("o_totalprice") + 1.0)
+                    .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                    "o_orderstatus")
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 1000 == 1)
+                .select((F.col("o_orderkey") + 500_000_000).alias("o_orderkey"),
+                        "o_custkey", "o_totalprice", "o_orderstatus")))
+    delta = snapshot_delta(src, dest, ["o_orderkey"])
+    return delta.filter(F.col("change_type") != "unchanged")
+
+
+O_INCREMENTAL_MIGRATE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+dest AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 500000000, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 1),
+j AS (
+  SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_totalprice, s.o_orderstatus,
+         CASE WHEN d.o_orderkey IS NULL THEN 'insert'
+              WHEN s.o_orderkey IS NULL THEN 'delete'
+              WHEN (s.o_custkey IS DISTINCT FROM d.o_custkey)
+                OR (s.o_totalprice IS DISTINCT FROM d.o_totalprice)
+                OR (s.o_orderstatus IS DISTINCT FROM d.o_orderstatus)
+                THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM src s FULL OUTER JOIN dest d ON s.o_orderkey = d.o_orderkey)
+SELECT * FROM j WHERE change_type <> 'unchanged'
+"""
+
+
+# mixture recipe shared by the Spark query and the SQL oracle: the
+# threshold formula must be the SAME IEEE-double expression in both
+# engines — (w / wsum) * total / n, truncated against the 2^60 draw
+# space — so the literals are defined once here.
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIXTURE_TOTAL = 40
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling (operators/quota.py): compose a
+    corpus to target per-source weights via the integer-hash draw.
+    Narrow filter — no corpus shuffle; thresholds from one #strata-row
+    aggregate."""
+    from data_warehouse_migrate_spark.operators.quota import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (mixture_sample(d, "source", "doc_id",
+                           weights=_MIXTURE_WEIGHTS,
+                           total_rows=_MIXTURE_TOTAL)
+            .select("doc_id", "source", "lang"))
+
+
+O_MIXTURE_SAMPLE = f"""
+WITH n AS (
+  SELECT source, count(*) AS ns FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+thr AS (
+  SELECT source,
+         CAST(trunc(least(1.0,
+              (CASE source WHEN 'src0' THEN 0.5
+                           WHEN 'src1' THEN 0.3
+                           ELSE 0.2 END / 1.0) * {_MIXTURE_TOTAL} / ns)
+              * 1152921504606846976.0) AS BIGINT) AS cut
+  FROM n)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr t ON d.source = t.source
+WHERE {_draw_sql('d.doc_id')} < t.cut
+"""
+
+
+def q_quality_band_filter(spark, sf_dir):
+    """Per-language quality banding (operators/quota.py): keep each
+    language's top half by composite quality score — rank-based, so the
+    cut adapts per group. One window shuffle keyed by lang."""
+    from data_warehouse_migrate_spark.operators.quota import quality_band_filter
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang",
+                      F.round(X.quality_score(F.col("text")), 6)
+                      .alias("quality"))
+    return (quality_band_filter(scored, "quality", "lang", keep_top=0.5)
+            .select("doc_id", "lang", "quality", "q_rank"))
+
+
+O_QUALITY_BAND_FILTER = f"""
+WITH scored AS (
+  SELECT q.doc_id, d.lang, q.quality
+  FROM ({O_QUALITY_SCORE}) q JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lang, quality,
+         round(percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY quality ASC, doc_id ASC),
+               6) AS q_rank
+  FROM scored)
+SELECT doc_id, lang, quality, q_rank FROM ranked WHERE q_rank >= 0.5
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus unigram LM scoring (functions/lm.py): build token
+    frequencies over the corpus (pass 1), score each document by mean
+    token log10-probability (pass 2). The CCNet-style fluency signal."""
+    from data_warehouse_migrate_spark.functions.lm import doc_unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return (doc_unigram_logprob(d, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id"))
+
+
+O_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS token
+  FROM documents),
+freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq),
+model AS (SELECT token, round(log10(n / total), 6) AS logp FROM freq, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(CAST(round(logp * 1000000.0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS avg_logprob
+  FROM toks JOIN model USING (token) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (functions/vectors.py):
+    per-vector scale + quantized codes + relative L2 reconstruction
+    error. Pure JVM array expressions, narrow (no shuffle)."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        quantization_error,
+        quantize_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    quant = quantize_int8(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(quant["scale"], 6).alias("scale"),
+        quant["q"].alias("q"),
+        F.round(quantization_error(F.col("embedding"), quant), 6)
+        .alias("rel_err"))
+
+
+O_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS INTEGER))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+         END AS q
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale, q,
+       round(CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                  THEN 0.0
+                  ELSE sqrt(list_sum(list_transform(
+                           list_zip(v, q),
+                           p -> (p[1] - CAST(p[2] AS DOUBLE) * scale)
+                              * (p[1] - CAST(p[2] AS DOUBLE) * scale))))
+                       / sqrt(list_sum(list_transform(v, x -> x * x)))
+             END, 6) AS rel_err
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2006,19 +2212,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "migrate_pipeline": q_migrate_pipeline,
-    # --- 42-50: same-file neighbors of this round's diffs (similarity.py,
-    # dedup.py signatures) + spread ---------------------------------------
+    # --- 42-45: NEW in r04 (incremental migration, corpus composition,
+    # unigram LM) — zero driver rows, highest verification value ----------
+    "incremental_migrate": q_incremental_migrate,
+    "mixture_sample": q_mixture_sample,
+    "quality_band_filter": q_quality_band_filter,
+    "unigram_logprob": q_unigram_logprob,
+    # --- 46-50: same-file neighbors of this round's diffs (similarity.py,
+    # dedup.py signatures) -------------------------------------------------
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_centroids": q_embedding_centroids,
     "minhash_sigs": q_minhash_sigs,
+    # --- 51-77: outside the r04 window. embedding_quantize is ALSO new in
+    # r04 (the window had exactly 4 free slots after the policy pins); it
+    # is covered by the local parity suite this round and leads the r05
+    # window together with the rest of this tail (policy rule 1). All
+    # others were driver-green in r03 on code untouched in r04 (rule 3) ---
+    "embedding_quantize": q_embedding_quantize,
     "simhash": q_simhash,
     "scrub_pii": q_scrub_pii,
     "salted_event_totals": q_salted_event_totals,
     "contamination_check": q_contamination_check,
-    # --- 51-76: driver-green in r03 on code untouched in r04 (policy
-    # rule 3); these lead the r05 window under rule 1 ----------------------
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -2123,6 +2339,11 @@ ORACLES: dict[str, str] = {
     "reservoir_sample": O_RESERVOIR_SAMPLE,
     "doc_repetition": O_DOC_REPETITION,
     "contamination_check": O_CONTAMINATION_CHECK,
+    "incremental_migrate": O_INCREMENTAL_MIGRATE,
+    "mixture_sample": O_MIXTURE_SAMPLE,
+    "quality_band_filter": O_QUALITY_BAND_FILTER,
+    "unigram_logprob": O_UNIGRAM_LOGPROB,
+    "embedding_quantize": O_EMBEDDING_QUANTIZE,
 }
 
 
