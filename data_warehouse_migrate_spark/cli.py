@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--processing-time", dest="processing_time",
                    help='always-on trigger interval, e.g. "30 seconds" '
                         "(default: drain available files, then stop)")
+    p.add_argument("--incremental-keys", dest="incremental_keys",
+                   help="comma-separated business-key columns: diff the "
+                        "transformed source against the destination and "
+                        "apply only the insert/update/delete delta "
+                        "(beyond-reference incremental sync)")
     p.add_argument("--yes", action="store_true",
                    help="skip the overwrite confirmation prompt")
     p.add_argument("--log-level", dest="log_level")
@@ -67,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     args = vars(build_parser().parse_args(argv))
     config_path = args.pop("config", None)
     skip_confirm = args.pop("yes", False)
-    for k in ("source_partition_columns", "non_nullable"):
+    for k in ("source_partition_columns", "non_nullable", "incremental_keys"):
         if args.get(k):
             args[k] = [c.strip() for c in args[k].split(",") if c.strip()]
 
@@ -112,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(result, default=str), flush=True)
             q.awaitTermination()
             return 0
+    elif cfg.get("incremental_keys"):
+        result = job.run_incremental(spark, cfg["incremental_keys"])
     else:
         result = job.run(spark)
     print(json.dumps(result, default=str))

@@ -115,15 +115,27 @@ def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
     return fixed + float(row[0] or 0.0)
 
 
+def _count_and_bytes(df: DataFrame, payload_bytes_expr,
+                     fixed_bytes: float) -> tuple[int, float]:
+    """(row count, avg row bytes) in ONE aggregate over a materialized
+    frame — the in-tree callers were already paying this count job, so
+    folding the width average in makes the byte-aware guard free, and the
+    average is over the FULL data (unbiased), not a head sample."""
+    row = df.agg(F.count("*").alias("n"),
+                 F.avg(payload_bytes_expr).alias("w")).first()
+    return int(row["n"]), fixed_bytes + float(row["w"] or 0.0)
+
+
 def _maybe_broadcast(df: DataFrame, n_rows: int,
                      avg_row_bytes: float | None = None) -> DataFrame:
     """Broadcast iff ``n_rows × avg_row_bytes`` fits ``_BROADCAST_MAX_BYTES``.
 
     Callers joining the same base frame twice (id_a/id_b verification
-    joins) should compute ``avg_row_bytes`` once via :func:`_avg_row_bytes`
-    and pass it to both calls — one sampling job instead of two. Returns
-    ``df`` unchanged (same object) when the broadcast is declined, so the
-    join falls back to a shuffle hash/sort-merge join.
+    joins) should compute ``avg_row_bytes`` once — via
+    :func:`_count_and_bytes` folded into their existing count job, or
+    :func:`_avg_row_bytes` — and pass it to both calls. Returns ``df``
+    unchanged (same object) when the broadcast is declined, so the join
+    falls back to a shuffle hash/sort-merge join.
     """
     if avg_row_bytes is None:
         avg_row_bytes = _avg_row_bytes(df, n_rows)
@@ -303,7 +315,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # therefore complete, and the hot shingles that blow up a plain
     # inverted-index join (f² pairs each) mostly sit outside prefixes.
     freq = _materialize(inv.groupBy("shingle").agg(F.count("*").alias("f")))
-    freq_b = _maybe_broadcast(freq, freq.count())
+    n_freq, freq_bytes = _count_and_bytes(
+        freq, F.octet_length("shingle").cast("double") + F.lit(16.0), 16.0)
+    freq_b = _maybe_broadcast(freq, n_freq, freq_bytes)
     ordered = (inv.join(freq_b, "shingle")
                .groupBy("id")
                .agg(F.array_sort(F.collect_list(F.struct("f", "shingle"))).alias("fs")))
@@ -341,8 +355,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         cand = _materialize(cand)  # the count below feeds the verify join
         diag.update(docs=sets.count(), distinct_shingles=freq.count(),
                     prefix_rows=pref.count(), candidate_pairs=cand.count())
-    n_sets = sets.count()  # instant: cached by _materialize
-    sets_bytes = _avg_row_bytes(sets.select("id", "shingles"), n_sets)
+    # one agg on the cached frame: count (needed anyway) + width estimate
+    n_sets, sets_bytes = _count_and_bytes(
+        sets, F.size("shingles").cast("double") * 8.0 + F.lit(16.0), 16.0)
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
         n_sets, sets_bytes)
@@ -405,8 +420,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         candidates = _materialize(candidates)
         diag["candidate_pairs"] = candidates.count()
     sets = sigs.select("id", "shingles")
-    n_sets = sigs.count()  # instant: cached by _materialize
-    sets_bytes = _avg_row_bytes(sets, n_sets)
+    # one agg on the cached frame: count (needed anyway) + width estimate
+    n_sets, sets_bytes = _count_and_bytes(
+        sets, F.size("shingles").cast("double") * 8.0 + F.lit(16.0), 16.0)
     out = (
         candidates
         .join(_maybe_broadcast(
@@ -628,8 +644,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         diag.update(vectors=base.count(), candidate_pairs=cand.count(),
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     n_planes=n_planes, r_bits=r)
-    n_rows = base.count()  # instant: cached by _materialize
-    base_bytes = _avg_row_bytes(base.select("id", "vec"), n_rows)
+    # one agg on the cached frame: count (needed anyway) + width estimate
+    n_rows, base_bytes = _count_and_bytes(
+        base.select("id", "vec"),
+        F.size("vec").cast("double") * 8.0 + F.lit(16.0), 16.0)
     va = _maybe_broadcast(
         base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
         n_rows, base_bytes)

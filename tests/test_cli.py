@@ -80,3 +80,18 @@ def test_cli_stream_requires_checkpoint(tmp_path, capsys):
     ])
     assert rc == 2
     assert "checkpoint" in capsys.readouterr().err
+
+
+def test_cli_incremental_keys(tmp_path, spark):
+    src1 = str(tmp_path / "s1"); src2 = str(tmp_path / "s2")
+    dst = str(tmp_path / "d")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, t string") \
+        .write.parquet(src1)
+    spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, t string") \
+        .write.parquet(src2)
+    assert main(["--source-path", src1, "--destination-path", dst,
+                 "--incremental-keys", "k", "--yes"]) == 0
+    assert main(["--source-path", src2, "--destination-path", dst,
+                 "--incremental-keys", "k", "--yes"]) == 0
+    rows = {r.k: r.t for r in spark.read.parquet(dst).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}

@@ -307,3 +307,50 @@ def test_run_stream_always_on(spark, sf_dir, tmp_path):
         assert spark.read.parquet(dest).count() == 100
     finally:
         q.stop()
+
+
+def test_run_incremental_sync(spark, tmp_path):
+    """Incremental sync e2e: first run falls back to full migrate; the
+    second ships only the insert/update/delete delta and converges the
+    destination to the new source state."""
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    ).write.parquet(src1)
+    # evolved snapshot: keys 0,1 gone (deletes), every k%10==3 repriced
+    # (updates), keys 200,201 new (inserts)
+    spark.createDataFrame(
+        [(i, float(i) if i % 10 != 3 else -1.0) for i in range(2, 100)]
+        + [(200, 0.5), (201, 1.5)], "k long, v double"
+    ).write.parquet(src2)
+
+    r1 = MigrationJob(source_path=src1, destination_path=dst,
+                      mode="overwrite").run_incremental(spark, ["k"])
+    assert r1["incremental"] is False and r1["rows_written"] == 100
+
+    r2 = MigrationJob(source_path=src2,
+                      destination_path=dst).run_incremental(spark, ["k"])
+    assert r2["incremental"] is True
+    assert r2["delta_counts"] == {"insert": 2, "update": 10, "delete": 2,
+                                  "unchanged": 88}
+    assert r2["rows_applied"] == 14
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    want = sorted(map(tuple, spark.read.parquet(src2).collect()))
+    assert got == want
+
+    # converged: a third run is a no-op (nothing rewritten)
+    r3 = MigrationJob(source_path=src2,
+                      destination_path=dst).run_incremental(spark, ["k"])
+    assert r3["rows_applied"] == 0 and r3["delta_counts"] == {"unchanged": 100}
+
+
+def test_run_incremental_rejects_jdbc(spark, tmp_path):
+    import pytest as _pytest
+
+    job = MigrationJob(source_path=str(tmp_path / "s"),
+                       destination_path="sometable",
+                       destination_format="jdbc")
+    with _pytest.raises(NotImplementedError, match="MERGE"):
+        job.run_incremental(spark, ["k"])
