@@ -61,3 +61,35 @@ def ngram_contamination(eval_df: DataFrame, train_df: DataFrame,
             .withColumn("contamination_rate", rate)
             .withColumn("is_contaminated",
                         F.col("contamination_rate") >= flag_threshold))
+
+
+def decontaminate(train_df: DataFrame, benchmark_df: DataFrame,
+                  text_col: str, id_col: str, n: int = 3,
+                  drop_threshold: float = 0.8) -> DataFrame:
+    """The removal counterpart of :func:`ngram_contamination`: DROP from
+    the training corpus every document whose distinct word ``n``-gram
+    overlap with the benchmark set reaches ``drop_threshold``. Returns
+    the cleaned training DataFrame (original columns, original rows minus
+    the dropped ones) — the artifact a pre-training pipeline actually
+    ships after the contamination report is reviewed.
+
+    Same plan spine as the check, with the sides swapped (the TRAIN docs
+    are now the scored side, the benchmark reduces to a distinct shingle
+    set) plus one final join: scored ids above threshold become a drop
+    list, applied with a LEFT ANTI join on ``id_col`` — at 100 TB the
+    drop list is a tiny fraction of the corpus, so AQE turns the anti
+    join into a broadcast and the cleaned corpus never reshuffles.
+    Documents shorter than ``n`` words score on their whole text as a
+    single shingle, matching the check's convention.
+    """
+    tr = _doc_shingle_hashes(train_df, text_col, id_col, n, "train_id")
+    bench = (_doc_shingle_hashes(benchmark_df, text_col, id_col, n, "__bid")
+             .select("sh").distinct().withColumn("__hit", F.lit(1)))
+    rate = (F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)))
+    drops = (tr.join(bench, "sh", "left")
+             .groupBy("train_id")
+             .agg(F.round(rate, 6).alias("__rate"))
+             .filter(F.col("__rate") >= drop_threshold)
+             .select(F.col("train_id").alias(id_col)))
+    return train_df.join(drops, id_col, "left_anti")

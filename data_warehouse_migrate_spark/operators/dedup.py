@@ -544,6 +544,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          F.col("label").alias("cluster_id"))
 
 
+def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
+                     src_col: str = "id_a",
+                     dst_col: str = "id_b") -> DataFrame:
+    """PAIRS → the CLEANED corpus: keep exactly one representative per
+    near-dup cluster (the MIN id — deterministic, engine-independent) and
+    every document that appears in no pair at all. This is the step a
+    pipeline actually ships after any of the pair generators
+    (``simhash_near_pairs`` / ``minhash_lsh_pairs`` /
+    ``ngram_jaccard_pairs`` / ``embedding_near_dups``) runs — the report
+    is the pairs, the product is the corpus minus the duplicates.
+
+    Plan: connected components over the pairs (cluster sizes ≪ corpus —
+    only paired docs enter the iteration), then drop list = members whose
+    cluster label isn't their own id, applied LEFT ANTI on ``id_col``.
+    At 100 TB the drop list is duplicate-sized, not corpus-sized, so AQE
+    broadcasts the anti join and the kept corpus never reshuffles.
+    """
+    members = (pairs.select(F.col(src_col).alias("node"))
+               .unionByName(pairs.select(F.col(dst_col).alias("node")))
+               .distinct())
+    comp = connected_components(members.select(F.col("node").alias(id_col)),
+                                pairs, id_col=id_col,
+                                src_col=src_col, dst_col=dst_col)
+    drops = (comp.filter(F.col(id_col) != F.col("cluster_id"))
+             .select(id_col))
+    return df.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

@@ -2143,6 +2143,181 @@ FROM q
 """
 
 
+def q_decontaminate_corpus(spark, sf_dir):
+    """Decontamination REMOVAL (operators/contamination.py): drop from
+    the training half (even doc_ids) every doc whose distinct 3-gram
+    overlap with the benchmark half (odd doc_ids) reaches 0.8 — the
+    shipped counterpart of contamination_check's report."""
+    from data_warehouse_migrate_spark.operators.contamination import (
+        decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    bench = d.filter(F.col("doc_id") % 2 == 1)
+    return (decontaminate(train, bench, "text", "doc_id",
+                          n=3, drop_threshold=0.8)
+            .select("doc_id", "source", "lang"))
+
+
+O_DECONTAMINATE_CORPUS = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM sh WHERE doc_id % 2 = 0),
+bm AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 2 = 1),
+rate AS (
+  SELECT train_id,
+         round(CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS r
+  FROM tr LEFT JOIN bm ON tr.s = bm.s
+  GROUP BY train_id)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 0
+  AND NOT EXISTS (SELECT 1 FROM rate
+                  WHERE rate.train_id = d.doc_id AND rate.r >= 0.8)
+"""
+
+
+def q_dedup_near_keep(spark, sf_dir):
+    """Near-dup REMOVAL (operators/dedup.py near_dup_removal): simhash
+    hamming≤3 pairs → connected components over the PAIRED docs only →
+    keep the min-id representative per cluster plus every unpaired doc.
+    The cleaned corpus the pairs/clusters reports exist to produce."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        near_dup_removal,
+        simhash_near_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(d, "text", "doc_id", max_hamming=3, bands=4)
+    return (near_dup_removal(d, pairs, "doc_id")
+            .select("doc_id", "source", "lang"))
+
+
+# same pair generation + recursive-CTE components as O_DEDUP_CLUSTERS,
+# then keep = docs that are their own component minimum (or unpaired)
+O_DEDUP_NEAR_KEEP = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+  FROM tok, (SELECT unnest(range(0, 60)) AS j) js),
+fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, reach.lab FROM reach JOIN edges e ON e.s = reach.node),
+drops AS (
+  SELECT node AS doc_id FROM reach GROUP BY node
+  HAVING min(lab) <> node)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d LEFT JOIN drops USING (doc_id)
+WHERE drops.doc_id IS NULL
+"""
+
+
+_PSEUD_SALT = "bench-rotation-2026"
+
+
+def q_pseudonymize_customers(spark, sf_dir):
+    """Keyed pseudonymization + k-anonymity generalization
+    (functions/privacy.py): c_name → salted md5 surrogate (referential
+    integrity survives — same value, same surrogate), c_acctbal → 1000-
+    wide bands. Narrow JVM projection, no shuffle."""
+    from data_warehouse_migrate_spark.functions.privacy import (
+        generalize_numeric,
+        pseudonymize,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return (pseudonymize(c, ["c_name"], _PSEUD_SALT)
+            .select("c_custkey", F.col("c_name").alias("name_pseud"),
+                    generalize_numeric("c_acctbal", 1000).alias("acct_band"),
+                    "c_mktsegment"))
+
+
+O_PSEUDONYMIZE_CUSTOMERS = f"""
+SELECT c_custkey,
+       md5(concat('{_PSEUD_SALT}', ':', c_name)) AS name_pseud,
+       concat(CAST(CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS VARCHAR),
+              '-',
+              CAST(CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) + 999
+                   AS VARCHAR)) AS acct_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (functions/lm.py unigram_model): top 100
+    tokens by frequency, count-desc / token-asc deterministic order. One
+    explode + one hash agg (map-side combine → distinct-token shuffle),
+    then a 100-row ordered limit."""
+    from data_warehouse_migrate_spark.functions.lm import unigram_model
+
+    d = _t(spark, sf_dir, "documents")
+    return (unigram_model(d, "text")
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(100)
+            .select("token", "n", "logp"))
+
+
+O_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text),
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS token
+  FROM documents),
+freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
+SELECT token, n, round(log10(n / total), 6) AS logp
+FROM freq, tot
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+def q_rolling_event_features(spark, sf_dir):
+    """Per-user rolling features over the event stream: 3-row moving
+    average of value (DECIMAL frame sums — partition-order-independent,
+    same contract as event_zscore) and the delta vs the previous event.
+    One window shuffle keyed by user_id; O(1) frame state per row."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    vd = F.col("value").cast("decimal(18,6)")
+    ma3 = (F.sum(vd).over(frame).cast("double")
+           / F.count("value").over(frame))
+    return e.select(
+        "event_id", "user_id",
+        F.round(ma3, 6).alias("val_ma3"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6)
+        .alias("val_delta"))
+
+
+O_ROLLING_EVENT_FEATURES = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS val_ma3,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+             6) AS val_delta
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2150,7 +2325,7 @@ FROM q
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 76 queries — so 26 fall outside every window.
+    # registry holds 86 queries — so 36 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2212,25 +2387,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "migrate_pipeline": q_migrate_pipeline,
-    # --- 42-45: NEW in r04 (incremental migration, corpus composition,
-    # unigram LM) — zero driver rows, highest verification value ----------
+    # --- 42-50: NEW in r04 (incremental migration, corpus composition,
+    # unigram LM + vocab head, decontamination removal, near-dup removal,
+    # pseudonymization, rolling features) — zero driver rows, highest
+    # verification value ---------------------------------------------------
     "incremental_migrate": q_incremental_migrate,
     "mixture_sample": q_mixture_sample,
     "quality_band_filter": q_quality_band_filter,
     "unigram_logprob": q_unigram_logprob,
-    # --- 46-50: same-file neighbors of this round's diffs (similarity.py,
-    # dedup.py signatures) -------------------------------------------------
+    "vocab_topk": q_vocab_topk,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_near_keep": q_dedup_near_keep,
+    "pseudonymize_customers": q_pseudonymize_customers,
+    "rolling_event_features": q_rolling_event_features,
+    # --- 51+: outside the r04 window. embedding_quantize is ALSO new in
+    # r04 but the window is full after the policy pins; it and the
+    # similarity five (driver-green r03; r04's similarity.py diff touches
+    # only the PCA path, which embedding_pca covers IN-window) are covered
+    # by the local parity suite this round and lead the r05 window with
+    # the rest of this tail (policy rule 1). All others were driver-green
+    # in r03 on code untouched in r04 (rule 3) ----------------------------
+    "embedding_quantize": q_embedding_quantize,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_centroids": q_embedding_centroids,
     "minhash_sigs": q_minhash_sigs,
-    # --- 51-77: outside the r04 window. embedding_quantize is ALSO new in
-    # r04 (the window had exactly 4 free slots after the policy pins); it
-    # is covered by the local parity suite this round and leads the r05
-    # window together with the rest of this tail (policy rule 1). All
-    # others were driver-green in r03 on code untouched in r04 (rule 3) ---
-    "embedding_quantize": q_embedding_quantize,
     "simhash": q_simhash,
     "scrub_pii": q_scrub_pii,
     "salted_event_totals": q_salted_event_totals,
@@ -2344,6 +2526,11 @@ ORACLES: dict[str, str] = {
     "quality_band_filter": O_QUALITY_BAND_FILTER,
     "unigram_logprob": O_UNIGRAM_LOGPROB,
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
+    "vocab_topk": O_VOCAB_TOPK,
+    "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
+    "dedup_near_keep": O_DEDUP_NEAR_KEEP,
+    "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,
+    "rolling_event_features": O_ROLLING_EVENT_FEATURES,
 }
 
 
