@@ -148,6 +148,22 @@ HEADLINE = [
 ]
 
 
+# Round-4 additions, timed into the DETAIL artifact only — the HEADLINE
+# list stays fixed so headline totals compare across rounds.
+EXTENDED = [
+    "incremental_migrate",
+    "mixture_sample",
+    "quality_band_filter",
+    "unigram_logprob",
+    "vocab_topk",
+    "decontaminate_corpus",
+    "dedup_near_keep",
+    "pseudonymize_customers",
+    "rolling_event_features",
+    "embedding_quantize",
+]
+
+
 def bench_index_contract(spark, sf_dir: str) -> dict:
     """'Index once, query many' evidence (similarity.py:256-300): build
     the persisted bucketed LSH index ONCE (timed), then time an indexed
@@ -269,19 +285,38 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # best of 2: this host shows rare multi-second stalls (CPU steal)
-        # that would otherwise poison a single-shot measurement
-        best = None
-        for _ in range(2):
+        # best of 2, adaptively 3: this host shows rare multi-second
+        # stalls (CPU steal) that poison single measurements — and with
+        # only two draws, BOTH can land on a stall (r04 observed the
+        # ngram query at [10.3, 3.9, 8.3, 3.1] across four runs). If the
+        # first two disagree by >1.5x, one of them stalled: take a third.
+        runs = []
+        while len(runs) < 2 or (len(runs) == 2
+                                and max(runs) / min(runs) > 1.5):
             spark.catalog.clearCache()  # no cross-query cache pollution
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+            if len(runs) == 3:
+                break
+        times[name] = round(min(runs), 3)
+        print(f"  {name}: {times[name]}s ({len(runs)} runs)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    ext_times: dict[str, float] = {}
+    for name in EXTENDED:
+        runs = []
+        while len(runs) < 2 or (len(runs) == 2
+                                and max(runs) / min(runs) > 1.5):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            if len(runs) == 3:
+                break
+        ext_times[name] = round(min(runs), 3)
+        print(f"  ext {name}: {ext_times[name]}s", file=sys.stderr)
 
     # Volume counters for the dedup/LSH family (AFTER all timing — the
     # eager counts inside the diag path persist intermediates and would
@@ -352,6 +387,7 @@ def main() -> int:
     import pyspark
 
     detail = {
+        "extended_queries": ext_times,
         "diagnostics": diagnostics,
         "index_contract": index_contract,
         "stress": stress,

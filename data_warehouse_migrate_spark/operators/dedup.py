@@ -78,38 +78,11 @@ def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
     estimate, not a census; the 512 MB cutoff leaves a wide margin below
     the 8 GB broadcast cap to absorb sampling bias.
     """
-    from pyspark.sql import types as T
+    from data_warehouse_migrate_spark.functions.sizing import row_bytes_expr
 
-    fixed = 8.0  # per-row null bitmap / object overhead
-    var_exprs = []
-    for fld in df.schema.fields:
-        dt = fld.dataType
-        if isinstance(dt, (T.StringType, T.BinaryType)):
-            var_exprs.append(
-                F.coalesce(F.octet_length(F.col(fld.name)).cast("double"),
-                           F.lit(0.0)) + F.lit(16.0))
-        elif isinstance(dt, T.ArrayType):
-            el = dt.elementType
-            w = (8.0 if isinstance(el, (T.LongType, T.DoubleType,
-                                        T.TimestampType))
-                 else 4.0 if isinstance(el, (T.IntegerType, T.FloatType,
-                                             T.DateType))
-                 else 16.0)  # strings/structs inside arrays: rough
-            var_exprs.append(
-                F.coalesce(F.size(F.col(fld.name)).cast("double"),
-                           F.lit(0.0)) * w + F.lit(16.0))
-        elif isinstance(dt, (T.BooleanType, T.ByteType)):
-            fixed += 1.0
-        elif isinstance(dt, (T.IntegerType, T.FloatType, T.DateType,
-                             T.ShortType)):
-            fixed += 4.0
-        else:  # long/double/timestamp/decimal and anything exotic
-            fixed += 8.0
-    if not var_exprs:
+    fixed, total = row_bytes_expr(df.schema)
+    if total is None:
         return fixed
-    total = var_exprs[0]
-    for e in var_exprs[1:]:
-        total = total + e
     row = (df.limit(min(n_rows, _BROADCAST_SAMPLE_ROWS) or 1)
            .agg(F.avg(total)).first())
     return fixed + float(row[0] or 0.0)
@@ -488,33 +461,86 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 # pair → cluster (the dedup pipeline's final step)
 # ---------------------------------------------------------------------------
 
+_CC_LOCAL_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) rows on the driver
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src_col: str = "id_a", dst_col: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         local_max_edges: int = _CC_LOCAL_MAX_EDGES
+                         ) -> DataFrame:
     """Assign every node the MIN node id of its connected component —
     turning near-dup PAIRS into dedup CLUSTERS (keep cluster_id, drop the
-    rest). Iterative min-label propagation: each round every node takes
-    the minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow).
+    rest). Deterministic; returns (id_col, cluster_id).
 
-    Each round is one shuffle (groupBy node); labels are checkpointed per
-    round to truncate lineage — an unbounded iterative plan otherwise
-    grows until the driver chokes. Deterministic; returns
-    (id_col, cluster_id).
+    Scale-adaptive, the same measured-size principle as the byte-aware
+    broadcast guard above: the edge set is DUPLICATE-sized, not
+    corpus-sized, and its count is already materialized — when it fits
+    ``local_max_edges`` (~80 MB at the default), union-find runs on the
+    driver in O(E·α) and the labels broadcast-join back (pairs at
+    sub-million scale cost ~10 iterative Spark jobs to converge a chain,
+    pure scheduling latency). Above the threshold: iterative min-label
+    propagation with pointer jumping — one shuffle per round, converges
+    in O(log diameter) rounds; labels are checkpointed per round to
+    truncate lineage (an unbounded iterative plan otherwise grows until
+    the driver chokes).
     """
-    sym = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-           .unionByName(edges.select(F.col(dst_col).alias("s"),
-                                     F.col(src_col).alias("d"))))
-    sym = _materialize(sym.distinct())
+    und = _materialize(
+        edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+                     F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
+        .distinct())
+    n_edges = und.count()
+    if n_edges <= local_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:     # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one collect, bounded by local_max_edges (~80 MB default) — a
+        # toLocalIterator would pay one driver round trip per partition
+        for row in und.collect():
+            ra, rb = find(row.s), find(row.d)
+            if ra != rb:                      # min root wins → min label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(node, find(node)) for node in list(parent)]
+        spark = nodes.sparkSession
+        if mapping:
+            lab = spark.createDataFrame(
+                mapping, schema=f"node {nodes.schema[id_col].dataType.simpleString()}, "
+                                f"__cc_label {nodes.schema[id_col].dataType.simpleString()}")
+            out = (nodes.join(F.broadcast(lab),
+                              nodes[id_col] == lab.node, "left")
+                   .select(nodes[id_col],
+                           F.coalesce(F.col("__cc_label"), nodes[id_col])
+                           .alias("cluster_id")))
+        else:
+            out = nodes.select(F.col(id_col),
+                               F.col(id_col).alias("cluster_id"))
+        return out
+
+    sym = (und.select("s", "d")
+           .unionByName(und.select(F.col("d").alias("s"),
+                                   F.col("s").alias("d"))))
+    sym = _materialize(sym)
     labels = _materialize(
         nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")))
     for _ in range(max_iterations):
         neighbor_min = (sym.join(labels, sym.s == labels.node)
                         .groupBy(F.col("d").alias("node"))
                         .agg(F.min("label").alias("nmin")))
+        # carry the pre-round label through the step so convergence is a
+        # FILTER on the already-checkpointed output (early-exit isEmpty),
+        # not an extra node-keyed join job per round
         stepped = (labels.join(neighbor_min, "node", "left")
-                   .select("node",
+                   .select("node", F.col("label").alias("old_label"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
                            .alias("label")))
@@ -528,17 +554,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         l2 = stepped.alias("l2")
         new_labels = (l1.join(l2, F.col("l1.label") == F.col("l2.node"))
                       .select(F.col("l1.node").alias("node"),
+                              F.col("l1.old_label").alias("old_label"),
                               F.least(F.col("l1.label"), F.col("l2.label"))
                               .alias("label")))
         # localCheckpoint, NOT persist: persist keeps the full lineage, so
         # the plan tree nests one level per iteration and overflows the
         # JVM stack after ~15 rounds; checkpointing truncates it
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
+        converged = (new_labels
+                     .filter(F.col("label") != F.col("old_label"))
+                     .isEmpty())
+        labels = new_labels.select("node", "label")
+        if converged:
             break
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
@@ -561,6 +588,10 @@ def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
     At 100 TB the drop list is duplicate-sized, not corpus-sized, so AQE
     broadcasts the anti join and the kept corpus never reshuffles.
     """
+    # the pair generators re-run their whole lineage per consuming action
+    # (shingle/fingerprint trees are expensive); pin them once — both the
+    # member list and the CC edge list scan this frame
+    pairs = _materialize(pairs.select(src_col, dst_col))
     members = (pairs.select(F.col(src_col).alias("node"))
                .unionByName(pairs.select(F.col(dst_col).alias("node")))
                .distinct())

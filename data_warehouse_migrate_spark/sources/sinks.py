@@ -72,6 +72,57 @@ def write_table(df: DataFrame, path_or_table: str,
     writer.options(**options).save(path_or_table)
 
 
+def write_sized(df: DataFrame, path: str,
+                fmt: str = "parquet",
+                mode: str | MigrationMode = MigrationMode.OVERWRITE,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                compression_ratio: float = 0.35,
+                partition_by: list[str] | None = None,
+                **options) -> int:
+    """Write with a TARGET OUTPUT FILE SIZE — the anti-small-files
+    operator. A 100 TB pipeline that writes one file per task from a
+    4,000-partition shuffle produces 4,000 tiny files per run; readers
+    then pay per-file open/footer costs and the namenode holds millions
+    of entries. This writer measures the data (one count+avg-bytes
+    aggregate via ``functions.sizing``), converts the in-memory estimate
+    to on-disk bytes with ``compression_ratio`` (parquet+snappy on mixed
+    columns lands around 0.2-0.5; the assumption is a visible knob, not
+    a hidden constant), and repartitions to
+    ceil(total_disk_bytes / target_file_bytes) before writing.
+
+    Returns the partition (≈ file) count it chose. ``maxRecordsPerFile``
+    is set as a belt-and-braces cap so a skewed partition still splits.
+    With ``partition_by``, sizing applies per write overall — hive
+    partition fan-out multiplies file counts and the caller should size
+    against the largest partition instead.
+
+    The repartition is one round-robin shuffle of the output data — the
+    price of sized files. Callers that just finished a shuffle on some
+    key can instead pass that layout straight through ``write_table``;
+    this helper is for compaction and for narrow pipelines whose input
+    split count (not data volume) would otherwise dictate file count.
+    """
+    import math
+
+    from data_warehouse_migrate_spark.functions.sizing import (
+        count_and_row_bytes,
+    )
+
+    if target_file_bytes <= 0 or not 0.0 < compression_ratio <= 1.0:
+        raise ValueError("target_file_bytes must be > 0 and "
+                         "compression_ratio in (0, 1]")
+    n_rows, row_bytes = count_and_row_bytes(df)
+    disk_bytes = n_rows * row_bytes * compression_ratio
+    n_files = max(1, math.ceil(disk_bytes / target_file_bytes))
+    rows_per_file = max(1, math.ceil(n_rows / n_files)) if n_rows else 1
+    options.setdefault("maxRecordsPerFile", str(rows_per_file))
+    write_table(df.repartition(n_files), path, fmt=fmt, mode=mode,
+                partition_by=partition_by, **options)
+    logger.info("write_sized: %d rows ≈ %.1f MB on disk → %d file(s)",
+                n_rows, disk_bytes / 1e6, n_files)
+    return n_files
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 32,
                    sort_cols: list[str] | None = None,

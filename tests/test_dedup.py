@@ -174,6 +174,25 @@ def test_connected_components(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
 
 
+def test_connected_components_distributed_path(spark):
+    """local_max_edges=0 forces the iterative min-label branch; both
+    regimes of the scale-adaptive dispatch must agree exactly."""
+    from data_warehouse_migrate_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # a 7-chain (pointer-jump territory) + a triangle + isolated 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (7, 8), (8, 6)] , "id_a long, id_b long")
+    expect = {r.id: r.cluster_id for r in
+              connected_components(nodes, edges).collect()}
+    got = {r.id: r.cluster_id for r in
+           connected_components(nodes, edges,
+                                local_max_edges=0).collect()}
+    assert got == expect
+    assert got[9] == 9 and got[8] == 0   # 6-8 bridges into the chain
+
+
 def test_broadcast_guard_is_byte_aware(spark):
     """_maybe_broadcast declines wide payloads whose estimated bytes exceed
     the 512 MB cap even when the row COUNT is tiny — the round-3 guard was
