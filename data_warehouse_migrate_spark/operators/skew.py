@@ -80,3 +80,45 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
             .agg(*partial_exprs)
             .groupBy(*keys)
             .agg(*merge_exprs))
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Hot-key join salting for the cases AQE's skew-join split does NOT
+    cover: AQE rewrites skewed SORT-MERGE joins in batch plans only —
+    stream-static joins, stream-stream joins, and plans pinned to a
+    specific strategy see no runtime splitting, and a single hot key
+    (the null-ish user, the default tenant) still lands every matching
+    row on one reducer.
+
+    Mechanics: the big side gets a deterministic per-row salt in
+    [0, salt_buckets); the small side is replicated ``salt_buckets``×
+    (explode of a literal range — replication factor is a visible cost,
+    salt_buckets·|small| rows through the shuffle); the equi-join runs on
+    key+salt, so a hot key's rows spread over ``salt_buckets`` reducers.
+    Result is row-identical to ``big.join(small, on, how)``: each big row
+    carries exactly ONE salt value and matches exactly the replica set
+    with that salt, so multiplicities are preserved (including duplicate
+    keys on the small side).
+
+    ``how`` must be ``inner`` or a left-flavored join (``left``/
+    ``left_outer``/``left_semi``/``left_anti``) — right/full joins would
+    surface unmatched SMALL-side replicas ``salt_buckets`` times; use the
+    plain join (or swap the sides) for those.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (got {how!r}); "
+            "right/full joins would duplicate unmatched small-side rows")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1 (got {salt_buckets})")
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in on],
+                             F.monotonically_increasing_id()),
+                  F.lit(salt_buckets)).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt") if "__salt" in out.columns else out

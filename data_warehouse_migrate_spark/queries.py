@@ -2143,6 +2143,26 @@ FROM q
 """
 
 
+def q_salted_event_join(spark, sf_dir):
+    """Hot-key join salting (operators/skew.py salted_join): events ⋈
+    customer on user_id with the small side replicated over 8 salts —
+    row-identical to the plain join (the oracle), but a hot user's rows
+    spread over 8 reducers instead of one. The manual-salting path for
+    plans AQE's skew-join split can't rewrite (stream-static joins)."""
+    from data_warehouse_migrate_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return salted_join(e, c, ["user_id"], salt_buckets=8)
+
+
+O_SALTED_EVENT_JOIN = """
+SELECT e.user_id, e.event_id, e.value, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_decontaminate_corpus(spark, sf_dir):
     """Decontamination REMOVAL (operators/contamination.py): drop from
     the training half (even doc_ids) every doc whose distinct 3-gram
@@ -2408,6 +2428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the rest of this tail (policy rule 1). All others were driver-green
     # in r03 on code untouched in r04 (rule 3) ----------------------------
     "embedding_quantize": q_embedding_quantize,
+    "salted_event_join": q_salted_event_join,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2527,6 +2548,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": O_UNIGRAM_LOGPROB,
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
     "vocab_topk": O_VOCAB_TOPK,
+    "salted_event_join": O_SALTED_EVENT_JOIN,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,
