@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "transformed source against the destination and "
                         "apply only the insert/update/delete delta "
                         "(beyond-reference incremental sync)")
+    p.add_argument("--verify", dest="verify", action="store_const",
+                   const=True,
+                   help="after the migration, recompute the transformed "
+                        "source and compare it to the destination by row "
+                        "count + order-independent checksum "
+                        "(beyond-reference content verification)")
     p.add_argument("--yes", action="store_true",
                    help="skip the overwrite confirmation prompt")
     p.add_argument("--log-level", dest="log_level")
@@ -121,6 +127,11 @@ def main(argv: list[str] | None = None) -> int:
         result = job.run_incremental(spark, cfg["incremental_keys"])
     else:
         result = job.run(spark)
+    if cfg.get("verify"):
+        result["verification"] = job.verify(spark)
+        if not result["verification"]["verified"]:
+            print(json.dumps(result, default=str))
+            return 3
     print(json.dumps(result, default=str))
     return 0
 

@@ -174,6 +174,54 @@ class MigrationJob:
         }
 
     # ------------------------------------------------------------------
+    def verify(self, spark: SparkSession) -> dict[str, Any]:
+        """Post-migration content verification (beyond-reference — the
+        reference stops at row counts, ``migrator.py:334-338``): recompute
+        the transformed source and compare it to the destination by row
+        count AND an order-independent XOR checksum
+        (``operators.validate.group_checksum``) over every column whose
+        string rendering is engine/layout-stable (integer, string, date,
+        boolean, decimal). Float/timestamp columns are EXCLUDED and
+        reported in ``skipped_columns`` — their renderings differ across
+        engines, so a checksum over them would alarm on noise; the row
+        count still covers their presence.
+
+        Two aggregate jobs (one per side), no row transfer, no sort —
+        safe at any scale. Returns a dict with ``verified`` True iff
+        counts and checksums both match.
+        """
+        from pyspark.sql import types as T
+
+        from data_warehouse_migrate_spark.operators.validate import (
+            group_checksum,
+        )
+
+        plan = self.build_plan(spark)
+        dest = read_table(spark, self.destination_path,
+                          fmt=self.destination_format,
+                          jdbc_options=self.destination_jdbc)
+        stable = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.StringType, T.DateType, T.BooleanType, T.DecimalType)
+        cols = [f.name for f in plan.schema.fields
+                if isinstance(f.dataType, stable) and f.name in dest.columns]
+        skipped = [c for c in plan.columns if c not in cols]
+        if not cols:
+            src_n, dst_n = plan.count(), dest.count()
+            return {"verified": src_n == dst_n, "source_rows": src_n,
+                    "destination_rows": dst_n, "checksum_match": None,
+                    "columns_checked": [], "skipped_columns": skipped}
+        s = group_checksum(plan, [], cols).first()
+        d = group_checksum(dest, [], cols).first()
+        counts_ok = s["n_rows"] == d["n_rows"]
+        sums_ok = s["checksum"] == d["checksum"]
+        return {"verified": counts_ok and sums_ok,
+                "source_rows": s["n_rows"],
+                "destination_rows": d["n_rows"],
+                "checksum_match": sums_ok,
+                "columns_checked": cols,
+                "skipped_columns": skipped}
+
+    # ------------------------------------------------------------------
     def run_incremental(self, spark: SparkSession,
                         key_cols: list[str]) -> dict[str, Any]:
         """Incremental sync (beyond-reference — the reference re-ships

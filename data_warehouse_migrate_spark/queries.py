@@ -2338,6 +2338,66 @@ FROM events
 """
 
 
+def q_migration_checksum(spark, sf_dir):
+    """Order-independent content fingerprint (operators/validate.py):
+    per-status XOR of 60-bit md5 row hashes over pinned-rendering
+    columns — the post-migration verification that needs no sort and no
+    row transfer; partials combine map-side."""
+    from data_warehouse_migrate_spark.operators.validate import (
+        group_checksum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return group_checksum(o, ["o_orderstatus"],
+                          ["o_orderkey", "o_orderpriority"])
+
+
+O_MIGRATION_CHECKSUM = """
+SELECT o_orderstatus, count(*) AS n_rows,
+       bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+                 coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT))
+         AS checksum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_profile_orders(spark, sf_dir):
+    """Column profile (operators/validate.py): per-column null/distinct
+    counts + min/max in ONE aggregate pass — the pre/post-migration diff
+    sheet. String-safe columns only here (floats/timestamps render
+    engine-specifically; the operator docs pin that contract)."""
+    from data_warehouse_migrate_spark.operators.validate import (
+        column_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile(o, ["o_orderkey", "o_orderstatus",
+                              "o_orderpriority"])
+
+
+O_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR),
+       CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2429,6 +2489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in r03 on code untouched in r04 (rule 3) ----------------------------
     "embedding_quantize": q_embedding_quantize,
     "salted_event_join": q_salted_event_join,
+    "migration_checksum": q_migration_checksum,
+    "profile_orders": q_profile_orders,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2549,6 +2611,8 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
     "vocab_topk": O_VOCAB_TOPK,
     "salted_event_join": O_SALTED_EVENT_JOIN,
+    "migration_checksum": O_MIGRATION_CHECKSUM,
+    "profile_orders": O_PROFILE_ORDERS,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

@@ -95,3 +95,18 @@ def test_cli_incremental_keys(tmp_path, spark):
                  "--incremental-keys", "k", "--yes"]) == 0
     rows = {r.k: r.t for r in spark.read.parquet(dst).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_cli_verify_flag(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    dest = str(tmp_path / "verified_out")
+    rc = main([
+        "--source-path", f"{sf_dir}/orders.parquet",
+        "--destination-path", dest,
+        "--mode", "overwrite", "--yes", "--verify",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["verification"]["verified"] is True
+    assert out["verification"]["checksum_match"] is True

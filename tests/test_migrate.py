@@ -354,3 +354,31 @@ def test_run_incremental_rejects_jdbc(spark, tmp_path):
                        destination_format="jdbc")
     with _pytest.raises(NotImplementedError, match="MERGE"):
         job.run_incremental(spark, ["k"])
+
+
+def test_verify_after_migration(spark, orders_path, tmp_path):
+    """verify(): counts + order-independent checksum match after run();
+    a corrupted destination cell flips verified to False."""
+    dest = str(tmp_path / "orders_verify")
+    job = MigrationJob(
+        source_path=orders_path, destination_path=dest, mode="overwrite",
+        mapping={"rename": {"o_totalprice": "total_price"}},
+    )
+    job.run(spark)
+    rep = job.verify(spark)
+    assert rep["verified"] is True and rep["checksum_match"] is True
+    assert rep["source_rows"] == rep["destination_rows"]
+    # stable-rendering columns only: the double + timestamp are skipped
+    assert "o_orderkey" in rep["columns_checked"]
+    assert set(rep["skipped_columns"]) == {"total_price", "o_orderdate"}
+
+    # corrupt one cell in the destination, same row count
+    broken = spark.read.parquet(dest).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == 1, F.lit("CORRUPTED"))
+        .otherwise(F.col("o_orderpriority")))
+    broken.localCheckpoint(eager=True).write.mode("overwrite").parquet(dest)
+    rep2 = job.verify(spark)
+    assert rep2["verified"] is False
+    assert rep2["checksum_match"] is False
+    assert rep2["source_rows"] == rep2["destination_rows"]

@@ -1,0 +1,61 @@
+"""Migration validation: group checksums and column profiling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.validate import (
+    column_profile,
+    group_checksum,
+)
+
+
+@pytest.fixture()
+def tbl(spark):
+    return spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", "y"), (3, "B", "z"), (4, "B", None)],
+        "id long, grp string, payload string")
+
+
+def test_checksum_is_order_and_partition_independent(spark, tbl):
+    a = group_checksum(tbl, ["grp"], ["id", "payload"]).collect()
+    b = group_checksum(tbl.orderBy(F.desc("id")).repartition(7),
+                       ["grp"], ["id", "payload"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_checksum_detects_single_cell_change(spark, tbl):
+    base = {r.grp: r.checksum for r in
+            group_checksum(tbl, ["grp"], ["id", "payload"]).collect()}
+    mutated = tbl.withColumn(
+        "payload", F.when(F.col("id") == 3, "Z").otherwise(F.col("payload")))
+    mut = {r.grp: r.checksum for r in
+           group_checksum(mutated, ["grp"], ["id", "payload"]).collect()}
+    assert base["A"] == mut["A"]       # untouched group unchanged
+    assert base["B"] != mut["B"]       # changed group flips
+
+
+def test_checksum_null_differs_from_empty(spark):
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "")], "id long, v string")
+    ca = group_checksum(a, [], ["id", "v"]).first().checksum
+    cb = group_checksum(b, [], ["id", "v"]).first().checksum
+    assert ca != cb
+
+
+def test_checksum_whole_table_and_validation(spark, tbl):
+    row = group_checksum(tbl, [], ["id"]).first()
+    assert row.n_rows == 4
+    with pytest.raises(ValueError, match="value_cols"):
+        group_checksum(tbl, ["grp"], [])
+
+
+def test_column_profile(spark, tbl):
+    prof = {r.column_name: r for r in column_profile(tbl).collect()}
+    assert set(prof) == {"id", "grp", "payload"}
+    assert prof["payload"].n_nulls == 1
+    assert prof["payload"].n_distinct == 3     # NULL excluded
+    assert prof["grp"].n_distinct == 2
+    assert prof["id"].min_value == "1" and prof["id"].max_value == "4"
+    assert all(r.n_rows == 4 for r in prof.values())
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        column_profile(tbl, ["nope"])
