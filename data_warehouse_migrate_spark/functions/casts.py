@@ -174,3 +174,81 @@ def apply_source_schema(df, schema, preserve_null_tokens: bool = True,
             ).alias(f.name)
         )
     return df.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# schema-drift reconciliation (beyond-reference: the reference moves a
+# table once, so drift never bites it; an INCREMENTAL sync meets the same
+# table again after the source added/widened/dropped columns)
+# ---------------------------------------------------------------------------
+
+# widenings that cannot lose information (order within each chain matters)
+_WIDEN_CHAINS = (
+    ["byte", "short", "int", "bigint", "decimal", "double"],
+    ["float", "double"],
+    ["date", "timestamp"],
+)
+
+
+def _widen_rank(a: str, b: str) -> str | None:
+    """The wider of two type names if they sit on one widening chain,
+    else None. Decimal is position-ranked only (precision is the
+    caller's concern — reconcile keeps the TARGET's parameters)."""
+    a, b = a.split("(")[0], b.split("(")[0]
+    if a == b:
+        return a
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
+def reconcile_to_schema(df, target_schema,
+                        on_narrowing: str = "error"):
+    """Project ``df`` onto ``target_schema`` for schema-drift tolerance:
+
+      * columns MISSING from ``df`` appear as typed NULLs (the source
+        dropped them, or the destination is ahead);
+      * columns whose type sits BELOW the target on a lossless widening
+        chain (int→bigint, float→double, date→timestamp, int→double) are
+        cast up;
+      * EXTRA source columns are dropped (disclosed via the return — the
+        destination's schema is the contract);
+      * a NARROWING mismatch (bigint source → int target, string →
+        anything) is an error by default — silent truncation corrupts;
+        ``on_narrowing='try_cast'`` opts into the engine's
+        cast-failure→NULL convention instead.
+
+    Column matching is case-insensitive (the engine's mapping convention);
+    output order and names follow ``target_schema``. Pure projection —
+    no shuffle, no data pass. Returns the reconciled DataFrame.
+    """
+    if on_narrowing not in ("error", "try_cast"):
+        raise ValueError(f"on_narrowing must be 'error' or 'try_cast' "
+                         f"(got {on_narrowing!r})")
+    by_lower = {c.lower(): c for c in df.columns}
+    src_types = {f.name.lower(): f.dataType.simpleString()
+                 for f in df.schema.fields}
+    out = []
+    for fld in target_schema.fields:
+        key = fld.name.lower()
+        tgt_t = fld.dataType.simpleString()
+        if key not in by_lower:
+            out.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            continue
+        src_c = by_lower[key]
+        src_t = src_types[key]
+        if src_t == tgt_t:
+            out.append(F.col(src_c).alias(fld.name))
+            continue
+        wide = _widen_rank(src_t, tgt_t)
+        if wide is not None and wide == tgt_t.split("(")[0]:
+            out.append(F.col(src_c).cast(fld.dataType).alias(fld.name))
+            continue
+        if on_narrowing == "error":
+            raise ValueError(
+                f"narrowing/incompatible drift on {fld.name!r}: source "
+                f"{src_t} -> target {tgt_t}; pass on_narrowing='try_cast' "
+                "to accept cast-failure->NULL semantics")
+        out.append(F.col(src_c).try_cast(fld.dataType).alias(fld.name))
+    return df.select(*out)

@@ -223,7 +223,8 @@ class MigrationJob:
 
     # ------------------------------------------------------------------
     def run_incremental(self, spark: SparkSession,
-                        key_cols: list[str]) -> dict[str, Any]:
+                        key_cols: list[str],
+                        reconcile_drift: bool = False) -> dict[str, Any]:
         """Incremental sync (beyond-reference — the reference re-ships
         every row on every run): diff the TRANSFORMED source against the
         destination's current rows on the business key
@@ -240,6 +241,13 @@ class MigrationJob:
         same delta into MERGE/DELETE statements server-side; not wired
         here (no live warehouse in this environment — same disposition as
         S6/S8's mocked introspection).
+
+        ``reconcile_drift=True`` projects the transformed source onto the
+        destination's CURRENT schema first
+        (``functions.casts.reconcile_to_schema``): new source columns are
+        dropped, vanished ones turn into typed NULLs, lossless widenings
+        cast up, and narrowing drift raises instead of truncating — so a
+        drifted source diffs cleanly instead of failing the key join.
 
         Returns per-change-type counts plus the applied row total.
         """
@@ -265,6 +273,12 @@ class MigrationJob:
             out["incremental"] = False
             return out
 
+        if reconcile_drift:
+            from data_warehouse_migrate_spark.functions.casts import (
+                reconcile_to_schema,
+            )
+
+            src = reconcile_to_schema(src, dest.schema)
         delta = snapshot_delta(src, dest, key_cols)
         # one pass over the join for the counts; the changed subset then
         # reuses the cached delta instead of re-running the join

@@ -122,3 +122,57 @@ def test_cast_failure_never_raises(spark):
         cast_expr_for_source_type(F.col("v"), "date").alias("d"),
     )
     assert out.count() == 2  # no exception
+
+
+class TestReconcileToSchema:
+    def test_widen_add_drop_reorder(self, spark):
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame(
+            [(1, 2.5, "x", 9)], "a int, b float, Extra string, c int")
+        tgt = spark.createDataFrame(
+            [], "c bigint, a int, b double, d string").schema
+        out = reconcile_to_schema(src, tgt)
+        assert [(f.name, f.dataType.simpleString()) for f in out.schema] == [
+            ("c", "bigint"), ("a", "int"), ("b", "double"), ("d", "string")]
+        row = out.first()
+        assert (row.c, row.a, row.b, row.d) == (9, 1, 2.5, None)
+
+    def test_case_insensitive_match(self, spark):
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(1,)], "ID int")
+        tgt = spark.createDataFrame([], "id bigint").schema
+        assert reconcile_to_schema(src, tgt).first().id == 1
+
+    def test_narrowing_errors_by_default(self, spark):
+        import pytest
+
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(2**40,), (7,)], "a bigint")
+        tgt = spark.createDataFrame([], "a int").schema
+        with pytest.raises(ValueError, match="narrowing"):
+            reconcile_to_schema(src, tgt)
+        vals = sorted(r.a for r in
+                      reconcile_to_schema(src, tgt, on_narrowing="try_cast")
+                      .collect() if r.a is not None)
+        assert vals == [7]  # the overflow row nulled, not truncated
+
+    def test_string_to_int_is_narrowing(self, spark):
+        import pytest
+
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([("12",)], "a string")
+        tgt = spark.createDataFrame([], "a int").schema
+        with pytest.raises(ValueError):
+            reconcile_to_schema(src, tgt)
