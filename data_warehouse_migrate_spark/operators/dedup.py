@@ -571,6 +571,50 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          F.col("label").alias("cluster_id"))
 
 
+def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame,
+                       text_col: str, id_col: str,
+                       n: int = 3, threshold: float = 0.8,
+                       max_shingle_freq: int | None = None) -> DataFrame:
+    """Dedup a NEW corpus against an EXISTING one: drop every new
+    document whose n-gram Jaccard similarity to ANY reference document
+    reaches ``threshold``, and return the surviving new rows. The
+    standard crawl-refresh step — don't re-train on what the last crawl
+    already contributed — and the near-dup complement of
+    ``contamination.decontaminate`` (which needs literal n-gram overlap,
+    not whole-document similarity).
+
+    EXACT (no LSH recall loss), by reusing the audited PPJoin self-join
+    plan: both corpora union into one frame under side-tagged ids
+    (ref → 2·id, new → 2·id+1 — the id never enters the similarity
+    computation), pairs come from :func:`ngram_jaccard_pairs`, and only
+    pairs whose ids differ in side parity count as cross-corpus hits.
+    The drop list (hit new-side ids) applies LEFT ANTI — duplicate-sized,
+    AQE-broadcast at scale, the kept corpus never reshuffles. Same-side
+    near-dups are IGNORED by design: dedup within the new crawl is
+    :func:`near_dup_removal`'s job, and the reference corpus is
+    immutable here.
+
+    Ids must be non-negative integers (the 2·id tagging is disclosed in
+    the plan; a general-key variant would tag with a struct instead).
+    """
+    ref = ref_df.select(
+        (F.col(id_col).cast("bigint") * 2).alias(id_col),
+        F.col(text_col))
+    new = new_df.select(
+        (F.col(id_col).cast("bigint") * 2 + 1).alias(id_col),
+        F.col(text_col))
+    pairs = ngram_jaccard_pairs(ref.unionByName(new), text_col, id_col,
+                                n=n, threshold=threshold,
+                                max_shingle_freq=max_shingle_freq)
+    cross = pairs.filter(F.col("id_a") % 2 != F.col("id_b") % 2)
+    drops = (cross.select(
+        F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("__tagged"))
+        .select(((F.col("__tagged") - 1) / 2).cast("bigint").alias(id_col))
+        .distinct())
+    return new_df.join(drops, id_col, "left_anti")
+
+
 def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
                      src_col: str = "id_a",
                      dst_col: str = "id_b") -> DataFrame:

@@ -2338,6 +2338,38 @@ FROM events
 """
 
 
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus near-dup removal (operators/dedup.py
+    cross_corpus_dedup): drop new-crawl docs (odd doc_ids) whose 3-gram
+    Jaccard vs ANY existing-corpus doc (even doc_ids) ≥ 0.6 — EXACT, via
+    the side-tagged PPJoin reuse; the oracle is the all-pairs EXISTS."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        cross_corpus_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    return (cross_corpus_dedup(new, ref, "text", "doc_id",
+                               n=3, threshold=0.6)
+            .select("doc_id", "source", "lang"))
+
+
+O_CROSS_CORPUS_DEDUP = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1
+    FROM sh n JOIN sh r
+      ON n.doc_id = d.doc_id AND r.doc_id % 2 = 0
+     AND round(len(list_intersect(n.sh, r.sh)) /
+               CAST(len(n.sh) + len(r.sh) - len(list_intersect(n.sh, r.sh))
+                    AS DOUBLE), 6) >= 0.6)
+"""
+
+
 def q_migration_checksum(spark, sf_dir):
     """Order-independent content fingerprint (operators/validate.py):
     per-status XOR of 60-bit md5 row hashes over pinned-rendering
@@ -2405,7 +2437,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 86 queries — so 36 fall outside every window.
+    # registry holds 90 queries — so 40 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2491,6 +2523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_join": q_salted_event_join,
     "migration_checksum": q_migration_checksum,
     "profile_orders": q_profile_orders,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2613,6 +2646,7 @@ ORACLES: dict[str, str] = {
     "salted_event_join": O_SALTED_EVENT_JOIN,
     "migration_checksum": O_MIGRATION_CHECKSUM,
     "profile_orders": O_PROFILE_ORDERS,
+    "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

@@ -221,3 +221,26 @@ def test_broadcast_guard_is_byte_aware(spark):
     # count-based regression guard: 10M hypothetical narrow rows of 24 B
     # (~240 MB) still broadcast — the byte guard is not just stricter
     assert _maybe_broadcast(narrow, 10_000_000, 24.0) is not narrow
+
+
+def test_cross_corpus_dedup(spark):
+    from data_warehouse_migrate_spark.operators.dedup import cross_corpus_dedup
+
+    ref = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark engines process distributed data frames"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),   # dup of ref 0
+        (3, "a completely novel document about nothing"),
+        (5, "spark engines process distributed data sets"),   # near ref 2
+        # near-dup of new 3 — same-side pairs must NOT drop anything
+        (7, "a completely novel document about everything"),
+    ], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  cross_corpus_dedup(new, ref, "text", "doc_id",
+                                     n=3, threshold=0.6).collect())
+    assert kept == [3, 7]
+    # schema preserved; ref corpus untouched by construction
+    assert cross_corpus_dedup(new, ref, "text", "doc_id").columns == \
+        new.columns
