@@ -97,3 +97,56 @@ def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
             .withColumn("fill_ratio",
                         F.round(F.col("total_tokens")
                                 / (F.col("n_seqs") * budget), 6)))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 256,
+                    overlap: int = 64) -> DataFrame:
+    """Sliding-window document chunking — the RAG/long-context
+    counterpart of :func:`pack_sequences` (packing CONCATENATES short
+    docs up to a budget; chunking SPLITS long docs down to one):
+
+      (id, chunk_id, start_token, n_tokens, chunk_text)
+
+    Chunks start every ``chunk_tokens - overlap`` tokens (the stride) and
+    carry up to ``chunk_tokens`` tokens; the final chunk may be shorter,
+    and consecutive chunks share ``overlap`` tokens so no span is ever
+    split across a boundary without context. A window is emitted only if
+    it covers at least one token no earlier window covered (start = 0 or
+    start + overlap < n) — a document at most one chunk long yields
+    exactly ONE chunk, and a document with zero tokens yields one EMPTY
+    chunk: corpus rows never vanish silently, and no chunk is a strict
+    suffix of its predecessor.
+
+    Tokenization is the engine's shared regex (``functions.text.
+    TOKEN_REGEX``) and ``chunk_text`` is the SINGLE-SPACE join of its
+    tokens — a token-stream contract (deterministic, oracle-twinnable),
+    not a byte-offset substring; original whitespace is not preserved.
+
+    Plan: one narrow projection — tokens once per row, then a
+    posexplode over the per-doc start sequence. No shuffle, no UDF;
+    output volume ≈ input tokens × (1 + overlap/stride).
+    """
+    from data_warehouse_migrate_spark.functions.text import TOKEN_REGEX
+
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens "
+            f"(got {chunk_tokens}, {overlap})")
+    stride = chunk_tokens - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < n))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("bigint").alias("chunk_id"),
+            s.cast("bigint").alias("start_token"),
+            F.slice(toks, s + 1, chunk_tokens).alias("toks")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(chunks).alias("c"))
+            .select("id", "c.chunk_id", "c.start_token",
+                    F.size("c.toks").cast("bigint").alias("n_tokens"),
+                    F.array_join("c.toks", " ").alias("chunk_text")))

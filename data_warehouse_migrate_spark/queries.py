@@ -2370,6 +2370,40 @@ WHERE d.doc_id % 2 = 1
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py chunk_documents):
+    32-token chunks, 8-token overlap (stride 24) — the RAG/long-context
+    splitter; narrow plan, one posexplode, no shuffle."""
+    from data_warehouse_migrate_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (chunk_documents(d, "text", "doc_id",
+                            chunk_tokens=32, overlap=8)
+            .withColumnRenamed("id", "doc_id"))
+
+
+O_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+  FROM t),
+kept AS (
+  SELECT * FROM s WHERE start = 0 OR start + 8 < len(toks))
+SELECT doc_id,
+       CAST(start / 24 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM kept
+"""
+
+
 def q_migration_checksum(spark, sf_dir):
     """Order-independent content fingerprint (operators/validate.py):
     per-status XOR of 60-bit md5 row hashes over pinned-rendering
@@ -2437,7 +2471,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 90 queries — so 40 fall outside every window.
+    # registry holds 91 queries — so 41 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2524,6 +2558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "migration_checksum": q_migration_checksum,
     "profile_orders": q_profile_orders,
     "cross_corpus_dedup": q_cross_corpus_dedup,
+    "chunk_documents": q_chunk_documents,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2647,6 +2682,7 @@ ORACLES: dict[str, str] = {
     "migration_checksum": O_MIGRATION_CHECKSUM,
     "profile_orders": O_PROFILE_ORDERS,
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
+    "chunk_documents": O_CHUNK_DOCUMENTS,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

@@ -65,3 +65,30 @@ def test_pack_sequences_chunk_overflow_raises(spark, monkeypatch):
                                  group_expr=F.lit(0))
     with pytest.raises(SparkRuntimeException, match="exceeds 4 chunks"):
         out.collect()
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from data_warehouse_migrate_spark.operators.packing import chunk_documents
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    text = " ".join(words)                        # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "only three tokens")],
+                               "doc_id long, text string")
+    out = {(r.id, r.chunk_id): r for r in
+           chunk_documents(df, "text", "doc_id",
+                           chunk_tokens=4, overlap=2).collect()}
+    # doc 1: stride 2, starts 0,2,4,6 (8 would add no new token: 8+2 >= 10)
+    assert [(k[1]) for k in sorted(out) if k[0] == 1] == [0, 1, 2, 3]
+    assert out[(1, 0)].chunk_text == "alpha beta gamma delta"
+    assert out[(1, 1)].chunk_text == "gamma delta epsilon zeta"  # overlap 2
+    assert out[(1, 3)].chunk_text == "eta theta iota kappa"      # covers tail
+    # empty doc yields one empty chunk, not zero rows
+    assert out[(2, 0)].n_tokens == 0 and out[(2, 0)].chunk_text == ""
+    # doc shorter than one chunk: single chunk
+    assert [(k[1]) for k in sorted(out) if k[0] == 3] == [0]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
