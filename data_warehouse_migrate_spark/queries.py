@@ -852,6 +852,24 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_value_percentiles(spark, sf_dir):
+    """Sketch twin of value_percentiles: approx_percentile
+    (KLL/Greenwald-Khanna-style mergeable sketch, accuracy 1/10000) —
+    the single-pass bounded-memory path a 100 TB scan would take. No SQL
+    oracle (sketch estimates are engine-specific); the exact companion
+    value_percentiles IS oracle-checked, and the test bounds the
+    sketch's rank error against it."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile_approx(F.col("value"),
+                              F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                              F.lit(10000))
+    return (e.groupBy("event_type")
+            .agg(F.round(pct[0], 6).alias("p50"),
+                 F.round(pct[1], 6).alias("p90"),
+                 F.round(pct[2], 6).alias("p99"))
+            .orderBy("event_type"))
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP hierarchy: revenue by (returnflag, linestatus) with subtotals
     and grand total."""
@@ -2471,7 +2489,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 91 queries — so 41 fall outside every window.
+    # registry holds 92 queries — so 42 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2559,6 +2577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": q_profile_orders,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "chunk_documents": q_chunk_documents,
+    "approx_value_percentiles": q_approx_value_percentiles,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,

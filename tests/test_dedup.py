@@ -244,3 +244,15 @@ def test_cross_corpus_dedup(spark):
     # schema preserved; ref corpus untouched by construction
     assert cross_corpus_dedup(new, ref, "text", "doc_id").columns == \
         new.columns
+
+
+def test_removal_plans_have_no_cartesian(spark, sf_dir):
+    """The removal family (decontaminate, near-dup keep, cross-corpus)
+    must never degenerate to a cartesian product."""
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+    from data_warehouse_migrate_spark.queries import QUERIES
+
+    for name in ("decontaminate_corpus", "dedup_near_keep",
+                 "cross_corpus_dedup", "salted_event_join"):
+        plan = explain_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

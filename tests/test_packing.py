@@ -92,3 +92,13 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_is_narrow(spark, sf_dir):
+    """Chunking must not shuffle: no Exchange in the physical plan."""
+    from data_warehouse_migrate_spark.operators.packing import chunk_documents
+    from data_warehouse_migrate_spark.plans.dryrun import explain_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_plan(chunk_documents(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
