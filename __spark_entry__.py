@@ -4,8 +4,10 @@
 ``queries``/``oracle_sql`` expose the full operator registry
 (data_warehouse_migrate_spark.queries) — one entry per implemented operator
 from SURVEY.md §2 plus the beyond-reference LLM-pipeline operators.
-``dedup_minhash`` and ``embedding_lsh_ann`` intentionally have no oracle
-(probabilistic/approximate); the driver records rows-only checks for them.
+Seven queries intentionally have no oracle (probabilistic/approximate by
+construction: LSH banding, multi-probe ANN, IVF, HLL, percentile sketch,
+PCA); the driver records rows-only checks for them, and each has an
+oracle-checked exact companion in the registry.
 """
 
 from __future__ import annotations

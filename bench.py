@@ -161,6 +161,12 @@ EXTENDED = [
     "pseudonymize_customers",
     "rolling_event_features",
     "embedding_quantize",
+    "salted_event_join",
+    "migration_checksum",
+    "profile_orders",
+    "cross_corpus_dedup",
+    "chunk_documents",
+    "approx_value_percentiles",
 ]
 
 
