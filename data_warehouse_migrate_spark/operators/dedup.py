@@ -610,7 +610,9 @@ def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame,
     drops = (cross.select(
         F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
         .otherwise(F.col("id_b")).alias("__tagged"))
-        .select(((F.col("__tagged") - 1) / 2).cast("bigint").alias(id_col))
+        # (2·id+1) >> 1 = id — integer decode (a double division would
+        # lose bits above 2^52)
+        .select(F.shiftright(F.col("__tagged"), 1).alias(id_col))
         .distinct())
     return new_df.join(drops, id_col, "left_anti")
 
