@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "transformed source against the destination and "
                         "apply only the insert/update/delete delta "
                         "(beyond-reference incremental sync)")
+    p.add_argument("--target-file-mb", dest="target_file_mb", type=int,
+                   help="size output files near this many MB (file sinks: "
+                        "measures the data and repartitions before the "
+                        "write — the anti-small-files knob)")
     p.add_argument("--verify", dest="verify", action="store_const",
                    const=True,
                    help="after the migration, recompute the transformed "

@@ -68,6 +68,11 @@ class MigrationJob:
     source_jdbc: dict[str, str] | None = None
     destination_jdbc: dict[str, str] | None = None
     write_partition_by: list[str] = field(default_factory=list)
+    # target output file size in MB for file-format sinks (0 = off): the
+    # write goes through sources.sinks.write_sized, which measures the
+    # data and repartitions so output files land near this size instead
+    # of one-file-per-task (the anti-small-files knob)
+    target_file_mb: int = 0
 
     # ------------------------------------------------------------------
     def _mapping(self) -> Mapping | None:
@@ -154,10 +159,21 @@ class MigrationJob:
         mapping = self._mapping()
         ctypes = (", ".join(f"{c} {t}" for c, t in mapping.type_override.items())
                   if mapping and mapping.type_override else None)
-        write_table(plan, self.destination_path, fmt=self.destination_format,
-                    mode=mode, jdbc_options=self.destination_jdbc,
-                    create_table_column_types=ctypes,
-                    partition_by=self.write_partition_by or None)
+        if self.target_file_mb and self.destination_format != "jdbc":
+            from data_warehouse_migrate_spark.sources.sinks import (
+                write_sized,
+            )
+
+            write_sized(plan, self.destination_path,
+                        fmt=self.destination_format, mode=mode,
+                        target_file_bytes=self.target_file_mb * 1024 * 1024,
+                        partition_by=self.write_partition_by or None)
+        else:
+            write_table(plan, self.destination_path,
+                        fmt=self.destination_format,
+                        mode=mode, jdbc_options=self.destination_jdbc,
+                        create_table_column_types=ctypes,
+                        partition_by=self.write_partition_by or None)
         rows_written = int(obs.get["n"])
         if self.destination_format == "jdbc":
             destination_rows = None
@@ -526,4 +542,6 @@ def job_from_config(cfg: dict[str, Any]) -> MigrationJob:
         treat_empty_string_as_null=cfg.get("treat_empty_string_as_null", False),
         source_jdbc=cfg.get("source_jdbc"),
         destination_jdbc=cfg.get("destination_jdbc"),
+        write_partition_by=cfg.get("write_partition_by") or [],
+        target_file_mb=int(cfg.get("target_file_mb") or 0),
     )

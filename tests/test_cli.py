@@ -110,3 +110,22 @@ def test_cli_verify_flag(spark, sf_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["verification"]["verified"] is True
     assert out["verification"]["checksum_match"] is True
+
+
+def test_cli_target_file_mb(spark, sf_dir, tmp_path):
+    import glob
+    import json as _json
+
+    dest = str(tmp_path / "sized_out")
+    rc = main([
+        "--source-path", f"{sf_dir}/orders.parquet",
+        "--destination-path", dest,
+        "--mode", "overwrite", "--yes",
+        "--target-file-mb", "1",
+    ])
+    assert rc == 0
+    # sf0.001 orders are well under 1 MB -> exactly one compacted file
+    assert len(glob.glob(f"{dest}/part-*")) == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == spark.read.parquet(
+        f"{sf_dir}/orders.parquet").count()
