@@ -136,3 +136,62 @@ def introspect_jdbc_schema(spark: SparkSession, jdbc_options: dict[str, str],
     return [{"name": r["COLUMN_NAME"], "type": r["COLUMN_TYPE"],
              "is_nullable": str(r["IS_NULLABLE"]).upper() == "YES",
              "default": r["COLUMN_DEFAULT"]} for r in rows]
+
+
+def parquet_footer_stats(path: str,
+                         columns: list[str] | None = None) -> dict:
+    """Table statistics from parquet FOOTERS ONLY — zero data scanned:
+
+      {'n_files', 'n_rows', 'total_bytes',
+       'columns': {name: {'min', 'max', 'null_count'}}}
+
+    The free complement of ``operators.validate.column_profile`` (which
+    is exact but scans): row counts, byte sizes, and per-column min/max
+    ranges come from the row-group statistics every parquet writer
+    embeds — the same zone maps ``sinks.write_clustered`` lays out for
+    file skipping, so this probe also SHOWS a table's clustering quality
+    (disjoint per-file ranges → range scans skip files).
+
+    Driver-side file iteration: cost is #files × footer parse, no row
+    data moves. Bounded and appropriate for per-table ops checks; for a
+    catalog-wide sweep over millions of files, parallelize the listing
+    and run this per-directory.  min/max are None for columns whose
+    writer emitted no statistics.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = ([path] if _os.path.isfile(path)
+             else sorted(_glob.glob(_os.path.join(path, "*.parquet"))
+                         or _glob.glob(_os.path.join(path, "part-*"))))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    n_rows = 0
+    total_bytes = 0
+    col_stats: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        total_bytes += _os.path.getsize(f)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i, name in enumerate(names):
+                if columns is not None and name not in columns:
+                    continue
+                st = rg.column(i).statistics
+                acc = col_stats.setdefault(
+                    name, {"min": None, "max": None, "null_count": 0})
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    acc["null_count"] += st.null_count
+                if st.has_min_max:
+                    if acc["min"] is None or st.min < acc["min"]:
+                        acc["min"] = st.min
+                    if acc["max"] is None or st.max > acc["max"]:
+                        acc["max"] = st.max
+    return {"n_files": len(files), "n_rows": n_rows,
+            "total_bytes": total_bytes, "columns": col_stats}

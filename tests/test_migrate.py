@@ -416,3 +416,34 @@ def test_run_incremental_reconciles_drift(spark, tmp_path):
     back = {r.k: (r.v, r.s) for r in spark.read.parquet(dest).collect()}
     assert back == {1: (10, "a"), 2: (99, "b"), 3: (30, "c")}
     assert "extra" not in spark.read.parquet(dest).columns
+
+
+def test_parquet_footer_stats_matches_scan(spark, sf_dir, tmp_path):
+    from data_warehouse_migrate_spark.sources.readers import (
+        parquet_footer_stats,
+    )
+
+    path = f"{sf_dir}/orders.parquet"
+    stats = parquet_footer_stats(path, columns=["o_orderkey", "o_custkey"])
+    df = spark.read.parquet(path)
+    agg = df.agg(F.count("*").alias("n"),
+                 F.min("o_orderkey").alias("mn"),
+                 F.max("o_orderkey").alias("mx")).first()
+    assert stats["n_rows"] == agg.n
+    assert stats["columns"]["o_orderkey"]["min"] == agg.mn
+    assert stats["columns"]["o_orderkey"]["max"] == agg.mx
+    assert stats["total_bytes"] > 0 and stats["n_files"] >= 1
+
+    # clustered output: per-file probe shows the disjoint layout
+    out = str(tmp_path / "clustered_stats")
+    from data_warehouse_migrate_spark.sources.sinks import write_clustered
+    write_clustered(df, out, ["o_orderkey"], n_files=4)
+    whole = parquet_footer_stats(out, columns=["o_orderkey"])
+    assert whole["n_files"] == 4
+    assert whole["n_rows"] == agg.n
+    assert whole["columns"]["o_orderkey"]["min"] == agg.mn
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        parquet_footer_stats(str(tmp_path / "nope"))
