@@ -2422,6 +2422,38 @@ FROM kept
 """
 
 
+def q_click_purchase_interval(spark, sf_dir):
+    """Watermarked-join batch twin (streaming/joins.py
+    interval_join_streams): purchases within 1 hour after a click by the
+    same user — identical logical plan runs under readStream with
+    bounded state (e2e-tested in tests/test_streaming_joins.py)."""
+    from data_warehouse_migrate_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    buys = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id")))
+    return interval_join_streams(clicks, buys, "user_id",
+                                 "click_ts", "buy_ts", max_delay="1 hour")
+
+
+O_CLICK_PURCHASE_INTERVAL = """
+SELECT c.user_id, c.click_ts, c.click_id, b.buy_ts, b.buy_id
+FROM (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+      FROM events WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.buy_ts >= c.click_ts
+ AND b.buy_ts <= c.click_ts + INTERVAL 1 HOUR
+"""
+
+
 def q_migration_checksum(spark, sf_dir):
     """Order-independent content fingerprint (operators/validate.py):
     per-status XOR of 60-bit md5 row hashes over pinned-rendering
@@ -2489,7 +2521,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 92 queries — so 42 fall outside every window.
+    # registry holds 93 queries — so 43 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2578,6 +2610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "chunk_documents": q_chunk_documents,
     "approx_value_percentiles": q_approx_value_percentiles,
+    "click_purchase_interval": q_click_purchase_interval,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2702,6 +2735,7 @@ ORACLES: dict[str, str] = {
     "profile_orders": O_PROFILE_ORDERS,
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
     "chunk_documents": O_CHUNK_DOCUMENTS,
+    "click_purchase_interval": O_CLICK_PURCHASE_INTERVAL,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,
