@@ -167,3 +167,16 @@ def quantization_error(vec: Column, quant: Column) -> Column:
     diff = F.zip_with(vec, recon, lambda x, r: x.cast("double") - r)
     nx = norm(vec)
     return F.when(nx == F.lit(0.0), F.lit(0.0)).otherwise(norm(diff) / nx)
+
+
+def truncate_normalize(vec: Column, dims: int) -> Column:
+    """Matryoshka-style truncation: keep the first ``dims`` components
+    and re-unit-normalize — the standard storage/latency knob for
+    MRL-trained embeddings (shorter prefixes remain usable retrieval
+    vectors after re-norm; cosine on the truncated vector is then a
+    plain dot). All-zero prefixes stay all-zero instead of dividing by
+    zero. Narrow array expressions, no shuffle."""
+    t = F.transform(F.slice(vec, 1, dims), lambda x: x.cast("double"))
+    n = norm(t)
+    return F.when(n == F.lit(0.0), t).otherwise(
+        F.transform(t, lambda x: x / n))

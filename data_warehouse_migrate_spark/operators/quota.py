@@ -101,3 +101,38 @@ def quality_band_filter(df: DataFrame, score_col, group_col: str,
         score.asc(), F.col(id_col).asc())
     return (df.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
             .filter(F.col("q_rank") >= F.round(F.lit(1.0 - keep_top), 6)))
+
+
+def curriculum_buckets(df: DataFrame, score_col, n_buckets: int = 4,
+                       approx: bool = False,
+                       out_col: str = "bucket") -> DataFrame:
+    """Difficulty-curriculum assignment: ``out_col`` ∈ [0, n_buckets) by
+    percentile cuts of ``score_col`` (bucket 0 = lowest scores). The
+    training loop then schedules buckets easy→hard without any global
+    sort of the corpus.
+
+    Plan: ONE aggregate computes the n_buckets−1 interior percentile
+    cuts (collected — n_buckets-sized, never corpus-sized), then a
+    narrow comparison projection assigns buckets: bucket = #cuts the
+    score EXCEEDS (ties bucket downward, deterministic). No window, no
+    shuffle of the data — the scale-correct alternative to ntile, whose
+    global ORDER BY ranks the entire corpus through one sort.
+
+    ``approx=True`` uses percentile_approx (mergeable sketch, the 100 TB
+    default); exact percentile is itself a single aggregate (not a
+    sort), so the choice trades memory on the agg for cut exactness —
+    the exact form is what the SQL oracle pins.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pct = (F.percentile_approx(score, F.array(*[F.lit(q) for q in qs]),
+                               F.lit(10000))
+           if approx else
+           F.percentile(score, F.array(*[F.lit(q) for q in qs])))
+    cuts = df.agg(pct.alias("c")).first()["c"]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (score > F.lit(float(c))).cast("int")
+    return df.withColumn(out_col, bucket)

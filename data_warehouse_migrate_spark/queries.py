@@ -2454,6 +2454,66 @@ JOIN (SELECT user_id, ts AS buy_ts, event_id AS buy_id
 """
 
 
+def q_curriculum_buckets(spark, sf_dir):
+    """Curriculum assignment (operators/quota.py curriculum_buckets):
+    quartile cuts of the 6dp quality score from ONE aggregate (no global
+    sort — the scale-correct ntile alternative), bucket = #cuts the
+    score exceeds."""
+    from data_warehouse_migrate_spark.operators.quota import (
+        curriculum_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang",
+                      F.round(X.quality_score(F.col("text")), 6)
+                      .alias("quality"))
+    return curriculum_buckets(scored, "quality", n_buckets=4)
+
+
+O_CURRICULUM_BUCKETS = f"""
+WITH scored AS (
+  SELECT q.doc_id, d.lang, q.quality
+  FROM ({O_QUALITY_SCORE}) q JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT quantile_cont(quality, 0.25) AS c1,
+         quantile_cont(quality, 0.5)  AS c2,
+         quantile_cont(quality, 0.75) AS c3
+  FROM scored)
+SELECT s.doc_id, s.lang, s.quality,
+       CAST((s.quality > c.c1) AS INT) + CAST((s.quality > c.c2) AS INT)
+         + CAST((s.quality > c.c3) AS INT) AS bucket
+FROM scored s, cuts c
+"""
+
+
+def q_embedding_truncate(spark, sf_dir):
+    """Matryoshka truncation (functions/vectors.py truncate_normalize):
+    first 16 dims re-unit-normalized, elements rounded 6dp for the
+    cross-engine hash. Narrow, no shuffle."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        truncate_normalize,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    t = truncate_normalize(F.col("embedding"), 16)
+    return e.select(
+        "vec_id",
+        F.transform(t, lambda x: F.round(x, 6)).alias("e16"))
+
+
+O_EMBEDDING_TRUNCATE = f"""
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+  FROM embeddings),
+n AS (SELECT vec_id, t, {_NORM_SQL.format(a='t')} AS nrm FROM s)
+SELECT vec_id,
+       CASE WHEN nrm = 0 THEN list_transform(t, x -> round(x, 6))
+            ELSE list_transform(t, x -> round(x / nrm, 6)) END AS e16
+FROM n
+"""
+
+
 def q_migration_checksum(spark, sf_dir):
     """Order-independent content fingerprint (operators/validate.py):
     per-status XOR of 60-bit md5 row hashes over pinned-rendering
@@ -2521,7 +2581,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 93 queries — so 43 fall outside every window.
+    # registry holds 95 queries — so 45 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2611,6 +2671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "approx_value_percentiles": q_approx_value_percentiles,
     "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
+    "embedding_truncate": q_embedding_truncate,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2736,6 +2798,8 @@ ORACLES: dict[str, str] = {
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "click_purchase_interval": O_CLICK_PURCHASE_INTERVAL,
+    "curriculum_buckets": O_CURRICULUM_BUCKETS,
+    "embedding_truncate": O_EMBEDDING_TRUNCATE,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

@@ -212,3 +212,27 @@ def test_quantize_int8_roundtrip(spark):
     for r in out.values():                    # codes stay in int8 range
         assert all(-127 <= q <= 127 for q in r.qz.q)
         assert r.err < 0.01                   # <1% L2 error at these dims
+
+
+def test_curriculum_buckets_exact_and_approx(spark):
+    from data_warehouse_migrate_spark.operators.quota import curriculum_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id long, score double")
+    out = {r.id: r.bucket for r in
+           curriculum_buckets(df, "score", n_buckets=4).collect()}
+    # quartile cuts at 24.75/49.5/74.25 -> 25/25/25/25 split
+    assert [sum(1 for b in out.values() if b == k) for k in range(4)] == \
+        [25, 25, 25, 25]
+    assert out[0] == 0 and out[99] == 3
+    # approx path: same monotone structure, equal-width-ish split
+    ap = {r.id: r.bucket for r in
+          curriculum_buckets(df, "score", n_buckets=4,
+                             approx=True).collect()}
+    assert all(ap[i] <= ap[j] for i, j in zip(range(99), range(1, 100)))
+    assert set(ap.values()) == {0, 1, 2, 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        curriculum_buckets(df, "score", n_buckets=1)

@@ -247,3 +247,22 @@ def test_label_principal_direction_raw_labels(spark):
     assert dict(out.dtypes)["label"] == "string"
     got = {r.label: r.n for r in out.collect()}
     assert got == {"en": 20, "fr": 20, None: 20}
+
+
+def test_truncate_normalize_matryoshka(spark):
+    from data_warehouse_migrate_spark.functions.vectors import (
+        norm,
+        truncate_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "id long, v array<double>")
+    out = {r.id: list(r.t) for r in df.select(
+        "id", truncate_normalize(F.col("v"), 2).alias("t")).collect()}
+    assert out[1] == [0.6, 0.8]          # (3,4)/5
+    assert out[2] == [0.0, 0.0]          # zero prefix stays zero
+    # unit norm -> cosine becomes plain dot
+    row = df.filter(F.col("id") == 1).select(
+        F.round(norm(truncate_normalize(F.col("v"), 2)), 9).alias("n")).first()
+    assert row.n == 1.0
