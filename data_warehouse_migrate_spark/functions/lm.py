@@ -93,3 +93,48 @@ def doc_unigram_logprob(docs: DataFrame, text_col: str, id_col: str,
                     F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
                     .alias("n_tokens"),
                     "avg_logprob"))
+
+
+def pmi_collocations(docs: DataFrame, text_col: str,
+                     min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+
+      pmi(a,b) = log10( p(a,b) / (p(a)·p(b)) )
+
+    with p(a,b) over adjacent-bigram occurrences and p(·) over unigram
+    occurrences — the classic "new york"/"machine learning" detector,
+    feeding tokenizer merge candidates and phrase-aware dedup.
+    ``min_count`` floors the bigram count (PMI is notoriously noisy on
+    rare pairs). Deterministic order: rounded-6dp pmi desc, then the
+    bigram itself.
+
+    Two explodes + three hash aggregates, all shuffles at distinct-token
+    / distinct-bigram volume (map-side combined); the two totals ride
+    along as broadcast scalars. No UDFs, no sorts beyond the k-row
+    TakeOrdered.
+    """
+    toks = _tokens(F.col(text_col))
+    bi = (docs.select(F.explode(
+        F.when(F.size(toks) < 2, F.array()).otherwise(
+            F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                       F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    ).alias("p")).select("p.w1", "p.w2"))
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    tot_bi = bic.agg(F.sum("c_ab").cast("double").alias("__tb"))
+    tot_uni = uni.agg(F.sum("c").cast("double").alias("__tu"))
+    pmi = F.round(F.log10(
+        (F.col("c_ab") / F.col("__tb"))
+        / ((F.col("ca") / F.col("__tu")) * (F.col("cb") / F.col("__tu")))), 6)
+    return (bic.filter(F.col("c_ab") >= min_count)
+            .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")),
+                  "w1")
+            .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")),
+                  "w2")
+            .crossJoin(F.broadcast(tot_bi))
+            .crossJoin(F.broadcast(tot_uni))
+            .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(k))

@@ -2454,6 +2454,42 @@ JOIN (SELECT user_id, ts AS buy_ts, event_id AS buy_id
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (functions/lm.py
+    pmi_collocations), min bigram count 5 — distinct-token/bigram-volume
+    aggregates only, deterministic rounded-pmi ordering."""
+    from data_warehouse_migrate_spark.functions.lm import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", min_count=5, k=50)
+
+
+O_PMI_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+                            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS t
+  FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+bic AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS w FROM toks),
+unic AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS v FROM bic),
+tu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM unic)
+SELECT b.w1, b.w2, b.c_ab,
+       round(log10((b.c_ab / tb.v)
+                   / ((ua.c / tu.v) * (ub.c / tu.v))), 6) AS pmi
+FROM bic b
+JOIN unic ua ON ua.w = b.w1
+JOIN unic ub ON ub.w = b.w2, tb, tu
+WHERE b.c_ab >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+
 def q_curriculum_buckets(spark, sf_dir):
     """Curriculum assignment (operators/quota.py curriculum_buckets):
     quartile cuts of the 6dp quality score from ONE aggregate (no global
@@ -2581,7 +2617,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 95 queries — so 45 fall outside every window.
+    # registry holds 96 queries — so 46 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2673,6 +2709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "embedding_truncate": q_embedding_truncate,
+    "pmi_collocations": q_pmi_collocations,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2800,6 +2837,7 @@ ORACLES: dict[str, str] = {
     "click_purchase_interval": O_CLICK_PURCHASE_INTERVAL,
     "curriculum_buckets": O_CURRICULUM_BUCKETS,
     "embedding_truncate": O_EMBEDDING_TRUNCATE,
+    "pmi_collocations": O_PMI_COLLOCATIONS,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

@@ -236,3 +236,20 @@ def test_curriculum_buckets_exact_and_approx(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         curriculum_buckets(df, "score", n_buckets=1)
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    from data_warehouse_migrate_spark.functions.lm import pmi_collocations
+
+    # "neural network" always co-occurs; filler words are independent
+    docs = [(i, "neural network " + " ".join(
+        ["alpha", "beta", "gamma", "delta"][i % 4] for _ in range(3)))
+        for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, "text", min_count=5, k=10).collect()
+    top = (out[0].w1, out[0].w2)
+    assert top == ("neural", "network")
+    assert out[0].c_ab == 20
+    # monotone non-increasing pmi, deterministic ordering
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)
