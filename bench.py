@@ -167,6 +167,10 @@ EXTENDED = [
     "cross_corpus_dedup",
     "chunk_documents",
     "approx_value_percentiles",
+    "click_purchase_interval",
+    "curriculum_buckets",
+    "embedding_truncate",
+    "pmi_collocations",
 ]
 
 
