@@ -40,6 +40,24 @@ def main() -> None:
     print(f"stream dedup: {deduped.count()} distinct docs "
           f"(source now has {spark.read.parquet(src).count()} rows)")
 
+    # 3. stream-static enrichment: per-micro-batch broadcast dim join
+    # (stateless — the canonical dimension-enrichment pattern)
+    from data_warehouse_migrate_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("src0", "web"), ("src1", "code"), ("src2", "books")],
+        "source string, corpus_kind string")
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    enriched = enrich_stream(stream, dim, ["source"])
+    q = (enriched.writeStream.format("memory").queryName("enriched")
+         .option("checkpointLocation", f"{ckpt}_enrich")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kinds = spark.table("enriched").groupBy("corpus_kind").count()
+    print("enriched stream by corpus kind:")
+    kinds.show()
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
