@@ -292,40 +292,35 @@ def main() -> int:
     (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
      .mapInPandas(lambda it: it, "id long").count())
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    def timed_best(name: str) -> float:
         # best of 2, adaptively 3: this host shows rare multi-second
         # stalls (CPU steal) that poison single measurements — and with
         # only two draws, BOTH can land on a stall (r04 observed the
         # ngram query at [10.3, 3.9, 8.3, 3.1] across four runs). If the
         # first two disagree by >1.5x, one of them stalled: take a third.
-        runs = []
+        # ONE protocol for headline and extended — a drift between the
+        # two would make their timings incomparable.
+        runs: list[float] = []
         while len(runs) < 2 or (len(runs) == 2
                                 and max(runs) / min(runs) > 1.5):
             spark.catalog.clearCache()  # no cross-query cache pollution
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            if len(runs) == 3:
-                break
-        times[name] = round(min(runs), 3)
-        print(f"  {name}: {times[name]}s ({len(runs)} runs)", file=sys.stderr)
-
-    total = round(sum(times.values()), 3)
-
-    ext_times: dict[str, float] = {}
-    for name in EXTENDED:
-        runs = []
-        while len(runs) < 2 or (len(runs) == 2
-                                and max(runs) / min(runs) > 1.5):
-            spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
             if len(runs) == 3:
                 break
-        ext_times[name] = round(min(runs), 3)
+        return round(min(runs), 3)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = timed_best(name)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+
+    ext_times: dict[str, float] = {}
+    for name in EXTENDED:
+        ext_times[name] = timed_best(name)
         print(f"  ext {name}: {ext_times[name]}s", file=sys.stderr)
 
     # Volume counters for the dedup/LSH family (AFTER all timing — the

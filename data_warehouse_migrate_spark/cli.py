@@ -133,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         result = job.run(spark)
     if cfg.get("verify"):
         result["verification"] = job.verify(spark)
-        if not result["verification"]["verified"]:
+        # None = not verifiable (append mode) — disclosed, not a failure
+        if result["verification"]["verified"] is False:
             print(json.dumps(result, default=str))
             return 3
     print(json.dumps(result, default=str))

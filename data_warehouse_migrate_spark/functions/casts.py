@@ -182,25 +182,54 @@ def apply_source_schema(df, schema, preserve_null_tokens: bool = True,
 # table again after the source added/widened/dropped columns)
 # ---------------------------------------------------------------------------
 
-# widenings that cannot lose information (order within each chain matters)
+# widenings that cannot lose information (order within each chain
+# matters). Cross-family moves are NOT free and are handled explicitly
+# in _is_lossless_widening: bigint→double loses integers above 2^53,
+# int→decimal(p,s) overflows (→NULL, non-ANSI) when p−s has too few
+# integer digits — both are narrowing in disguise.
 _WIDEN_CHAINS = (
-    ["byte", "short", "int", "bigint", "decimal", "double"],
+    ["byte", "short", "int", "bigint"],
     ["float", "double"],
     ["date", "timestamp"],
 )
 
+# max decimal digits of each integer type (for int→decimal admission)
+_INT_DIGITS = {"byte": 3, "short": 5, "int": 10, "bigint": 19}
 
-def _widen_rank(a: str, b: str) -> str | None:
-    """The wider of two type names if they sit on one widening chain,
-    else None. Decimal is position-ranked only (precision is the
-    caller's concern — reconcile keeps the TARGET's parameters)."""
-    a, b = a.split("(")[0], b.split("(")[0]
-    if a == b:
-        return a
+# integer types double represents exactly (|x| < 2^53); float is exact
+# in double by construction
+_DOUBLE_EXACT = {"byte", "short", "int", "float"}
+
+
+def _is_lossless_widening(src: str, tgt: str) -> bool:
+    """True iff CAST(src AS tgt) cannot lose information for ANY value."""
+    s, t = src.split("(")[0], tgt.split("(")[0]
+    if s == t and src == tgt:
+        return True
     for chain in _WIDEN_CHAINS:
-        if a in chain and b in chain:
-            return chain[max(chain.index(a), chain.index(b))]
-    return None
+        if s in chain and t in chain:
+            return chain.index(s) <= chain.index(t)
+    if t == "double":
+        return s in _DOUBLE_EXACT
+    if t == "decimal":
+        try:
+            p2, s2 = (tgt.split("(")[1].rstrip(")").split(",") + ["0"])[:2]
+            p2, s2 = int(p2), int(s2)
+        except (IndexError, ValueError):
+            return False
+        if s in _INT_DIGITS:
+            # p−s integer digits must hold the whole int range
+            return p2 - s2 >= _INT_DIGITS[s]
+        if s == "decimal":
+            # wider precision AND no scale reduction
+            try:
+                p1, s1 = (src.split("(")[1].rstrip(")").split(",")
+                          + ["0"])[:2]
+                p1, s1 = int(p1), int(s1)
+            except (IndexError, ValueError):
+                return False
+            return s2 >= s1 and p2 - s2 >= p1 - s1
+    return False
 
 
 def reconcile_to_schema(df, target_schema,
@@ -241,8 +270,7 @@ def reconcile_to_schema(df, target_schema,
         if src_t == tgt_t:
             out.append(F.col(src_c).alias(fld.name))
             continue
-        wide = _widen_rank(src_t, tgt_t)
-        if wide is not None and wide == tgt_t.split("(")[0]:
+        if _is_lossless_widening(src_t, tgt_t):
             out.append(F.col(src_c).cast(fld.dataType).alias(fld.name))
             continue
         if on_narrowing == "error":

@@ -205,7 +205,21 @@ class MigrationJob:
         Two aggregate jobs (one per side), no row transfer, no sort —
         safe at any scale. Returns a dict with ``verified`` True iff
         counts and checksums both match.
+
+        Snapshot semantics only: in APPEND mode the destination may hold
+        rows from earlier runs, so whole-table equality against one
+        run's source is structurally meaningless — ``verified`` comes
+        back None with a reason instead of a false alarm (the CLI treats
+        only ``verified is False`` as failure).
         """
+        if MigrationMode.parse(self.mode) is MigrationMode.APPEND:
+            return {"verified": None,
+                    "checksum_match": None,
+                    "reason": "append-mode destination may contain rows "
+                              "from earlier runs; content verification "
+                              "compares full snapshots — use overwrite "
+                              "mode or verify against a fresh "
+                              "destination"}
         from pyspark.sql import types as T
 
         from data_warehouse_migrate_spark.operators.validate import (
@@ -278,13 +292,19 @@ class MigrationJob:
                 "incremental JDBC apply needs MERGE against a live "
                 "warehouse; compute the delta with snapshot_delta() and "
                 "ship it via your warehouse's MERGE")
+        from pyspark.errors import AnalysisException
+
         src = self.build_plan(spark)
         try:
             dest = read_table(spark, self.destination_path,
                               fmt=self.destination_format)
             if not dest.columns:
-                raise ValueError("empty destination")
-        except Exception:
+                raise AnalysisException("empty destination")
+        except AnalysisException:
+            # destination absent / schema-less — the genuine first-run
+            # signal. Anything else (corrupt files, auth, IO) PROPAGATES:
+            # a bare except here would silently reclassify a broken
+            # destination as "first run" and full-overwrite it.
             out = self.run(spark)
             out["incremental"] = False
             return out

@@ -288,8 +288,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # therefore complete, and the hot shingles that blow up a plain
     # inverted-index join (f² pairs each) mostly sit outside prefixes.
     freq = _materialize(inv.groupBy("shingle").agg(F.count("*").alias("f")))
+    # schema-priced: (bigint shingle, long f) is fixed-width — an
+    # octet_length() here would implicitly CAST the hash to its decimal
+    # string and price ~2x too wide, declining broadcasts early
+    from data_warehouse_migrate_spark.functions.sizing import row_bytes_expr
+
+    freq_fixed, freq_var = row_bytes_expr(freq.schema)
     n_freq, freq_bytes = _count_and_bytes(
-        freq, F.octet_length("shingle").cast("double") + F.lit(16.0), 16.0)
+        freq, freq_var if freq_var is not None else F.lit(0.0), freq_fixed)
     freq_b = _maybe_broadcast(freq, n_freq, freq_bytes)
     ordered = (inv.join(freq_b, "shingle")
                .groupBy("id")
@@ -492,30 +498,51 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .distinct())
     n_edges = und.count()
     if n_edges <= local_max_edges:
-        parent: dict = {}
+        # Arrow transfer into numpy (16 bytes/edge) + array-indexed
+        # union-find over COMPACT node indices — at the 5M-edge default
+        # this is ~80 MB of edge arrays + ≤80 MB of parent array, not
+        # the multi-GB a collect() of Row objects plus a Python dict
+        # would cost. np.unique sorts ascending, so a smaller compact
+        # index IS a smaller node id — union-by-min-index ≡ min-label.
+        import numpy as np
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:     # path compression
-                parent[x], x = root, parent[x]
-            return root
+        pdf = und.toPandas()
+        if len(pdf):
+            sv = pdf["s"].to_numpy()
+            dv = pdf["d"].to_numpy()
+            uniq, inv = np.unique(np.concatenate([sv, dv]),
+                                  return_inverse=True)
+            si, di = inv[:len(sv)], inv[len(sv):]
+            parent = np.arange(len(uniq), dtype=np.int64)
 
-        # one collect, bounded by local_max_edges (~80 MB default) — a
-        # toLocalIterator would pay one driver round trip per partition
-        for row in und.collect():
-            ra, rb = find(row.s), find(row.d)
-            if ra != rb:                      # min root wins → min label
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        mapping = [(node, find(node)) for node in list(parent)]
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != x:        # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in zip(si.tolist(), di.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:                  # min index wins → min id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            roots = np.array([find(i) for i in range(len(uniq))],
+                             dtype=np.int64)
+            moved = roots != np.arange(len(uniq))
+            import pandas as pd
+
+            lab_pdf = pd.DataFrame({"node": uniq[moved],
+                                    "__cc_label": uniq[roots[moved]]})
+        else:
+            lab_pdf = None
         spark = nodes.sparkSession
-        if mapping:
+        if lab_pdf is not None and len(lab_pdf):
+            id_t = nodes.schema[id_col].dataType.simpleString()
             lab = spark.createDataFrame(
-                mapping, schema=f"node {nodes.schema[id_col].dataType.simpleString()}, "
-                                f"__cc_label {nodes.schema[id_col].dataType.simpleString()}")
+                lab_pdf, schema=f"node {id_t}, __cc_label {id_t}")
             out = (nodes.join(F.broadcast(lab),
                               nodes[id_col] == lab.node, "left")
                    .select(nodes[id_col],

@@ -50,18 +50,19 @@ def snapshot_delta(source: DataFrame, dest: DataFrame,
     if missing:
         raise ValueError(f"compare_cols not in both snapshots: {missing}")
 
-    s = source.alias("s")
-    d = dest.alias("d")
+    # explicit presence markers: inferring existence from key nullability
+    # misclassifies NULL business keys (a NULL-key source row would look
+    # "absent from source" and come out as delete/update noise)
+    s = source.withColumn("__in_s", F.lit(1)).alias("s")
+    d = dest.withColumn("__in_d", F.lit(1)).alias("d")
     cond = None
     for k in key_cols:
         eq = F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}"))
         cond = eq if cond is None else cond & eq
     joined = s.join(d, cond, "full_outer")
 
-    # presence flags from the key columns themselves (no extra columns
-    # shipped through the shuffle just to mark existence)
-    in_s = F.col(f"s.{key_cols[0]}").isNotNull()
-    in_d = F.col(f"d.{key_cols[0]}").isNotNull()
+    in_s = F.col("s.__in_s").isNotNull()
+    in_d = F.col("d.__in_d").isNotNull()
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
@@ -96,10 +97,19 @@ def apply_delta(dest: DataFrame, delta: DataFrame,
     (For JDBC sinks the same delta drives MERGE/DELETE statements; this
     DataFrame form is the file-sink / snapshot-table path.)
 
-    One shuffle: the anti-join on the key; the union is free.
+    One shuffle: the anti-join on the key; the union is free. The anti
+    join is NULL-SAFE on the key columns — a column-list join uses
+    null-unsafe equality, under which a NULL-key delete/update never
+    matches and the stale destination row survives (duplicating on every
+    sync).
     """
     moves = delta.filter(F.col("change_type").isin("delete", "update"))
-    keep = dest.join(moves.select(*key_cols), key_cols, "left_anti")
+    dd, mm = dest.alias("dd"), moves.select(*key_cols).alias("mm")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"dd.{k}").eqNullSafe(F.col(f"mm.{k}"))
+        cond = eq if cond is None else cond & eq
+    keep = dd.join(mm, cond, "left_anti")
     add = (delta.filter(F.col("change_type").isin("insert", "update"))
            .select(*dest.columns))
     return keep.unionByName(add)

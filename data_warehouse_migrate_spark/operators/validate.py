@@ -9,12 +9,15 @@ both beyond-reference:
     null counts, distinct counts, and min/max: the pre/post-migration
     diff sheet. Run it on source and destination and compare rows.
   * ``group_checksum`` — an ORDER-INDEPENDENT content fingerprint per
-    group: XOR-aggregate of a per-row hash. Two tables hold identical
-    content (for the rendered columns) iff counts and checksums match
-    per group — no sort, no row-by-row transfer, one aggregate whose
-    partials combine map-side. XOR makes the aggregate commutative/
-    associative (partition layout cannot change it), and a single
-    differing row flips the checksum with probability 1 − 2⁻⁶⁰.
+    group: SUM of per-row 60-bit hashes in exact decimal arithmetic,
+    reduced mod 2⁶⁰. Two tables with different content (for the rendered
+    columns) collide with probability ~2⁻⁶⁰ — no sort, no row-by-row
+    transfer, one aggregate whose partials combine map-side. Sum makes
+    the aggregate commutative/associative (partition layout cannot
+    change it) AND multiset-correct: duplicate rows accumulate instead
+    of cancelling (an XOR fingerprint zeroes out every PAIR of identical
+    rows, so two tables of different all-duplicate content could both
+    hash to 0 — the reason this is a sum).
 
 100 TB shape: both are single hash aggregates (profile additionally
 pays Spark's expand for multi-column DISTINCT — #cols × rows map-side,
@@ -43,12 +46,16 @@ def _row_hash(cols: list[str], null_token: str = "\x00") -> Column:
     return F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("bigint")
 
 
+_CHECKSUM_MOD = 1 << 60
+
+
 def group_checksum(df: DataFrame, key_cols: list[str],
                    value_cols: list[str]) -> DataFrame:
-    """(key..., n_rows, checksum) per group: checksum = bit-XOR of the
-    60-bit md5 hash of each row's rendered ``value_cols``. NULL renders
-    as a reserved token distinct from the empty string. Pass
-    ``key_cols=[]`` for one whole-table fingerprint row.
+    """(key..., n_rows, checksum) per group: checksum = Σ of the 60-bit
+    md5 hashes of each row's rendered ``value_cols``, summed as exact
+    DECIMAL and reduced mod 2⁶⁰ (identical integer arithmetic in any
+    engine). NULL renders as a reserved token distinct from the empty
+    string. Pass ``key_cols=[]`` for one whole-table fingerprint row.
 
     Compare source vs destination frames with a full-outer join on the
     keys: any (count, checksum) mismatch localizes the divergence to a
@@ -56,8 +63,10 @@ def group_checksum(df: DataFrame, key_cols: list[str],
     """
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
+    total = F.sum(_row_hash(value_cols).cast("decimal(38,0)"))
     agg = [F.count(F.lit(1)).alias("n_rows"),
-           F.bit_xor(_row_hash(value_cols)).alias("checksum")]
+           F.pmod(total, F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+           .cast("bigint").alias("checksum")]
     if key_cols:
         return df.groupBy(*key_cols).agg(*agg)
     return df.agg(*agg)

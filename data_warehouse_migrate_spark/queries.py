@@ -2566,10 +2566,11 @@ def q_migration_checksum(spark, sf_dir):
 
 O_MIGRATION_CHECKSUM = """
 SELECT o_orderstatus, count(*) AS n_rows,
-       bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+       CAST(sum(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
                  coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
-                 coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT))
-         AS checksum
+                 coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT)
+                AS DECIMAL(38,0)))
+            % 1152921504606846976 AS BIGINT) AS checksum
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -155,8 +155,9 @@ def parquet_footer_stats(path: str,
     Driver-side file iteration: cost is #files × footer parse, no row
     data moves. Bounded and appropriate for per-table ops checks; for a
     catalog-wide sweep over millions of files, parallelize the listing
-    and run this per-directory.  min/max are None for columns whose
-    writer emitted no statistics.
+    and run this per-directory.  min/max (and null_count) are None for
+    columns whose writer emitted no statistics — None means "no
+    information", never "zero".
     """
     import glob as _glob
     import os as _os
@@ -182,12 +183,16 @@ def parquet_footer_stats(path: str,
                 if columns is not None and name not in columns:
                     continue
                 st = rg.column(i).statistics
+                # null_count starts None (no information), NOT 0 — a
+                # writer that omits stats must be distinguishable from a
+                # true zero-null column
                 acc = col_stats.setdefault(
-                    name, {"min": None, "max": None, "null_count": 0})
+                    name, {"min": None, "max": None, "null_count": None})
                 if st is None:
                     continue
                 if st.null_count is not None:
-                    acc["null_count"] += st.null_count
+                    acc["null_count"] = ((acc["null_count"] or 0)
+                                         + st.null_count)
                 if st.has_min_max:
                     if acc["min"] is None or st.min < acc["min"]:
                         acc["min"] = st.min

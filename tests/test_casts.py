@@ -176,3 +176,63 @@ class TestReconcileToSchema:
         tgt = spark.createDataFrame([], "a int").schema
         with pytest.raises(ValueError):
             reconcile_to_schema(src, tgt)
+
+
+class TestWideningIsActuallyLossless:
+    def test_bigint_to_double_is_narrowing(self, spark):
+        import pytest
+
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(2**53 + 1,)], "a bigint")
+        tgt = spark.createDataFrame([], "a double").schema
+        with pytest.raises(ValueError, match="narrowing"):
+            reconcile_to_schema(src, tgt)
+
+    def test_int_to_double_still_allowed(self, spark):
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(2**31 - 1,)], "a int")
+        tgt = spark.createDataFrame([], "a double").schema
+        assert reconcile_to_schema(src, tgt).first().a == float(2**31 - 1)
+
+    def test_int_to_small_decimal_is_narrowing(self, spark):
+        import pytest
+
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(10**9,)], "a bigint")
+        tgt = spark.createDataFrame([], "a decimal(10,2)").schema
+        with pytest.raises(ValueError, match="narrowing"):
+            reconcile_to_schema(src, tgt)
+
+    def test_bigint_to_wide_decimal_allowed(self, spark):
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(2**62,)], "a bigint")
+        tgt = spark.createDataFrame([], "a decimal(38,0)").schema
+        assert int(reconcile_to_schema(src, tgt).first().a) == 2**62
+
+    def test_decimal_widening_rules(self, spark):
+        import pytest
+        from decimal import Decimal
+
+        from data_warehouse_migrate_spark.functions.casts import (
+            reconcile_to_schema,
+        )
+
+        src = spark.createDataFrame([(Decimal("12345678.99"),)],
+                                    "a decimal(10,2)")
+        ok = spark.createDataFrame([], "a decimal(12,4)").schema
+        assert reconcile_to_schema(src, ok).first().a == Decimal("12345678.9900")
+        bad = spark.createDataFrame([], "a decimal(10,4)").schema  # digits shrink
+        with pytest.raises(ValueError, match="narrowing"):
+            reconcile_to_schema(src, bad)

@@ -253,3 +253,26 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     # monotone non-increasing pmi, deterministic ordering
     pmis = [r.pmi for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_snapshot_delta_null_business_keys(spark):
+    """NULL keys must classify correctly (presence markers, not key
+    nullability) and apply_delta must remove them null-safely — the
+    review repro: a NULL-key update previously duplicated on every sync."""
+    from data_warehouse_migrate_spark.operators.delta import (
+        apply_delta,
+        snapshot_delta,
+    )
+
+    src = spark.createDataFrame([(None, "x", 9.0), (1, "a", 1.0)],
+                                "k int, s string, v double")
+    dest = spark.createDataFrame([(None, "x", 1.0), (1, "a", 1.0)],
+                                 "k int, s string, v double")
+    delta = snapshot_delta(src, dest, ["k"])
+    by_key = {r.k: r.change_type for r in delta.collect()}
+    assert by_key == {None: "update", 1: "unchanged"}
+    nxt = apply_delta(
+        dest, delta.filter(F.col("change_type") != "unchanged"), ["k"])
+    rows = sorted(((r.k, r.v) for r in nxt.collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(1, 1.0), (None, 9.0)]   # exactly one NULL-key row

@@ -447,3 +447,17 @@ def test_parquet_footer_stats_matches_scan(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         parquet_footer_stats(str(tmp_path / "nope"))
+
+
+def test_verify_append_mode_is_not_verifiable(spark, orders_path, tmp_path):
+    """APPEND destinations accumulate rows across runs — whole-snapshot
+    equality is structurally meaningless, so verify() declines with
+    verified=None instead of raising a false alarm."""
+    dest = str(tmp_path / "append_verify")
+    job = MigrationJob(source_path=orders_path, destination_path=dest,
+                      mode="append")
+    job.run(spark)
+    job.run(spark)   # second append doubles the destination
+    rep = job.verify(spark)
+    assert rep["verified"] is None
+    assert "append" in rep["reason"]

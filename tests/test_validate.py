@@ -59,3 +59,17 @@ def test_column_profile(spark, tbl):
     assert all(r.n_rows == 4 for r in prof.values())
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_profile(tbl, ["nope"])
+
+
+def test_checksum_does_not_cancel_duplicate_pairs(spark):
+    """An XOR fingerprint zeroes every PAIR of identical rows — two
+    different all-duplicate tables would both hash to 0. The sum-based
+    checksum must distinguish them."""
+    a = spark.createDataFrame([("A",), ("A",)], "v string")
+    b = spark.createDataFrame([("B",), ("B",)], "v string")
+    ca = group_checksum(a, [], ["v"]).first().checksum
+    cb = group_checksum(b, [], ["v"]).first().checksum
+    assert ca != cb
+    # and duplicates accumulate: {A} vs {A,A} differ too
+    c1 = group_checksum(a.limit(1), [], ["v"]).first().checksum
+    assert c1 != ca
