@@ -27,19 +27,31 @@ from data_warehouse_migrate_spark.functions.text import md5_prefix_int
 HASH_SPACE = 1 << 60  # md5_prefix_int range
 
 
-def _draw(id_col: str) -> F.Column:
+def _draw(id_col: str, salt: str = "") -> F.Column:
     """60-bit uniform draw from a row id (id stringified — bigint ids
-    render identically in Spark and ANSI SQL)."""
-    return md5_prefix_int(F.col(id_col).cast("string"))
+    render identically in Spark and ANSI SQL).
+
+    ``salt`` decorrelates draws between sampling STAGES: every sampler
+    here shares this primitive, so two unsalted samplers composed on the
+    same id keep min(p1, p2) of the data (the second stage's kept set is
+    a SUBSET of the first's), not p1·p2. Pass a distinct salt per stage
+    to restore independence while staying deterministic; the default ""
+    preserves the single-stage contract (and its SQL oracles)."""
+    c = F.col(id_col).cast("string")
+    if salt:
+        c = F.concat(F.lit(salt), F.lit(":"), c)
+    return md5_prefix_int(c)
 
 
-def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
     """Deterministic Bernoulli sample: keep iff hash(id) < fraction·2^60.
     The threshold is computed as a Python int ONCE (exact), so the filter
     is a pure integer comparison — portable and pushdown-friendly (a
-    narrow filter, no shuffle; at 100 TB this is a scan predicate)."""
+    narrow filter, no shuffle; at 100 TB this is a scan predicate).
+    ``salt`` per stage when chaining samplers (see ``_draw``)."""
     threshold = int(fraction * HASH_SPACE)
-    return df.filter(_draw(id_col) < F.lit(threshold))
+    return df.filter(_draw(id_col, salt) < F.lit(threshold))
 
 
 def train_eval_split(df: DataFrame, id_col: str, n_buckets: int = 100,
@@ -81,7 +93,10 @@ def weighted_bernoulli_sample(df: DataFrame, id_col: str, weight_col: str,
     identical rows. Weights are taken at cent precision (2 decimal
     places). Narrow filter, no shuffle."""
     w_cents = F.round(F.col(weight_col) * 100, 0).cast("decimal(38,0)")
-    lhs = _draw(id_col).cast("decimal(38,0)") * F.lit(int(max_weight * 100))
+    # round, not truncate: int(0.29 * 100) is 28 — a truncated W would
+    # inflate every keep probability (and push weight==max_weight past 1)
+    max_cents = int(round(max_weight * 100))
+    lhs = _draw(id_col).cast("decimal(38,0)") * F.lit(max_cents)
     rhs = w_cents * F.lit(HASH_SPACE).cast("decimal(38,0)")
     return df.filter(lhs < rhs)
 

@@ -23,6 +23,23 @@ from data_warehouse_migrate_spark.functions.vectors import cosine, dot
 from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
+def _resolve_planes(corpus: DataFrame, n_planes: int | None,
+                    bands: int) -> tuple[int, int]:
+    """(n_planes, rows_per_band) with the SHARED auto-sizing rule
+    r = max(6, ceil(log2(n/8))) — one definition, because the write path
+    (build_lsh_index) and the query paths (lsh_topk, indexed probes)
+    MUST size identically or probes land in the wrong buckets."""
+    import math
+
+    if n_planes is None:
+        n = corpus.count()
+        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
+        n_planes = bands * r
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    return n_planes, r
+
+
 def _unit(v: list[float]) -> list[float]:
     nrm = sum(x * x for x in v) ** 0.5
     return [float(x) / nrm for x in v] if nrm > 0 else [float(x) for x in v]
@@ -78,9 +95,15 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     """
     from data_warehouse_migrate_spark.functions.vectors import normalize
 
+    # NULL / empty vectors would poison everything downstream (a NULL
+    # seed breaks list(); a NULL assignment emits cell=None into the
+    # driver merge) — drop them up front, disclosed here
+    corpus = corpus.filter(F.col(vec_col).isNotNull()
+                           & (F.size(F.col(vec_col)) > 0))
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
-        raise ValueError("kmeans_centroids: empty corpus")
+        raise ValueError("kmeans_centroids: empty corpus "
+                         "(after dropping NULL/empty vectors)")
     dim = first["d"]
     # spread before the persist: all n_iter+1 passes (k dot products per
     # row each) otherwise run on a single-partition scan's one core
@@ -212,7 +235,6 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     The join is (table, key)-equi, shuffle-partitioned on the key — never
     all-pairs; at 100 TB the indexed corpus is written bucketed by
     (table, key) once and reused across query batches."""
-    import math
 
     from data_warehouse_migrate_spark.functions.vectors import (
         band_keys_from_projections,
@@ -220,12 +242,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     )
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
-    if n_planes is None:
-        n = corpus.count()
-        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
-        n_planes = bands * r
-    r = n_planes // bands
-    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    n_planes, r = _resolve_planes(corpus, n_planes, bands)
 
     def _indexed(df, id_name, vec_name, out_id, out_vec):
         keys = band_keys_from_projections(
@@ -272,7 +289,6 @@ def build_lsh_index(corpus: DataFrame, table: str,
     (``dwms.lsh.n_planes`` / ``dwms.lsh.bands``), making the index
     self-describing. Returns {table, n_planes, bands, r}.
     """
-    import math
 
     from data_warehouse_migrate_spark.functions.vectors import (
         band_keys_from_projections,
@@ -280,12 +296,7 @@ def build_lsh_index(corpus: DataFrame, table: str,
     )
     from data_warehouse_migrate_spark.sources.sinks import write_bucketed
 
-    if n_planes is None:
-        n = corpus.count()
-        r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
-        n_planes = bands * r
-    r = n_planes // bands
-    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    n_planes, r = _resolve_planes(corpus, n_planes, bands)
     keys = band_keys_from_projections(
         hyperplane_projections(F.col(corpus_vec), n_planes), bands, r)
     rows = spread_input(corpus).select(

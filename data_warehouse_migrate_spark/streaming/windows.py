@@ -101,10 +101,18 @@ def hypertable_rollup(df: DataFrame, ts_col: str,
                 + [F.col(c) for c in group_cols])
     sets = [[F.col(f"__b_{g}")] + [F.col(c) for c in group_cols]
             for g in grains]
-    rolled = with_buckets.groupingSets(sets, *all_cols).agg(*aggs)
+    # identify the grain via grouping() — NOT column null-ness: a NULL
+    # timestamp makes every bucket column NULL, which would collapse the
+    # per-grain rows into indistinguishable (grain=NULL, bucket=NULL)
+    # duplicates; grouping() reports set membership regardless of data
+    # (and is only legal inside the aggregation, hence the __g_ columns)
+    marks = [F.grouping(f"__b_{g}").alias(f"__g_{g}") for g in grains]
+    rolled = with_buckets.groupingSets(sets, *all_cols).agg(*aggs, *marks)
     grain_expr = F.coalesce(*[
-        F.when(F.col(f"__b_{g}").isNotNull(), F.lit(g)) for g in grains])
-    bucket_expr = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
+        F.when(F.col(f"__g_{g}") == 0, F.lit(g)) for g in grains])
+    bucket_expr = F.coalesce(*[
+        F.when(F.col(f"__g_{g}") == 0, F.col(f"__b_{g}"))
+        for g in grains])
     return rolled.select(grain_expr.alias("grain"),
                          bucket_expr.alias("bucket_start"),
                          *group_cols, "n_rows",
@@ -131,7 +139,10 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
-    out_schema = (f"{user_col} long, session_start timestamp, "
+    # the key column keeps ITS OWN type — hardcoding 'long' here broke
+    # string/UUID user ids at the Arrow conversion
+    user_t = events.schema[user_col].dataType.simpleString()
+    out_schema = (f"{user_col} {user_t}, session_start timestamp, "
                   f"session_end timestamp, n_events long")
     state_schema = "start long, end long, n long"
 
@@ -154,6 +165,10 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         micros = (ts.astype("int64") // 1000).to_numpy()  # ns → µs
         if state.exists:
             start, end, n = state.get
+            # a batch of only LATE events must not move the open session
+            # backwards: end regressing below its true maximum makes the
+            # next on-time event look gap-separated and falsely splits
+            start = min(start, int(micros[0]))
         else:
             start, end, n = micros[0], micros[0], 0
         closed = []
@@ -161,7 +176,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
             if t - end > gap_us:
                 closed.append((start, end, n))
                 start, n = t, 0
-            end = t
+            end = max(end, t)
             n += 1
         state.update((int(start), int(end), int(n)))
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
@@ -197,12 +212,18 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(source_path).schema
-    # file stream sources require a DIRECTORY; point at the parent and
-    # glob-filter down to the requested file(s)
     import os
-    base, fname = os.path.split(source_path.rstrip("/"))
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", fname).parquet(base))
+    if os.path.isdir(source_path):
+        # directories stream directly — the glob trick below matches leaf
+        # FILE names, so pointing it at a directory name would silently
+        # match zero files and return an empty result
+        stream = spark.readStream.schema(schema).parquet(source_path)
+    else:
+        # file stream sources require a DIRECTORY; point at the parent
+        # and glob-filter down to the requested file
+        base, fname = os.path.split(source_path.rstrip("/"))
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", fname).parquet(base))
     stream = normalize_nano_timestamps(stream, [ts_col])
     agg = (stream.groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)
            .agg(F.count("*").alias("n_events"),
@@ -223,13 +244,16 @@ def streaming_windowed_counts(spark: SparkSession, source_path: str,
                               window: str = "1 hour",
                               group_col: str = "event_type",
                               watermark: str = "2 hours",
-                              fmt: str = "parquet"):
+                              fmt: str = "parquet",
+                              value_col: str = "value"):
     """Structured Streaming job: file source → watermark → windowed counts.
 
     Returns the streaming DataFrame; callers attach
     ``.writeStream.trigger(availableNow=True)`` (tests) or a continuous
     trigger (production). The watermark bounds state for late data — the
-    canonical 100 TB streaming-agg shape.
+    canonical 100 TB streaming-agg shape. The sum runs in DECIMAL so the
+    result is independent of partition/merge order (the same contract as
+    ``run_windowed_counts_stream``).
     """
     # withWatermark requires TIMESTAMP (LTZ) — parquet timestamp[us]
     # without timezone arrives as TIMESTAMP_NTZ; the session is pinned to
@@ -240,7 +264,8 @@ def streaming_windowed_counts(spark: SparkSession, source_path: str,
     return (stream
             .groupBy(F.window(F.col(ts_col), window).alias("w"), group_col)
             .agg(F.count("*").alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(F.col(value_col).cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     group_col, "n_events", "sum_value"))

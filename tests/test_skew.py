@@ -43,3 +43,16 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
         assert salted[k][0] == plain[k][0]
         # double sums: two-phase addition order differs in the last ulp
         assert salted[k][1] == pytest.approx(plain[k][1], rel=1e-12)
+
+
+def test_sampler_salt_decorrelates_stages(spark):
+    """Unsalted chained samplers keep min(p1,p2) (subset property);
+    distinct salts restore approximate independence (p1·p2)."""
+    from data_warehouse_migrate_spark.operators.sampling import hash_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    unsalted = hash_sample(hash_sample(df, "k", 0.8), "k", 0.5).count()
+    assert abs(unsalted - 10_000) < 400        # min(0.8, 0.5) = 0.5
+    salted = hash_sample(hash_sample(df, "k", 0.8, salt="s1"),
+                         "k", 0.5, salt="s2").count()
+    assert abs(salted - 8_000) < 500           # 0.8 * 0.5 = 0.4

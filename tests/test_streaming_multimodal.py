@@ -294,3 +294,53 @@ def test_stateful_streaming_sessionize(spark, events, tmp_path):
                 if r is not last_per_user[r.user_id]}
     assert got == expected
     assert len(got) > 0
+
+
+def test_hypertable_rollup_null_ts_not_double_counted(spark):
+    """grouping()-based grain detection: NULL timestamps must yield one
+    (grain, bucket=NULL) row PER GRAIN, never indistinguishable
+    duplicates that double-count."""
+    from data_warehouse_migrate_spark.streaming.windows import hypertable_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, None), (3, None)],
+        "id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    out = hypertable_rollup(df, "ts", grains=("hour", "day"))
+    rows = [(r.grain, r.bucket_start, r.n_rows) for r in out.collect()]
+    assert all(g in ("hour", "day") for g, _, _ in rows)   # grain never NULL
+    null_rows = [(g, n) for g, b, n in rows if b is None]
+    assert sorted(null_rows) == [("day", 2), ("hour", 2)]
+    total_hour = sum(n for g, _, n in rows if g == "hour")
+    assert total_hour == 3                                  # no double count
+
+
+def test_sessionize_stream_string_user_ids(spark, tmp_path):
+    """The output schema derives the key column's own type — string ids
+    must survive the Arrow conversion."""
+    from data_warehouse_migrate_spark.streaming.windows import sessionize_stream
+
+    src = str(tmp_path / "sess_str_src")
+    ckpt = str(tmp_path / "sess_str_ckpt")
+    rows = [("u-a", "2024-01-01 10:00:00"), ("u-a", "2024-01-01 10:05:00"),
+            ("u-a", "2024-01-01 12:00:00"),   # gap -> closes first session
+            ("u-b", "2024-01-01 09:00:00")]
+    (spark.createDataFrame(rows, "user_id string, ts string")
+     .withColumn("ts", F.to_timestamp("ts"))
+     .write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    assert dict(out.dtypes)["user_id"] == "string"
+    q = (out.writeStream.format("memory").queryName("sess_str_sink")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        _time.sleep(0.5)
+    q.stop(); q.awaitTermination(60)
+    got = {(r.user_id, r.n_events) for r in
+           spark.table("sess_str_sink").collect()}
+    assert ("u-a", 2) in got   # the gap-closed first session emitted
