@@ -116,14 +116,6 @@ def simhash32(col: Column) -> Column:
     return simhash(col, 32)
 
 
-def _poly_of(col_or_str: Column) -> Column:
-    return F.aggregate(
-        F.transform(F.split(col_or_str, ""), lambda ch: F.ascii(ch).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * POLY_BASE + x) % F.lit(POLY_MOD),
-    )
-
-
 # MinHash: k fixed affine permutations (a_i*h + b_i) mod p over shingle hashes.
 # Constants are arbitrary-but-fixed odd multipliers (no runtime randomness —
 # resumability + cross-engine determinism).
@@ -213,7 +205,11 @@ def lang_id(col: Column) -> Column:
     counts = {lang: _counter(ws) for lang, ws in LANG_STOPWORDS.items()}
     en, de, fr = counts["en"], counts["de"], counts["fr"]
     return (
-        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        # NULL text first: every count is NULL, every when() below would
+        # evaluate NULL→false and fall through to the 'fr' fallback —
+        # NULL in, NULL out instead
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
         .when((en >= de) & (en >= fr), F.lit("en"))
         .when(de >= fr, F.lit("de"))
         .otherwise(F.lit("fr"))

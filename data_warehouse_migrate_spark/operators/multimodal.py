@@ -48,7 +48,12 @@ def attach_media_columns(df: DataFrame, binary_col: str,
                          media_type: str = "image",
                          fmt: str = "bin") -> DataFrame:
     """Wrap a binary column with the typed metadata struct (width/height/
-    duration unknown until decode → NULL)."""
+    duration unknown until decode → NULL). ``binary_col`` must exist —
+    validated here so a typo'd name fails at attach time, not rows-deep
+    into a decode job."""
+    if binary_col not in df.columns:
+        raise ValueError(f"binary column {binary_col!r} not in DataFrame "
+                         f"(columns: {df.columns})")
     return df.withColumn("media_meta", F.struct(
         F.lit(media_type).alias("media_type"),
         F.lit(fmt).alias("format"),
@@ -148,7 +153,17 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
             for rid, content in zip(pdf["id"].to_numpy(),
                                     pdf["content"].to_numpy()):
                 content = bytes(content) if content is not None else b""
-                d = fn(content)
+                # per-item guard (same T3 contract as the audio path):
+                # one corrupt/NULL blob yields a NULL-features row, it
+                # must never fail the batch. NotImplementedError (the
+                # no-decoder stub) still propagates — that is a setup
+                # error, not a data error.
+                try:
+                    d = fn(content)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    d = {}
                 rows.append((rid, len(content), d.get("width"), d.get("height"),
                              d.get("mean_byte"), d.get("feature")))
             yield pd.DataFrame(rows, columns=cols)
@@ -219,7 +234,10 @@ def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
                         rows.append((rid, len(content), nch, rate,
                                      nfr, nfr * 1000 // rate if rate else None,
                                      round(rms, 6)))
-                except (wave.Error, EOFError, ValueError):
+                # RuntimeError included: wave's chunk reader raises BARE
+                # RuntimeError on corrupt/truncated chunk sizes (verified
+                # on CPython 3.11) — without it one bad blob fails the task
+                except (wave.Error, EOFError, ValueError, RuntimeError):
                     rows.append((rid, len(content), None, None, None, None, None))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -34,11 +34,20 @@ def asof_join(left: DataFrame, right: DataFrame,
     NULLs — standard as-of semantics (pandas merge_asof / DuckDB ASOF JOIN).
 
     Implementation: tag and union both inputs, sort within each by-key by
-    (ts, left-last) and carry the last non-null right payload forward with
-    a running ``last(ignorenulls)`` window — then keep only left rows.
+    (ts, left-last) and carry the last right payload forward with a
+    running ``last(ignorenulls)`` window over ONE struct — the whole
+    matched right row travels together, so a NULL value in the matched
+    row stays NULL instead of being backfilled from an older right row
+    (per-column ignorenulls would mix payloads across rows, deviating
+    from pandas merge_asof / DuckDB ASOF). Then keep only left rows.
     Cost: one shuffle on the by-key, one window pass; no pair explosion.
     ``tolerance_seconds`` drops matches further than the tolerance.
+    Right rows with a NULL ``right_on`` are dropped (they cannot be the
+    as-of match — pandas rejects NaT keys outright); value-column names
+    must not collide with left columns (raised, not silently duplicated).
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     right_on = right_on or on
@@ -47,20 +56,32 @@ def asof_join(left: DataFrame, right: DataFrame,
                                 if c not in (right_on, right_by)]
 
     lcols = left.columns
+    dup = [c for c in value_cols if c in lcols]
+    if dup or "matched_ts" in lcols:
+        raise ValueError(
+            f"output column collision with left columns: "
+            f"{dup + (['matched_ts'] if 'matched_ts' in lcols else [])}; "
+            "rename or pass explicit value_cols")
     key = F.col(by) if by else F.lit(0)
     rkey = F.col(right_by) if right_by else F.lit(0)
 
+    payload_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_on].dataType)]
+        + [T.StructField(f"__v_{c}", right.schema[c].dataType)
+           for c in value_cols])
     lt = left.select(
         key.alias("__key"), F.col(on).alias("__ts"), F.lit(True).alias(_R),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(right.schema[right_on].dataType).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols])
-    rt = right.select(
-        rkey.alias("__key"), F.col(right_on).alias("__ts"), F.lit(False).alias(_R),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.col(right_on).alias("__rts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+        F.lit(None).cast(payload_type).alias("__p"))
+    rt = (right.filter(F.col(right_on).isNotNull())
+          .select(
+              rkey.alias("__key"), F.col(right_on).alias("__ts"),
+              F.lit(False).alias(_R),
+              *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols],
+              F.struct(F.col(right_on).alias("__rts"),
+                       *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+              .alias("__p")))
     unioned = lt.unionByName(rt)
 
     if direction == "backward":
@@ -73,11 +94,11 @@ def asof_join(left: DataFrame, right: DataFrame,
              .orderBy(F.col("__ts").desc(), F.col(_R).cast("int").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+    matched = F.last("__p", ignorenulls=True).over(w)
     filled = unioned.select(
         *lcols, _R,
-        F.last("__rts", ignorenulls=True).over(w).alias("__match_ts"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-          for c in value_cols])
+        matched["__rts"].alias("__match_ts"),
+        *[matched[f"__v_{c}"].alias(c) for c in value_cols])
     out = filled.filter(F.col(_R)).drop(_R)
     if tolerance_seconds is not None:
         # timestamp→double keeps sub-second precision (unix_timestamp

@@ -103,6 +103,19 @@ def latest_partition_filter(df: DataFrame, partition_cols: list[str],
     out = df
     for c, v in vals.items():
         out = out.filter(F.col(c) == F.lit(v))
+    # REFERENCE QUIRK preserved (maxcompute_client.py:279-297): with
+    # multiple partition columns each MAX is taken INDEPENDENTLY, so the
+    # combination (max(dt), max(hour)) may name a partition that does not
+    # exist — e.g. (dt=01-02, hour=03) and (dt=01-01, hour=23) prune to
+    # dt=01-02 AND hour=23 → empty. The reference migrates 0 rows
+    # silently there; we keep the semantics (it is the oracle-checked
+    # contract) but SAY so — one limit-1 probe, metadata-cheap.
+    if len(vals) > 1 and out.isEmpty():
+        logger.warning(
+            "independent per-column latest-partition values %s name a "
+            "combination with no rows (reference semantics); result is "
+            "empty — pass a single partition column or filter manually "
+            "for lexicographic latest", vals)
     return out
 
 
@@ -124,9 +137,15 @@ def introspect_jdbc_schema(spark: SparkSession, jdbc_options: dict[str, str],
     ``mysql_writer.py:69-96``). Returns
     ``[{'name','type','is_nullable','default'}]``.
     """
-    where = f"TABLE_NAME = '{table}'"
+    # names are interpolated into the pushed-down query — double any
+    # single quotes (ANSI escaping) so a name with an apostrophe (or a
+    # config-sourced injection attempt) cannot break out of the literal
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    where = f"TABLE_NAME = '{_q(table)}'"
     if database:
-        where += f" AND TABLE_SCHEMA = '{database}'"
+        where += f" AND TABLE_SCHEMA = '{_q(database)}'"
     q = ("(SELECT COLUMN_NAME, COLUMN_TYPE, IS_NULLABLE, COLUMN_DEFAULT, ORDINAL_POSITION "
          f"FROM information_schema.COLUMNS WHERE {where}) AS cols")
     reader = spark.read.format("jdbc")
@@ -171,13 +190,16 @@ def parquet_footer_stats(path: str,
         raise FileNotFoundError(f"no parquet files under {path!r}")
     n_rows = 0
     total_bytes = 0
+    n_row_groups = 0
     col_stats: dict[str, dict] = {}
+    covered: dict[str, int] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
         n_rows += md.num_rows
         total_bytes += _os.path.getsize(f)
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         for g in range(md.num_row_groups):
+            n_row_groups += 1
             rg = md.row_group(g)
             for i, name in enumerate(names):
                 if columns is not None and name not in columns:
@@ -187,9 +209,11 @@ def parquet_footer_stats(path: str,
                 # writer that omits stats must be distinguishable from a
                 # true zero-null column
                 acc = col_stats.setdefault(
-                    name, {"min": None, "max": None, "null_count": None})
+                    name, {"min": None, "max": None, "null_count": None,
+                           "partial": False})
                 if st is None:
                     continue
+                covered[name] = covered.get(name, 0) + 1
                 if st.null_count is not None:
                     acc["null_count"] = ((acc["null_count"] or 0)
                                          + st.null_count)
@@ -198,5 +222,13 @@ def parquet_footer_stats(path: str,
                         acc["min"] = st.min
                     if acc["max"] is None or st.max > acc["max"]:
                         acc["max"] = st.max
+    # a column with stats in only SOME row groups would report a
+    # definite-looking total that silently omits the stats-less groups —
+    # mark it partial and withdraw the null_count (min/max stay as
+    # best-effort bounds of the covered part, flagged)
+    for name, acc in col_stats.items():
+        if covered.get(name, 0) < n_row_groups:
+            acc["partial"] = True
+            acc["null_count"] = None
     return {"n_files": len(files), "n_rows": n_rows,
             "total_bytes": total_bytes, "columns": col_stats}

@@ -113,3 +113,40 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     plan = explain_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_null_values_in_matched_row_stay_null(spark):
+    """The matched right row's NULLs must NOT be backfilled from an older
+    right row (the per-column ignorenulls bug): payload travels as one
+    struct."""
+    from data_warehouse_migrate_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 10:06:00")], "k string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 100.0),
+         ("A", "2024-01-01 10:05:00", None),
+         ("A", None, 777.0)],        # NULL right_on: never a match
+        "k string, rts string, px double"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    row = asof_join(left, right, on="ts", by="k", right_on="rts",
+                    right_by="k", value_cols=["px"]).first()
+    assert row.matched_ts.strftime("%H:%M") == "10:05"
+    assert row.px is None            # the 10:05 row's own NULL, not 100.0
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    from data_warehouse_migrate_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("A", "2024-01-01 10:00:00", 1.0)],
+                                 "k string, ts string, px double"
+                                 ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([("A", "2024-01-01 09:00:00", 2.0)],
+                                  "k string, rts string, px double"
+                                  ).withColumn("rts", F.to_timestamp("rts"))
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on="ts", by="k", right_on="rts",
+                  right_by="k", value_cols=["px"])

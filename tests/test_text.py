@@ -132,3 +132,14 @@ def test_redact_pii(spark):
     assert out[5].clean == rows[4][1]
     assert sum([out[5].n_url, out[5].n_email, out[5].n_ipv4, out[5].n_phone]) == 0
     assert out[6].clean is None and out[6].n_email is None
+
+
+def test_lang_id_null_text_is_null(spark):
+    from data_warehouse_migrate_spark.functions.text import lang_id
+
+    df = spark.createDataFrame([(1, None), (2, "the and is of")],
+                               "id int, text string")
+    out = {r.id: r.lang for r in
+           df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] is None          # not 'fr' via the when-fallthrough
+    assert out[2] == "en"
