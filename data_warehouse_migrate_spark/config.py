@@ -15,7 +15,13 @@ from typing import Any
 _INT_KEYS = ("batch_size", "limit", "shuffle_partitions")
 _BOOL_KEYS = ("dry_run", "preserve_string_null_tokens",
               "string_null_tokens_case_insensitive", "treat_empty_string_as_null")
-_LIST_KEYS = ("string_null_tokens",)
+# every list-shaped key: env/file values arrive as comma strings and MUST
+# split here — a string passed through is iterated character-by-character
+# downstream (e.g. non_nullable='id,name' would match no columns and
+# silently disable the null-policy gate)
+_LIST_KEYS = ("string_null_tokens", "non_nullable",
+              "source_partition_columns", "incremental_keys",
+              "write_partition_by")
 
 _TRUTHY = {"1", "true", "yes", "y", "on"}
 _FALSY = {"0", "false", "no", "n", "off"}
@@ -103,7 +109,11 @@ _GROUPS: dict[str, dict[str, str]] = {
 def normalize_config(cfg: dict[str, Any]) -> dict[str, Any]:
     """Flatten grouped keys (source/destination/run/compat) into flat keys;
     already-flat keys win; coerce ints/bools/lists."""
-    out: dict[str, Any] = {k: v for k, v in cfg.items() if not isinstance(v, dict)}
+    # flat keys FIRST — including dict-valued ones like source_jdbc —
+    # so "already-flat keys win" holds for every value shape (dict-valued
+    # flat keys previously lost to their grouped twin)
+    out: dict[str, Any] = {k: v for k, v in cfg.items()
+                           if not isinstance(v, dict) or k not in _GROUPS}
     for group, keymap in _GROUPS.items():
         section = cfg.get(group)
         if not isinstance(section, dict):
@@ -111,10 +121,6 @@ def normalize_config(cfg: dict[str, Any]) -> dict[str, Any]:
         for child, flat in keymap.items():
             if child in section:
                 out.setdefault(flat, section[child])
-    # keep non-group dict values (e.g. mappings) accessible
-    for k, v in cfg.items():
-        if isinstance(v, dict) and k not in _GROUPS:
-            out.setdefault(k, v)
 
     for k in _INT_KEYS:
         iv = _to_int(out.get(k))

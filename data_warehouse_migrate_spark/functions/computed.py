@@ -93,8 +93,11 @@ def translate_format_template(template: str) -> tuple[str, list[tuple[str | None
     and consume the call's column arguments in order
     (reference ``README.md:224-263``).
 
-    Raises ComputedExpressionError on specs we cannot translate — callers
-    fall back to the pandas UDF path for exact reference parity.
+    Raises ComputedExpressionError on specs we cannot translate (the
+    supported surface is the reference's documented one: s/d/f with
+    optional zero-pad width; there is NO udf fallback — unsupported specs
+    fail fast, and validate_mapping runs this translation pre-flight so
+    they fail before the pipeline starts).
     """
     fmt_parts: list[str] = []
     fields: list[tuple[str | None, str]] = []
@@ -124,21 +127,37 @@ def translate_format_template(template: str) -> tuple[str, list[tuple[str | None
     return "".join(fmt_parts), fields
 
 
-def _format_arg_expr(col: Column, kind: str) -> Column:
+def _format_arg_expr(col: Column, kind: str,
+                     is_float_col: bool = False) -> Column:
     """Per-arg null coercion (reference ``migrator.py:923-936``):
-    numeric specs: None/NaN/'' → 0; string specs: None/NaN → ''."""
+    numeric specs: None/NaN/'' → 0; string specs: None/NaN → ''.
+
+    NaN is NOT NULL, so a bare coalesce leaves it through — the float
+    path nanvl's it to 0 and the string path empties it, but only when
+    the SOURCE column is float-typed (``is_float_col``): a string column
+    whose text happens to be "NaN" must pass through verbatim, exactly
+    as the reference's isinstance(val, float) check behaves."""
     if kind == "int":
         d = col.cast("string").try_cast("double")
         return F.coalesce(d.try_cast("bigint"), F.lit(0))
     if kind == "float":
-        return F.coalesce(col.cast("string").try_cast("double"), F.lit(0.0))
-    return F.coalesce(col.cast("string"), F.lit(""))
+        return F.coalesce(F.nanvl(col.cast("string").try_cast("double"),
+                                  F.lit(0.0)), F.lit(0.0))
+    s = col.cast("string")
+    if is_float_col:
+        s = F.when(F.isnan(col), F.lit("")).otherwise(s)
+    return F.coalesce(s, F.lit(""))
 
 
-def format_expr(template: str, col_args: Sequence[str], columns: Sequence[str]) -> Column:
-    """Compile format(template, cols...) into a JVM-side format_string call."""
+def format_expr(template: str, col_args: Sequence[str], columns: Sequence[str],
+                dtypes: dict[str, str] | None = None) -> Column:
+    """Compile format(template, cols...) into a JVM-side format_string call.
+    ``dtypes`` (column → simple type string) enables the reference's
+    float-NaN→'' coercion on string specs; without it a float NaN renders
+    'NaN' (only distinguishable from the STRING value "NaN" by type)."""
     printf_fmt, fields = translate_format_template(template)
     low = {c.lower(): c for c in columns}
+    dt_low = {c.lower(): t for c, t in (dtypes or {}).items()}
     args: list[Column] = []
     pos = 0
     for name, kind in fields:
@@ -152,7 +171,9 @@ def format_expr(template: str, col_args: Sequence[str], columns: Sequence[str]) 
             ref = name
         if ref.lower() not in low:
             raise ComputedExpressionError(f"format references unknown column {ref!r}")
-        args.append(_format_arg_expr(F.col(low[ref.lower()]), kind))
+        is_float = dt_low.get(ref.lower()) in ("float", "double")
+        args.append(_format_arg_expr(F.col(low[ref.lower()]), kind,
+                                     is_float_col=is_float))
     return F.format_string(printf_fmt, *args)
 
 
@@ -161,7 +182,8 @@ def format_expr(template: str, col_args: Sequence[str], columns: Sequence[str]) 
 # ---------------------------------------------------------------------------
 
 def computed_expr(expression: str, columns: Sequence[str],
-                  pandas_compat: bool = True) -> Column:
+                  pandas_compat: bool = True,
+                  dtypes: dict[str, str] | None = None) -> Column:
     """Compile one computed-column expression string (e.g.
     ``concat(spu_code, '-', size)`` or ``format("{year}-{week:02d}")``)
     into a Column. Whitelist enforced (reference ``migrator.py:783-788``).
@@ -188,16 +210,26 @@ def computed_expr(expression: str, columns: Sequence[str],
         col = _col_or_lit(args[0], columns, pandas_compat)
         return F.upper(col) if func == "upper" else F.lower(col)
     if func == "substr":
-        # 0-based start, optional length (reference migrator.py:900-905);
-        # Spark substring is 1-based.
+        # Python slice semantics s[start:start+length] (reference
+        # migrator.py:900-905 uses pandas str.slice), INCLUDING negative
+        # indices — the old start+1 shift silently returned the wrong
+        # characters for start<0 (substr(col,-1) gave the whole string).
+        # Both bounds resolve to clamped 0-based offsets against the
+        # string's own length, then one 1-based Spark substr.
         if len(args) not in (2, 3):
             raise ComputedExpressionError("substr(col, start[, length])")
         col = _col_or_lit(args[0], columns, pandas_compat)
         start = int(_strip_quotes(args[1])[0])
+        ln = F.length(col)
+        frm = (F.lit(start) if start >= 0
+               else F.greatest(ln + start, F.lit(0)))
         if len(args) == 3:
-            length = int(_strip_quotes(args[2])[0])
-            return F.substring(col, start + 1, length)
-        return col.substr(F.lit(start + 1), F.length(col))
+            end = start + int(_strip_quotes(args[2])[0])
+            to = (F.least(F.lit(end), ln) if end >= 0
+                  else F.greatest(ln + end, F.lit(0)))
+        else:
+            to = ln
+        return col.substr(frm + 1, F.greatest(to - frm, F.lit(0)))
     if func == "format":
         if not args:
             raise ComputedExpressionError("format(template[, cols...])")
@@ -205,7 +237,7 @@ def computed_expr(expression: str, columns: Sequence[str],
         if not quoted:
             raise ComputedExpressionError("format template must be a quoted string")
         col_args = [_strip_quotes(a)[0] for a in args[1:]]
-        return format_expr(template, col_args, columns)
+        return format_expr(template, col_args, columns, dtypes=dtypes)
     raise AssertionError("unreachable")
 
 
@@ -215,5 +247,7 @@ def with_computed_columns(df: DataFrame, computed: dict[str, str],
     reference earlier targets; the key overwrites any existing column
     (reference ``README.md:316-317``)."""
     for target, expression in computed.items():
-        df = df.withColumn(target, computed_expr(expression, df.columns, pandas_compat))
+        df = df.withColumn(
+            target, computed_expr(expression, df.columns, pandas_compat,
+                                  dtypes=dict(df.dtypes)))
     return df

@@ -220,6 +220,13 @@ class MigrationJob:
                               "compares full snapshots — use overwrite "
                               "mode or verify against a fresh "
                               "destination"}
+        if self.limit:
+            return {"verified": None,
+                    "checksum_match": None,
+                    "reason": "limit selects an UNORDERED subset — "
+                              "recomputing the plan may pick different "
+                              "rows than the run wrote, so checksum "
+                              "equality is not meaningful under limit"}
         from pyspark.sql import types as T
 
         from data_warehouse_migrate_spark.operators.validate import (
@@ -232,8 +239,13 @@ class MigrationJob:
                           jdbc_options=self.destination_jdbc)
         stable = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.StringType, T.DateType, T.BooleanType, T.DecimalType)
+        # case-INSENSITIVE destination match (the engine's convention —
+        # a warehouse echoing upper-cased names would otherwise silently
+        # empty the checksum column set and weaken verify to counts-only)
+        dest_by_lower = {c.lower(): c for c in dest.columns}
         cols = [f.name for f in plan.schema.fields
-                if isinstance(f.dataType, stable) and f.name in dest.columns]
+                if isinstance(f.dataType, stable)
+                and f.name.lower() in dest_by_lower]
         skipped = [c for c in plan.columns if c not in cols]
         if not cols:
             src_n, dst_n = plan.count(), dest.count()
@@ -244,12 +256,17 @@ class MigrationJob:
         d = group_checksum(dest, [], cols).first()
         counts_ok = s["n_rows"] == d["n_rows"]
         sums_ok = s["checksum"] == d["checksum"]
-        return {"verified": counts_ok and sums_ok,
-                "source_rows": s["n_rows"],
-                "destination_rows": d["n_rows"],
-                "checksum_match": sums_ok,
-                "columns_checked": cols,
-                "skipped_columns": skipped}
+        out = {"verified": counts_ok and sums_ok,
+               "source_rows": s["n_rows"],
+               "destination_rows": d["n_rows"],
+               "checksum_match": sums_ok,
+               "columns_checked": cols,
+               "skipped_columns": skipped}
+        if self.partition_columns:
+            out["caveat"] = ("latest-partition pruning re-resolves at "
+                            "verify time — a partition that landed after "
+                            "the run makes this comparison stale")
+        return out
 
     # ------------------------------------------------------------------
     def run_incremental(self, spark: SparkSession,
@@ -294,6 +311,16 @@ class MigrationJob:
                 "ship it via your warehouse's MERGE")
         from pyspark.errors import AnalysisException
 
+        # a limited or latest-partition-pruned source is a SUBSET of the
+        # logical table: every destination key outside it would classify
+        # as 'delete' and be destroyed by apply_delta — refuse, as
+        # run_stream does for its own incompatible options
+        if self.limit or self.partition_columns:
+            raise ValueError(
+                "run_incremental needs the FULL source snapshot: with "
+                "limit/partition_columns the diff would mark every "
+                "destination row outside the pruned subset as a delete "
+                "and destroy it; drop those options for incremental sync")
         src = self.build_plan(spark)
         try:
             dest = read_table(spark, self.destination_path,

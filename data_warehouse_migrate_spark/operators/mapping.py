@@ -9,7 +9,6 @@ it runs entirely map-side inside whole-stage codegen.
 
 from __future__ import annotations
 
-import string as _string
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -78,6 +77,15 @@ def validate_mapping(mapping: Mapping, columns: list[str]) -> None:
         targets = [t.lower() for t in mapping.rename.values()]
         if len(targets) != len(set(targets)):
             raise MappingError("rename targets must be unique")
+        # a target colliding with a SURVIVING (un-renamed) column would
+        # produce two same-named columns and ambiguous references later
+        surviving = {c.lower() for c in columns
+                     if c.lower() not in {k.lower() for k in mapping.rename}}
+        clash = [t for t in mapping.rename.values()
+                 if t.lower() in surviving]
+        if clash:
+            raise MappingError(
+                f"rename targets collide with surviving columns: {clash}")
 
     # the column universe visible to computed/format: after include/exclude
     # and rename, plus earlier computed targets
@@ -108,12 +116,21 @@ def validate_mapping(mapping: Mapping, columns: list[str]) -> None:
             if not quoted:
                 raise MappingError(f"computed {target!r}: format template must be quoted")
             vis_low = {c.lower() for c in visible}
+            # run the REAL translation pre-flight — Formatter().parse alone
+            # accepts specs (e.g. '{x:>8}') that the printf translation
+            # rejects, which would otherwise abort mid-migration
+            from data_warehouse_migrate_spark.functions.computed import (
+                ComputedExpressionError,
+                translate_format_template,
+            )
+
             try:
-                parsed = list(_string.Formatter().parse(template))
-            except ValueError as e:
-                raise MappingError(f"computed {target!r}: bad format template: {e}") from e
-            named = [fn for _, fn, _, _ in parsed if fn]
-            positional = [fn for _, fn, _, _ in parsed if fn == ""]
+                _, tfields = translate_format_template(template)
+            except (ComputedExpressionError, ValueError) as e:
+                raise MappingError(
+                    f"computed {target!r}: bad format template: {e}") from e
+            named = [fn for fn, _ in tfields if fn]
+            positional = [fn for fn, _ in tfields if fn is None]
             col_args = [_strip_quotes(a)[0] for a in args[1:]]
             for n in named:
                 if n.lower() not in vis_low:
@@ -166,12 +183,30 @@ def apply_mapping(df: DataFrame, mapping: Mapping | dict | None,
     # F13 defaults: fillna per configured column (app layer)
     if mapping.defaults:
         low2 = _lower_map(df.columns)
+        dtypes = dict(df.dtypes)
         exprs = []
         fill = {low2[k.lower()]: v for k, v in mapping.defaults.items() if k.lower() in low2}
+        numeric_t = ("tinyint", "smallint", "int", "bigint",
+                     "float", "double")
+        for c, v in fill.items():
+            t = dtypes[c]
+            if (t in numeric_t or t.startswith("decimal")):
+                try:
+                    float(str(v))
+                except (TypeError, ValueError):
+                    # fail HERE, not rows-deep: under ANSI the cast would
+                    # abort mid-job; with try_cast it would silently never
+                    # apply — neither is an acceptable way to learn a
+                    # default doesn't fit its column
+                    raise MappingError(
+                        f"default {v!r} is not castable to {c!r}:{t}")
         for c in df.columns:
             if c in fill:
                 v = fill[c]
-                exprs.append(F.coalesce(F.col(c), F.lit(v).cast(dict(df.dtypes)[c])).alias(c))
+                # try_cast: a runtime-surprise value (post-validation) must
+                # degrade to no-fill, never abort the batch (T3 contract)
+                exprs.append(F.coalesce(F.col(c),
+                                        F.lit(v).try_cast(dtypes[c])).alias(c))
             else:
                 exprs.append(F.col(c))
         df = df.select(*exprs)

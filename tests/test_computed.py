@@ -98,3 +98,37 @@ def test_translate_template():
     fmt, fields = translate_format_template("{year}-{week:02d} {:.2f}%")
     assert fmt == "%s-%02d %.2f%%"
     assert fields == [("year", "str"), ("week", "int"), (None, "float")]
+
+
+def test_substr_negative_python_slice_semantics(spark):
+    """substr follows the reference's pandas str.slice (Python slicing),
+    including negative indices."""
+    df = spark.createDataFrame([("abcde",)], "code string")
+
+    def sub(expr):
+        return df.withColumn("s", computed_expr(expr, df.columns)).first().s
+
+    assert sub("substr(code, -1)") == "e"
+    assert sub("substr(code, -3)") == "cde"
+    assert sub("substr(code, -3, 2)") == "cd"     # s[-3:-1]
+    assert sub("substr(code, -3, 3)") == ""       # s[-3:0] — python quirk
+    assert sub("substr(code, -10)") == "abcde"    # clamped
+    assert sub("substr(code, 10)") == ""
+    assert sub("substr(code, 1, 2)") == "bc"      # positive path unchanged
+
+
+def test_format_float_nan_coercion(spark):
+    """Reference rule: numeric f-spec treats NaN as 0; string spec on a
+    FLOAT column empties NaN; a string column's literal 'NaN' text passes
+    through verbatim."""
+    df = spark.createDataFrame(
+        [(float("nan"), "NaN"), (1.5, "x")], "v double, s string")
+    out = df.select(
+        computed_expr('format("{v:.2f}")', df.columns,
+                      dtypes=dict(df.dtypes)).alias("f"),
+        computed_expr('format("{v}|{s}")', df.columns,
+                      dtypes=dict(df.dtypes)).alias("sv")).collect()
+    assert out[0].f == "0.00"
+    assert out[0].sv == "|NaN"        # float NaN -> ''; string text kept
+    assert out[1].f == "1.50"
+    assert out[1].sv == "1.5|x"

@@ -107,3 +107,45 @@ def test_project_to_destination(df):
 def test_defaults_only_fill_nulls(df):
     out = apply_mapping(df, {"defaults": {"week": 99}})
     assert [r.week for r in out.orderBy("id").collect()] == [3, 99]
+
+
+def test_rename_target_collision_rejected(spark):
+    from data_warehouse_migrate_spark.operators.mapping import (
+        Mapping,
+        MappingError,
+        validate_mapping,
+    )
+    import pytest
+
+    with pytest.raises(MappingError, match="collide"):
+        validate_mapping(Mapping(rename={"id": "name"}), ["id", "name"])
+    # renaming BOTH out of the way is fine (swap via disjoint targets)
+    validate_mapping(Mapping(rename={"id": "name2"}), ["id", "name"])
+
+
+def test_format_template_unsupported_spec_fails_preflight(spark):
+    from data_warehouse_migrate_spark.operators.mapping import (
+        Mapping,
+        MappingError,
+        validate_mapping,
+    )
+    import pytest
+
+    with pytest.raises(MappingError, match="bad format template"):
+        validate_mapping(
+            Mapping(computed={"pad": "format('{code:>8}')"}), ["code"])
+
+
+def test_incompatible_default_fails_at_apply(spark):
+    from data_warehouse_migrate_spark.operators.mapping import (
+        Mapping,
+        MappingError,
+        apply_mapping,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1, None)], "id int, qty int")
+    with pytest.raises(MappingError, match="not castable"):
+        apply_mapping(df, Mapping(defaults={"qty": "n/a"}))
+    out = apply_mapping(df, Mapping(defaults={"qty": "7"}))
+    assert out.first().qty == 7
