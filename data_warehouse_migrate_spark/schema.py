@@ -106,8 +106,12 @@ def parse_source_type(type_str: str) -> T.DataType:
         return _SIMPLE_TYPES[s]
     m = _DECIMAL_RE.match(s)
     if m:
-        p = int(m.group(1)) if m.group(1) else 18
-        sc = int(m.group(2)) if m.group(2) else (4 if m.group(1) is None else 0)
+        # bare DECIMAL defaults to MaxCompute's (38,18) — the READ/CAST
+        # contract. An (18,4) default here silently nulled any value over
+        # 14 integer digits via try_cast; (18,4) is the MySQL DDL
+        # mapping's concern (mysql_column_type), not the parse path's.
+        p = int(m.group(1)) if m.group(1) else 38
+        sc = int(m.group(2)) if m.group(2) else (18 if m.group(1) is None else 0)
         return T.DecimalType(p, sc)
     if _PAREN_RE.match(s):
         return T.StringType()
@@ -235,11 +239,17 @@ def mysql_create_table_ddl(table: str, schema: list[ColumnSpec],
                            overrides: dict[str, str] | None = None) -> str:
     """CREATE TABLE DDL with backtick quoting + case-insensitive dedup
     (reference ``mysql_writer.py:22-44``)."""
+    def _bt(name: str) -> str:
+        # double embedded backticks — a name from an untrusted catalog
+        # must not break out of the quoted identifier
+        return name.replace("`", "``")
+
     cols = dedup_columns([c for c in schema if not c.is_partition])
     defs = ",\n  ".join(
-        f"`{c.name}` {mysql_column_type(c.type, overrides, c.name)}" for c in cols
+        f"`{_bt(c.name)}` {mysql_column_type(c.type, overrides, c.name)}"
+        for c in cols
     )
-    return f"CREATE TABLE IF NOT EXISTS `{table}` (\n  {defs}\n)"
+    return f"CREATE TABLE IF NOT EXISTS `{_bt(table)}` (\n  {defs}\n)"
 
 
 def bigquery_schema(schema: list[ColumnSpec]) -> list[dict]:

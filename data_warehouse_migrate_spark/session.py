@@ -34,13 +34,7 @@ _DEFAULTS = {
     # via readers.nanos_to_timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    # local[N] runs the whole engine in the driver JVM. 8g measured FASTER
-    # and steadier than 24g at sf0.1 (24g degraded the bench 3-5× — large
-    # G1 heaps accumulate garbage and stall all 32 task threads in long
-    # mixed collections); keep the heap small enough for short GC cycles.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 
@@ -49,15 +43,29 @@ def get_spark(app_name: str = "data-warehouse-migrate-spark",
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same entry
-    point works under the test driver and on a real cluster (where the
-    cluster manager supplies the master and these local settings are inert).
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` ONLY when no
+    cluster manager already supplied one: under ``spark-submit --master
+    yarn/k8s`` the submitted ``spark.master`` wins (forcing local[] there
+    would silently run a cluster job single-node on the driver host).
+    Env-derived settings (cpus, driver memory) are read at CALL time so a
+    harness that sets them after import still takes effect.
     """
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    from pyspark import SparkConf
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
+    # local[N] runs the whole engine in the driver JVM. 8g measured FASTER
+    # and steadier than 24g at sf0.1 (24g degraded the bench 3-5× — large
+    # G1 heaps accumulate garbage and stall all 32 task threads in long
+    # mixed collections); keep the heap small enough for short GC cycles.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                                 "8g")
+    conf["spark.sql.shuffle.partitions"] = cpus
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -47,10 +47,19 @@ def dedup_exact_stream(docs: DataFrame, text_col: str = "text",
     The added ``text_hash`` column is kept in the output (downstream
     stages join/dedup on it; it is the batch operator's group key too).
     """
+    from data_warehouse_migrate_spark.sources.readers import (
+        normalize_nano_timestamps,
+    )
+
     hashed = docs.withColumn("text_hash",
                              F.md5(normalized_text(F.col(text_col))))
     if ts_col is None:
         return hashed.dropDuplicates(["text_hash"])
+    # epoch-nanos long columns (the nanosAsLong read this module itself
+    # configures) must convert via exact decimal division FIRST — a blind
+    # cast('timestamp') would interpret the nanos as SECONDS (overflow
+    # under ANSI, garbage event time without)
+    hashed = normalize_nano_timestamps(hashed, [ts_col])
     return (hashed
             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
             .withWatermark(ts_col, watermark)
@@ -80,14 +89,24 @@ def run_dedup_exact_stream(spark: SparkSession, source_path: str,
         stream = spark.readStream.schema(schema).parquet(source_path)
     else:
         # file stream sources require a directory; point at the parent
-        # and glob-filter down to the one file
+        # and glob-filter down to the one file. The name is a Hadoop GLOB:
+        # escape metacharacters (a file literally named part[1].parquet
+        # would otherwise silently match nothing), and a bare filename's
+        # empty parent means cwd
         base, fname = os.path.split(source_path.rstrip("/"))
+        base = base or "."
+        for ch in "\\*?[]{}":
+            fname = fname.replace(ch, "\\" + ch)
         stream = (spark.readStream.schema(schema)
                   .option("pathGlobFilter", fname).parquet(base))
     if prepare is not None:
         stream = prepare(stream)
     deduped = dedup_exact_stream(stream, text_col, ts_col, watermark)
-    sink = "dwms_stream_dedup"
+    # unique sink per invocation: a fixed name collides across concurrent
+    # calls and silently swaps an earlier call's result table
+    import uuid
+
+    sink = f"dwms_stream_dedup_{uuid.uuid4().hex[:12]}"
     q = (deduped.writeStream.format("memory").queryName(sink)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()

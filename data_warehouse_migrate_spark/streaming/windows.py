@@ -220,8 +220,12 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
         stream = spark.readStream.schema(schema).parquet(source_path)
     else:
         # file stream sources require a DIRECTORY; point at the parent
-        # and glob-filter down to the requested file
+        # and glob-filter down to the requested file (name escaped — it
+        # is a Hadoop glob; bare filenames mean cwd)
         base, fname = os.path.split(source_path.rstrip("/"))
+        base = base or "."
+        for ch in "\\*?[]{}":
+            fname = fname.replace(ch, "\\" + ch)
         stream = (spark.readStream.schema(schema)
                   .option("pathGlobFilter", fname).parquet(base))
     stream = normalize_nano_timestamps(stream, [ts_col])

@@ -31,7 +31,10 @@ def test_simple_types():
 
 def test_decimal():
     assert parse_source_type("decimal(10,2)") == T.DecimalType(10, 2)
-    assert parse_source_type("decimal") == T.DecimalType(18, 4)
+    # bare DECIMAL = MaxCompute's (38,18) on the READ/CAST path — (18,4)
+    # there silently nulled values over 14 integer digits; the MySQL DDL
+    # mapping keeps the reference's fixed DECIMAL(18,4) independently
+    assert parse_source_type("decimal") == T.DecimalType(38, 18)
     assert parse_source_type("decimal(12)") == T.DecimalType(12, 0)
 
 
