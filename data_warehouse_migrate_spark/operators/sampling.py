@@ -108,3 +108,26 @@ def reservoir_n(df: DataFrame, id_col: str, n: int) -> DataFrame:
     top-n and the driver merges; the full data is never sorted or
     shuffled."""
     return df.orderBy(_draw(id_col).asc(), F.col(id_col).asc()).limit(n)
+
+
+def shuffle_corpus(df: DataFrame, id_col: str, salt: str = "v1",
+                   n_shards: int | None = None) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    ``shuffle_key`` (the salted 60-bit draw) and the corpus is
+    range-repartitioned + sorted by it — a reproducible uniform-random
+    permutation that destroys source/time ordering correlations (the
+    standard pre-training step; sequential corpus order teaches the
+    model crawl-adjacency). Re-running with the same salt reproduces the
+    exact order; a new salt is a fresh permutation.
+
+    Scale shape: ``repartitionByRange`` samples the key to build balanced
+    bounds (no global sort materializes — each of ``n_shards`` output
+    partitions sorts locally), so the cost is one exchange + per-shard
+    sorts, and the written shards ARE the training order. Collision odds
+    at 2⁻⁶⁰ per pair leave ties broken by id — still deterministic.
+    """
+    key = _draw(id_col, salt)
+    n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+    return (df.withColumn("shuffle_key", key)
+            .repartitionByRange(n, F.col("shuffle_key"), F.col(id_col))
+            .sortWithinPartitions("shuffle_key", id_col))

@@ -2490,6 +2490,29 @@ LIMIT 50
 """
 
 
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic training-order shuffle (operators/sampling.py
+    shuffle_corpus): salted 60-bit key per doc, range-repartition +
+    in-shard sort (no global sort). The KEY VALUES are the cross-engine
+    contract (the driver compares order-insensitively); order within the
+    output is the key order by construction."""
+    from data_warehouse_migrate_spark.operators.sampling import (
+        shuffle_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (shuffle_corpus(d, "doc_id", salt="v1")
+            .select("doc_id", "shuffle_key"))
+
+
+O_SHUFFLE_CORPUS = """
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(concat('v1', ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key
+FROM documents
+"""
+
+
 def q_curriculum_buckets(spark, sf_dir):
     """Curriculum assignment (operators/quota.py curriculum_buckets):
     quartile cuts of the 6dp quality score from ONE aggregate (no global
@@ -2618,7 +2641,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round, and the
-    # registry holds 96 queries — so 46 fall outside every window.
+    # registry holds 97 queries — so 47 fall outside every window.
     #
     # ROTATION POLICY (standing, per round-3 judge + advisor guidance):
     #   1. Alternate halves: the queries absent from the PREVIOUS round's
@@ -2711,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_buckets": q_curriculum_buckets,
     "embedding_truncate": q_embedding_truncate,
     "pmi_collocations": q_pmi_collocations,
+    "shuffle_corpus": q_shuffle_corpus,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -2839,6 +2863,7 @@ ORACLES: dict[str, str] = {
     "curriculum_buckets": O_CURRICULUM_BUCKETS,
     "embedding_truncate": O_EMBEDDING_TRUNCATE,
     "pmi_collocations": O_PMI_COLLOCATIONS,
+    "shuffle_corpus": O_SHUFFLE_CORPUS,
     "decontaminate_corpus": O_DECONTAMINATE_CORPUS,
     "dedup_near_keep": O_DEDUP_NEAR_KEEP,
     "pseudonymize_customers": O_PSEUDONYMIZE_CUSTOMERS,

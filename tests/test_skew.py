@@ -56,3 +56,20 @@ def test_sampler_salt_decorrelates_stages(spark):
     salted = hash_sample(hash_sample(df, "k", 0.8, salt="s1"),
                          "k", 0.5, salt="s2").count()
     assert abs(salted - 8_000) < 500           # 0.8 * 0.5 = 0.4
+
+
+def test_shuffle_corpus_reproducible_permutation(spark):
+    from data_warehouse_migrate_spark.operators.sampling import shuffle_corpus
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in shuffle_corpus(df, "doc_id").collect()]
+    b = [r.doc_id for r in
+         shuffle_corpus(df.repartition(7), "doc_id").collect()]
+    assert a == b                      # same salt -> identical order
+    assert sorted(a) == list(range(2000))   # a true permutation
+    assert a != sorted(a)              # and actually shuffled
+    c = [r.doc_id for r in shuffle_corpus(df, "doc_id", salt="v2").collect()]
+    assert c != a                      # new salt -> fresh permutation
+    # keys are globally range-ordered across the output partitions
+    keys = [r.shuffle_key for r in shuffle_corpus(df, "doc_id").collect()]
+    assert keys == sorted(keys)
