@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_migrate_spark.functions.sizing import (
+    count_and_row_bytes,
+)
 from data_warehouse_migrate_spark.functions.text import (
     SIMHASH_BITS,
     md5_prefix_int,
@@ -88,25 +91,14 @@ def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
     return fixed + float(row[0] or 0.0)
 
 
-def _count_and_bytes(df: DataFrame, payload_bytes_expr,
-                     fixed_bytes: float) -> tuple[int, float]:
-    """(row count, avg row bytes) in ONE aggregate over a materialized
-    frame — the in-tree callers were already paying this count job, so
-    folding the width average in makes the byte-aware guard free, and the
-    average is over the FULL data (unbiased), not a head sample."""
-    row = df.agg(F.count("*").alias("n"),
-                 F.avg(payload_bytes_expr).alias("w")).first()
-    return int(row["n"]), fixed_bytes + float(row["w"] or 0.0)
-
-
 def _maybe_broadcast(df: DataFrame, n_rows: int,
                      avg_row_bytes: float | None = None) -> DataFrame:
     """Broadcast iff ``n_rows × avg_row_bytes`` fits ``_BROADCAST_MAX_BYTES``.
 
     Callers joining the same base frame twice (id_a/id_b verification
-    joins) should compute ``avg_row_bytes`` once — via
-    :func:`_count_and_bytes` folded into their existing count job, or
-    :func:`_avg_row_bytes` — and pass it to both calls. Returns ``df``
+    joins) should compute ``avg_row_bytes`` once — via the shared
+    ``sizing.count_and_row_bytes`` folded into their existing count job,
+    or :func:`_avg_row_bytes` — and pass it to both calls. Returns ``df``
     unchanged (same object) when the broadcast is declined, so the join
     falls back to a shuffle hash/sort-merge join.
     """
@@ -169,6 +161,13 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     operator internals.
     """
     order_col = payload_cols[0]
+    # NULL band keys (a NULL fingerprint from NULL text) can never
+    # legitimately match — and they BYPASS the hot-bucket guard below
+    # (anti/semi equi-joins never match NULL keys), so a corpus-sized
+    # NULL bucket would route into the in-array B²/2 expansion and OOM
+    # one task while producing pairs the downstream hamming/threshold
+    # filter discards anyway. Drop them before anything else.
+    band_rows = band_rows.filter(F.col("band_key").isNotNull())
     band_rows = _materialize(band_rows)
     counts = (band_rows.groupBy("band", "band_key")
               .agg(F.count("*").alias("__bn")))
@@ -225,8 +224,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep only the min-id row per normalized text (the dedup materializer)."""
-    h = F.md5(normalized_text(F.col(text_col)))
+    """Keep only the min-id row per normalized text (the dedup
+    materializer). NULL texts hash to a reserved sentinel so they form
+    ONE group with a surviving representative — a raw md5(NULL)=NULL key
+    would never match itself in the semi-join and every NULL-text row
+    (common in crawl data: failed extractions) would silently vanish."""
+    h = F.coalesce(F.md5(normalized_text(F.col(text_col))),
+                   F.lit("__null_text__"))
     w = df.withColumn("__h", h)
     keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return w.join(keep, [id_col, "__h"], "leftsemi").drop("__h")
@@ -288,14 +292,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # therefore complete, and the hot shingles that blow up a plain
     # inverted-index join (f² pairs each) mostly sit outside prefixes.
     freq = _materialize(inv.groupBy("shingle").agg(F.count("*").alias("f")))
-    # schema-priced: (bigint shingle, long f) is fixed-width — an
-    # octet_length() here would implicitly CAST the hash to its decimal
-    # string and price ~2x too wide, declining broadcasts early
-    from data_warehouse_migrate_spark.functions.sizing import row_bytes_expr
-
-    freq_fixed, freq_var = row_bytes_expr(freq.schema)
-    n_freq, freq_bytes = _count_and_bytes(
-        freq, freq_var if freq_var is not None else F.lit(0.0), freq_fixed)
+    # schema-priced via the shared estimator — hand-built expressions
+    # here once priced the bigint hash with octet_length (its decimal
+    # STRING length, ~2x too wide) and declined broadcasts early
+    n_freq, freq_bytes = count_and_row_bytes(freq)
     freq_b = _maybe_broadcast(freq, n_freq, freq_bytes)
     ordered = (inv.join(freq_b, "shingle")
                .groupBy("id")
@@ -335,8 +335,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         diag.update(docs=sets.count(), distinct_shingles=freq.count(),
                     prefix_rows=pref.count(), candidate_pairs=cand.count())
     # one agg on the cached frame: count (needed anyway) + width estimate
-    n_sets, sets_bytes = _count_and_bytes(
-        sets, F.size("shingles").cast("double") * 8.0 + F.lit(16.0), 16.0)
+    # (shared schema-derived estimator — a hand-built expression here
+    # once under-priced string ids at a hard fixed width)
+    n_sets, sets_bytes = count_and_row_bytes(sets)
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
         n_sets, sets_bytes)
@@ -400,8 +401,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         diag["candidate_pairs"] = candidates.count()
     sets = sigs.select("id", "shingles")
     # one agg on the cached frame: count (needed anyway) + width estimate
-    n_sets, sets_bytes = _count_and_bytes(
-        sets, F.size("shingles").cast("double") * 8.0 + F.lit(16.0), 16.0)
+    # (shared schema-derived estimator — a hand-built expression here
+    # once under-priced string ids at a hard fixed width)
+    n_sets, sets_bytes = count_and_row_bytes(sets)
     out = (
         candidates
         .join(_maybe_broadcast(
@@ -479,6 +481,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     """Assign every node the MIN node id of its connected component —
     turning near-dup PAIRS into dedup CLUSTERS (keep cluster_id, drop the
     rest). Deterministic; returns (id_col, cluster_id).
+
+    CONTRACT: every edge endpoint must appear in ``nodes`` (all in-tree
+    callers construct it so). Violations behave differently per regime —
+    the local path clusters from edges alone (and can bridge components
+    through a node absent from ``nodes``), the distributed path drops
+    edges touching unknown nodes at the label join — so an
+    endpoint-outside-nodes graph has no defined result.
 
     Scale-adaptive, the same measured-size principle as the byte-aware
     broadcast guard above: the edge set is DUPLICATE-sized, not
@@ -621,15 +630,27 @@ def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame,
     :func:`near_dup_removal`'s job, and the reference corpus is
     immutable here.
 
-    Ids must be non-negative integers (the 2·id tagging is disclosed in
-    the plan; a general-key variant would tag with a struct instead).
+    Ids must be non-negative integers below 2^62 (the 2·id tagging is
+    disclosed in the plan; a general-key variant would tag with a struct
+    instead). ENFORCED expression-side: a negative id would break the
+    parity decode silently (Spark's ``%`` returns −1 for negative odds,
+    so the drop list would decode a REFERENCE id and remove the wrong
+    new-side row) — the guard turns that into a loud error at no extra
+    job cost.
     """
-    ref = ref_df.select(
-        (F.col(id_col).cast("bigint") * 2).alias(id_col),
-        F.col(text_col))
-    new = new_df.select(
-        (F.col(id_col).cast("bigint") * 2 + 1).alias(id_col),
-        F.col(text_col))
+    def _tag(df, offset):
+        base = F.col(id_col).cast("bigint")
+        guarded = F.when(
+            (base < 0) | (base >= F.lit(1 << 62)),
+            F.raise_error(F.concat(
+                F.lit("cross_corpus_dedup requires ids in [0, 2^62) "
+                      "(got "), base.cast("string"), F.lit(")")))
+            .cast("bigint")
+        ).otherwise(base * 2 + offset)
+        return df.select(guarded.alias(id_col), F.col(text_col))
+
+    ref = _tag(ref_df, 0)
+    new = _tag(new_df, 1)
     pairs = ngram_jaccard_pairs(ref.unionByName(new), text_col, id_col,
                                 n=n, threshold=threshold,
                                 max_shingle_freq=max_shingle_freq)
@@ -695,7 +716,7 @@ def _probe_keys(key, r: int, probe_bits: int):
 def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95,
                         n_planes: int | None = None, bands: int = 4,
-                        probe_bits: int = 1,
+                        probe_bits: int | None = None,
                         diag: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold — banded
     hyperplane LSH, mirroring ``minhash_lsh_pairs``.
@@ -745,6 +766,14 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         n_planes = bands * r
     r = n_planes // bands
     assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    if probe_bits is None:
+        # recall must scale WITH the key space: per the S-curve above, a
+        # band of r bits matches with ~p^r·(1 + r(1−p)/p + …) — at fixed
+        # probe_bits=1 the default corpus-auto-sized r silently erodes
+        # recall as the corpus grows (r=27 at 1e9 vectors → pair recall
+        # ~0.65 at t=0.95). Widen the probe with r; candidate volume per
+        # query grows C(r,2)-fold but stays bucket-bounded.
+        probe_bits = 1 if r <= 10 else 2
     # materialize once: unit-normalized vectors (per-pair cosine becomes a
     # single dot) + projections (candidate join scans base three times);
     # spread first — the n_planes dot products per row serialize on a
@@ -777,9 +806,7 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     n_planes=n_planes, r_bits=r)
     # one agg on the cached frame: count (needed anyway) + width estimate
-    n_rows, base_bytes = _count_and_bytes(
-        base.select("id", "vec"),
-        F.size("vec").cast("double") * 8.0 + F.lit(16.0), 16.0)
+    n_rows, base_bytes = count_and_row_bytes(base.select("id", "vec"))
     va = _maybe_broadcast(
         base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
         n_rows, base_bytes)

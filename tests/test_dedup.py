@@ -256,3 +256,38 @@ def test_removal_plans_have_no_cartesian(spark, sf_dir):
                  "cross_corpus_dedup", "salted_event_join"):
         plan = explain_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_drop_exact_dups_null_text_keeps_one(spark):
+    """NULL texts form ONE group with a surviving representative — an
+    unguarded NULL hash key silently deleted all of them."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "id long, text string")
+    kept = sorted(r.id for r in drop_exact_dups(docs, "text", "id").collect())
+    assert kept == [1, 3]
+
+
+def test_bucket_pairs_null_band_key_no_blowup(spark):
+    """NULL band keys bypass the hot-bucket guard's equi-joins — they
+    must be dropped, not expanded quadratically."""
+    from data_warehouse_migrate_spark.operators.dedup import _bucket_pairs
+
+    rows = ([(0, None, i) for i in range(5000)]      # huge NULL bucket
+            + [(0, 7, 1), (0, 7, 2)])
+    df = spark.createDataFrame(rows, "band int, band_key long, id int")
+    out = _bucket_pairs(df, ["id"], max_bucket_size=10)
+    got = {frozenset((r.a.id, r.b.id)) for r in out.collect()}
+    assert got == {frozenset((1, 2))}   # only the real bucket pairs
+
+
+def test_cross_corpus_dedup_rejects_negative_ids(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_warehouse_migrate_spark.operators.dedup import cross_corpus_dedup
+
+    new = spark.createDataFrame([(-3, "text")], "doc_id long, text string")
+    ref = spark.createDataFrame([(4, "text")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(SparkRuntimeException, match="requires ids"):
+        cross_corpus_dedup(new, ref, "text", "doc_id").collect()
