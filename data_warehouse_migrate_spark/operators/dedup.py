@@ -768,12 +768,14 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     assert bands * r == n_planes, "n_planes must divide evenly into bands"
     if probe_bits is None:
         # recall must scale WITH the key space: per the S-curve above, a
-        # band of r bits matches with ~p^r·(1 + r(1−p)/p + …) — at fixed
-        # probe_bits=1 the default corpus-auto-sized r silently erodes
-        # recall as the corpus grows (r=27 at 1e9 vectors → pair recall
-        # ~0.65 at t=0.95). Widen the probe with r; candidate volume per
-        # query grows C(r,2)-fold but stays bucket-bounded.
-        probe_bits = 1 if r <= 10 else 2
+        # band of r bits matches with P = Σ_{m≤probe} C(r,m)p^(r−m)(1−p)^m
+        # — at fixed probe_bits=1 the default corpus-auto-sized r silently
+        # erodes recall as the corpus grows (t=0.95 ⇒ p≈0.90: probe-1
+        # pair recall over 4 bands is ≈0.99 at r=12 but 0.86 at r=20 and
+        # 0.65 at r=27). Widen the probe only once probe-1 actually sags
+        # (r>16) — earlier widening measured 5× candidate volume at r=12
+        # for no recall benefit (BENCH_DETAIL stress).
+        probe_bits = 1 if r <= 16 else 2
     # materialize once: unit-normalized vectors (per-pair cosine becomes a
     # single dot) + projections (candidate join scans base three times);
     # spread first — the n_planes dot products per row serialize on a
