@@ -16,6 +16,7 @@ Spark built-ins and DuckDB list lambdas.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -53,6 +54,16 @@ from data_warehouse_migrate_spark.streaming.windows import (
 
 DEC = "decimal(18,4)"  # exact money arithmetic — identical in both engines
 
+# Catalog-style schema memo: a warehouse engine resolves table schemas from
+# its catalog, not by re-reading file footers per query. Spark's
+# spark.read.parquet() schema inference costs ~60ms of fixed driver latency
+# per call (footer fetch + merge) — pure overhead when the file hasn't
+# changed. Keyed by (path, mtime_ns, size) so any rewrite invalidates;
+# StructType is session-independent, so the memo survives session restarts
+# within a process. At 100 TB the real answer is a metastore (HMS/Unity);
+# this memo is the single-process equivalent and changes no semantics.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Correctness-critical session confs, set defensively because the
@@ -64,7 +75,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #    (timezone-naive) DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # non-local path (e.g. s3://) — fall through to inference
+    memo = _SCHEMA_MEMO.get(key) if key else None
+    if memo is not None:
+        df = spark.read.schema(memo).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events":
         df = normalize_nano_timestamps(df, ["ts"])
     return df
