@@ -194,7 +194,8 @@ class MigrationJob:
         """Post-migration content verification (beyond-reference — the
         reference stops at row counts, ``migrator.py:334-338``): recompute
         the transformed source and compare it to the destination by row
-        count AND an order-independent XOR checksum
+        count AND an order-independent checksum (sum of 60-bit row hashes
+        mod 2^60 — multiset-safe where XOR would cancel duplicate pairs)
         (``operators.validate.group_checksum``) over every column whose
         string rendering is engine/layout-stable (integer, string, date,
         boolean, decimal). Float/timestamp columns are EXCLUDED and

@@ -132,6 +132,11 @@ def curriculum_buckets(df: DataFrame, score_col, n_buckets: int = 4,
            if approx else
            F.percentile(score, F.array(*[F.lit(q) for q in qs])))
     cuts = df.agg(pct.alias("c")).first()["c"]
+    if cuts is None:
+        # percentile over zero non-null scores returns NULL — surface a
+        # real error instead of a TypeError three lines down
+        raise ValueError(
+            f"curriculum_buckets: no non-null {score_col!r} scores to cut on")
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (score > F.lit(float(c))).cast("int")

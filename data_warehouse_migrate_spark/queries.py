@@ -2599,7 +2599,8 @@ FROM n
 
 def q_migration_checksum(spark, sf_dir):
     """Order-independent content fingerprint (operators/validate.py):
-    per-status XOR of 60-bit md5 row hashes over pinned-rendering
+    per-status sum of 60-bit md5 row hashes mod 2^60 (multiset-safe
+    where XOR would cancel duplicate pairs) over pinned-rendering
     columns — the post-migration verification that needs no sort and no
     row transfer; partials combine map-side."""
     from data_warehouse_migrate_spark.operators.validate import (

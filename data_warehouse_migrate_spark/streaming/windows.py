@@ -131,6 +131,11 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
     flushes the final session. This is the bounded-state 100 TB shape:
     state per key is three longs, independent of event volume.
 
+    Late data: events within one gap before the open session extend it
+    backwards; anything earlier is gap-sessionized among itself and
+    emitted as already-closed earlier session(s) — a very late burst
+    never inflates the open session's duration.
+
     Append-mode caveat (tested): a terminating ``availableNow`` run emits
     only gap-closed sessions — each user's still-open tail session stays
     in state because no further batch fires its timeout.
@@ -163,16 +168,39 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         # int64 view is µs, silently breaking the //1000 below
         ts = pd.concat(ts_parts).astype("datetime64[ns]").sort_values()
         micros = (ts.astype("int64") // 1000).to_numpy()  # ns → µs
+        closed = []
         if state.exists:
             start, end, n = state.get
-            # a batch of only LATE events must not move the open session
-            # backwards: end regressing below its true maximum makes the
-            # next on-time event look gap-separated and falsely splits
-            start = min(start, int(micros[0]))
+            orig_start = start
+            # Late events BEFORE the open session: gap-sessionize them
+            # among themselves; only a trailing late run within one gap of
+            # the session start legitimately extends it backwards —
+            # anything earlier is its own (already gap-closed) session.
+            # Merging all late data unconditionally would silently inflate
+            # session duration for very late arrivals; `end` never
+            # regresses either way (a regressed end makes the next on-time
+            # event look gap-separated and falsely splits).
+            pre = micros[micros < start]
+            cur = None  # open pre-session [start, end, count]
+            for t in pre:
+                t = int(t)
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1], cur[2] = t, cur[2] + 1
+            if cur is not None:
+                if start - cur[1] <= gap_us:
+                    start, n = cur[0], n + cur[2]
+                else:
+                    closed.append(tuple(cur))
+            rest = micros[micros >= orig_start]
         else:
             start, end, n = micros[0], micros[0], 0
-        closed = []
-        for t in micros:
+            rest = micros
+        for t in rest:
             if t - end > gap_us:
                 closed.append((start, end, n))
                 start, n = t, 0

@@ -344,3 +344,63 @@ def test_sessionize_stream_string_user_ids(spark, tmp_path):
     got = {(r.user_id, r.n_events) for r in
            spark.table("sess_str_sink").collect()}
     assert ("u-a", 2) in got   # the gap-closed first session emitted
+
+
+def test_sessionize_stream_very_late_events(spark, tmp_path):
+    """Late-data contract: an event within one gap BEFORE the open session
+    extends it backwards; an event more than a gap before it is emitted as
+    its own closed earlier session and never inflates the open one."""
+    import os as _os
+
+    from data_warehouse_migrate_spark.streaming.windows import sessionize_stream
+
+    src = str(tmp_path / "sess_late_src")
+    ckpt = str(tmp_path / "sess_late_ckpt")
+    _os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows, mtime):
+        (spark.createDataFrame(rows, "user_id string, ts string")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name)))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (mtime, mtime))
+
+    # batch 1: opens sessions — u1 at [10:00, 10:05], u2 at [10:00, 10:05]
+    write_file("b1", [("u1", "2024-01-01 10:00:00"),
+                      ("u1", "2024-01-01 10:05:00"),
+                      ("u2", "2024-01-01 10:00:00"),
+                      ("u2", "2024-01-01 10:05:00")], 1_700_000_000)
+    # batch 2: u1 gets a VERY late event (3h before the open start) plus an
+    # on-time one; u2 gets a within-gap late event (10min before start)
+    write_file("b2", [("u1", "2024-01-01 07:00:00"),
+                      ("u1", "2024-01-01 10:10:00"),
+                      ("u2", "2024-01-01 09:50:00")], 1_700_000_100)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess_late_sink")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        progress = q.recentProgress or []
+        if sum(p["numInputRows"] for p in progress) >= 7:
+            break
+        _time.sleep(0.5)
+    q.stop(); q.awaitTermination(60)
+    rows = spark.table("sess_late_sink").collect()
+    got = {(r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+           for r in rows}
+    # u1's 07:00 event: own closed single-event session, NOT merged
+    assert ("u1", "2024-01-01 07:00:00", "2024-01-01 07:00:00", 1) in got
+    # u2's 09:50 within-gap event extends the open session backwards — the
+    # session stays open, so NOTHING is emitted for u2
+    assert not any(u == "u2" for u, *_ in got)
+    assert len(got) == 1
