@@ -119,6 +119,25 @@ def latest_partition_filter(df: DataFrame, partition_cols: list[str],
     return out
 
 
+def open_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
+    """Open a parquet path (file OR directory) as a streaming DataFrame
+    with the batch-inferred schema. File stream sources require a
+    directory, so a single file streams via its parent plus a
+    ``pathGlobFilter`` on the (glob-escaped) file name — the shared logic
+    behind every ``run_*_stream`` runner."""
+    import os as _os
+
+    schema = spark.read.parquet(source_path).schema
+    if _os.path.isdir(source_path):
+        return spark.readStream.schema(schema).parquet(source_path)
+    base, fname = _os.path.split(source_path.rstrip("/"))
+    base = base or "."
+    for ch in "\\*?[]{}":
+        fname = fname.replace(ch, "\\" + ch)
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname).parquet(base))
+
+
 def validate_table_access(df: DataFrame) -> bool:
     """S7: LIMIT-1 readability probe (reference
     ``maxcompute_client.py:303-332``)."""

@@ -79,3 +79,34 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     out_cols += [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
     out_cols += [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     return l.join(r, cond, "inner").select(*out_cols)
+
+
+def run_enrich_stream(spark, source_path: str, dim: DataFrame,
+                      on: list[str], select_cols: list[str] | None = None,
+                      how: str = "left") -> DataFrame:
+    """Execute ``enrich_stream`` end-to-end over a parquet file source
+    (availableNow trigger, memory sink — the real streaming engine) and
+    return the enriched rows as a batch DataFrame.
+
+    Stateless stream-static join: no watermark, no timers — the query
+    terminates on its own when the source drains, and the result equals
+    the batch join, which is what the SQL oracle checks."""
+    import uuid
+
+    from data_warehouse_migrate_spark.sources.readers import (
+        normalize_nano_timestamps,
+        open_file_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = normalize_nano_timestamps(open_file_stream(spark, source_path),
+                                       ["ts"])
+    out = enrich_stream(stream, dim, on, how)
+    if select_cols:
+        out = out.select(*select_cols)
+    sink = f"dwms_stream_enrich_{uuid.uuid4().hex[:12]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)

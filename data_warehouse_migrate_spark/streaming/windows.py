@@ -221,6 +221,59 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def run_sessionize_stream(spark: SparkSession, source_path: str,
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          gap_minutes: int = 30,
+                          wait_sec: int = 120) -> DataFrame:
+    """Execute ``sessionize_stream`` end-to-end over a parquet file source
+    (availableNow trigger, memory sink) and return the GAP-CLOSED sessions
+    as a batch DataFrame.
+
+    Termination: the stateful operator registers processing-time timers
+    that keep the query alive after the source drains (they exist to flush
+    still-open sessions on a long-running stream), so ``awaitTermination``
+    would block for a full gap — instead wait until the input rows have
+    been processed and stop the query. Consequence (the documented append
+    contract): each user's final still-open session is NOT emitted; the
+    batch-twin oracle is ``sessionize`` minus each user's last session.
+    """
+    import os
+    import time as _time
+    import uuid
+
+    from data_warehouse_migrate_spark.sources.readers import (
+        normalize_nano_timestamps,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(source_path).schema
+    expected = spark.read.schema(schema).parquet(source_path).count()
+    if os.path.isdir(source_path):
+        stream = spark.readStream.schema(schema).parquet(source_path)
+    else:
+        base, fname = os.path.split(source_path.rstrip("/"))
+        base = base or "."
+        for ch in "\\*?[]{}":
+            fname = fname.replace(ch, "\\" + ch)
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", fname).parquet(base))
+    stream = normalize_nano_timestamps(stream, [ts_col])
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    out = sessionize_stream(stream, user_col, ts_col, gap_minutes)
+    sink = f"dwms_stream_sess_{uuid.uuid4().hex[:12]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    deadline = _time.time() + wait_sec
+    while _time.time() < deadline:
+        if sum(p["numInputRows"] for p in (q.recentProgress or [])) >= expected:
+            break
+        _time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(sink)
+
+
 def run_windowed_counts_stream(spark: SparkSession, source_path: str,
                                ts_col: str = "ts",
                                window: str = "1 hour",

@@ -1,0 +1,169 @@
+"""Live-JDBC end-to-end tests against embedded Apache Derby.
+
+The reference exercises a real MySQL via SQLAlchemy
+(``mysql_writer.py:46-104``): table creation, TRUNCATE-preserving
+overwrite, type DDL. Mock tests assert our writer ISSUES those options;
+these tests run them against a real database engine — Derby ships inside
+Spark's own jars (it backs the Hive metastore), runs embedded in the same
+JVM, and speaks enough ANSI DDL to verify the semantics end-to-end:
+
+  * append auto-creates the table and round-trips values (S10)
+  * overwrite goes through TRUNCATE — the created DDL (and its column
+    type overrides) SURVIVES the overwrite (S13)
+  * createTableColumnTypes is real DDL, enforced by the engine (C6)
+  * MigrationJob runs parquet→JDBC and JDBC→parquet whole (S1/S8/S14)
+
+Derby has no information_schema, so the MySQL-shaped introspection
+(``introspect_jdbc_schema``) stays mock-tested; everything else here is
+the real write/read path with zero mocks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.migrate import MigrationJob
+from data_warehouse_migrate_spark.sources.readers import (
+    read_table,
+    validate_table_access,
+)
+from data_warehouse_migrate_spark.sources.sinks import write_table
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _derby_available() -> bool:
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "derby-*.jar")))
+
+
+pytestmark = pytest.mark.skipif(
+    not _derby_available(), reason="Derby jar not on the Spark classpath")
+
+
+@pytest.fixture()
+def derby_opts():
+    db = tempfile.mkdtemp(prefix="dwms_derby_") + "/db"
+    return {"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER}
+
+
+def _read(spark, opts, table):
+    return (spark.read.format("jdbc").options(**opts)
+            .option("dbtable", table).load())
+
+
+def test_append_creates_and_roundtrips(spark, derby_opts):
+    df = spark.createDataFrame(
+        [(1, "A", 10.5), (2, "B", 20.25), (3, None, 1.0)],
+        "k long, status string, price double")
+    write_table(df, "t_rt", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts)
+    back = _read(spark, derby_opts, "t_rt")
+    assert dict(back.dtypes) == {"k": "bigint", "status": "string",
+                                 "price": "double"}
+    rows = {(r.k, r.status, r.price) for r in back.collect()}
+    assert rows == {(1, "A", 10.5), (2, "B", 20.25), (3, None, 1.0)}
+    # second append accumulates (no truncate on append)
+    write_table(df.filter("k = 1"), "t_rt", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts)
+    assert _read(spark, derby_opts, "t_rt").count() == 4
+
+
+def test_overwrite_truncates_and_ddl_survives(spark, derby_opts):
+    df = spark.createDataFrame([(1, "abc")], "k long, status string")
+    write_table(df, "t_ow", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts,
+                create_table_column_types="status VARCHAR(5)")
+    # overwrite → TRUNCATE path (option('truncate','true')): old rows gone
+    write_table(spark.createDataFrame([(2, "xyz")], "k long, status string"),
+                "t_ow", fmt="jdbc", mode="overwrite",
+                jdbc_options=derby_opts)
+    back = _read(spark, derby_opts, "t_ow")
+    assert [(r.k, r.status) for r in back.collect()] == [(2, "xyz")]
+    # the VARCHAR(5) DDL from CREATE survived the overwrite: a 6-char
+    # value must now be rejected by the ENGINE (truncate kept the table;
+    # a drop-recreate overwrite would have reverted to Spark's default
+    # CLOB/VARCHAR(255) mapping and accepted it)
+    too_long = spark.createDataFrame([(3, "sixchr")], "k long, status string")
+    with pytest.raises(Exception, match="(?i)truncat|22001"):
+        write_table(too_long, "t_ow", fmt="jdbc", mode="append",
+                    jdbc_options=derby_opts)
+    # within-bound value still fine
+    write_table(spark.createDataFrame([(4, "ok")], "k long, status string"),
+                "t_ow", fmt="jdbc", mode="append", jdbc_options=derby_opts)
+    assert _read(spark, derby_opts, "t_ow").count() == 2
+
+
+def test_create_table_column_types_enforced_on_create(spark, derby_opts):
+    df = spark.createDataFrame([(1, "longer-than-four")],
+                               "k long, status string")
+    with pytest.raises(Exception, match="(?i)truncat|22001"):
+        write_table(df, "t_ddl", fmt="jdbc", mode="append",
+                    jdbc_options=derby_opts,
+                    create_table_column_types="status VARCHAR(4)")
+
+
+def test_migration_job_parquet_to_jdbc(spark, sf_dir, derby_opts):
+    job = MigrationJob(
+        source_path=f"{sf_dir}/orders.parquet",
+        destination_path="orders_mig",
+        destination_format="jdbc",
+        destination_jdbc=derby_opts,
+        mode="overwrite",
+        limit=100,
+        mapping={"exclude": ["o_orderdate"],  # NTZ timestamps stay out of
+                                              # the JDBC surface
+                 "rename": {"o_totalprice": "total_price"},
+                 "computed": {"status_tag": "concat('S-', o_orderstatus)"}},
+    )
+    summary = job.run(spark)
+    assert summary["status"] == "success"
+    assert summary["rows_written"] == 100
+    assert summary["destination_rows"] is None  # JDBC: no metadata count
+    back = _read(spark, derby_opts, "orders_mig")
+    assert back.count() == 100
+    assert "total_price" in back.columns and "status_tag" in back.columns
+    assert back.filter(~F.col("status_tag").startswith("S-")).count() == 0
+
+
+def test_migration_job_jdbc_to_parquet(spark, sf_dir, derby_opts, tmp_path):
+    # seed Derby from parquet, then migrate OUT of JDBC (source side, S1)
+    seed = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_name", "c_acctbal").limit(50))
+    write_table(seed, "cust_src", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts)
+    dest = str(tmp_path / "cust_out")
+    job = MigrationJob(
+        source_path="cust_src",
+        source_format="jdbc",
+        source_jdbc=derby_opts,
+        destination_path=dest,
+        destination_format="parquet",
+        mode="overwrite",
+    )
+    summary = job.run(spark)
+    assert summary["rows_written"] == 50
+    out = spark.read.parquet(dest)
+    assert out.count() == 50
+    assert set(out.columns) == {"c_custkey", "c_name", "c_acctbal"}
+
+
+def test_validate_table_access_jdbc(spark, derby_opts):
+    df = spark.createDataFrame([(1,)], "k long")
+    write_table(df, "t_probe", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts)
+    ok = read_table(spark, "t_probe", fmt="jdbc", jdbc_options=derby_opts)
+    assert validate_table_access(ok) is True
+    # JDBC resolves the schema EAGERLY on load() — a missing table fails at
+    # read_table, before any DataFrame exists for the probe to take; the
+    # probe contract covers lazily-failing sources (files), and callers on
+    # the JDBC path treat the read itself as the access check
+    with pytest.raises(Exception, match="(?i)t_missing|does not exist|42"):
+        read_table(spark, "t_missing", fmt="jdbc", jdbc_options=derby_opts)
