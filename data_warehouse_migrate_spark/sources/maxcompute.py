@@ -1,0 +1,189 @@
+"""MaxCompute (ODPS) source adapter — the reference's primary source
+(reference ``maxcompute_client.py``), re-expressed for Spark on top of the
+PUBLIC ``pyodps`` package (soft import: everything degrades to a clear
+ImportError when it is absent; no other code path depends on it).
+
+What the reference does (the contract we mirror):
+  * schema introspection returns ``[{'name','type','comment',
+    'is_partition'}]`` with partition columns appended last
+    (``maxcompute_client.py:61-103``);
+  * reads are ``SELECT * FROM t`` with LATEST-partition pruning — a ``pt``
+    partition column wins, otherwise every partition column is pruned to
+    its independent MAX; when no partition value exists the read gets a
+    LIMIT 100000 full-scan guard (``maxcompute_client.py:164-217``);
+  * an explicit ``limit`` is appended last.
+
+How it differs (Spark-first): the reference streams records row-by-row
+into 10k-row pandas batches. Here the pruned SELECT runs ONCE in
+MaxCompute (the pruning executes where the data lives), and the result
+arrives as Arrow batches through the ODPS tunnel, becoming a Spark
+DataFrame without a row-at-a-time loop. This adapter is the
+bounded-result bridge (dimension tables, pruned partitions — the
+reference's actual workload); for unbounded 100 TB fact pulls the right
+tool is a staged export to object storage read by ``spark.read``, which
+this module deliberately does not hide.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
+
+FULL_SCAN_GUARD_LIMIT = 100_000  # reference maxcompute_client.py:192-195
+
+
+class MaxComputeConnectionError(RuntimeError):
+    """Connection/configuration failure (reference ``exceptions.py``)."""
+
+
+class TableNotFoundError(RuntimeError):
+    """Missing table (reference ``exceptions.py``)."""
+
+
+def _require_pyodps():
+    try:
+        from odps import ODPS  # public package: pyodps
+    except ImportError as e:  # pragma: no cover - exercised via mock tests
+        raise ImportError(
+            "MaxCompute support needs the public 'pyodps' package "
+            "(pip install pyodps); the rest of the engine does not "
+            "depend on it") from e
+    return ODPS
+
+
+class MaxComputeSource:
+    """Thin ODPS handle with the reference client's read semantics.
+
+    ``odps`` may be passed directly (tests inject a fake); otherwise the
+    public pyodps ``ODPS(access_id, secret_access_key, project,
+    endpoint)`` is constructed lazily, mirroring reference
+    ``maxcompute_client.py:20-58``.
+    """
+
+    def __init__(self, access_id: str | None = None,
+                 secret_access_key: str | None = None,
+                 endpoint: str | None = None,
+                 project: str | None = None,
+                 odps: Any | None = None):
+        self.access_id = access_id
+        self.secret_access_key = secret_access_key
+        self.endpoint = endpoint
+        self.project = project
+        self._odps = odps
+        if odps is None and not all([access_id, secret_access_key, endpoint]):
+            raise MaxComputeConnectionError(
+                "incomplete MaxCompute connection parameters: access_id, "
+                "secret_access_key and endpoint are all required")
+
+    @property
+    def odps(self):
+        if self._odps is None:
+            ODPS = _require_pyodps()
+            try:
+                self._odps = ODPS(access_id=self.access_id,
+                                  secret_access_key=self.secret_access_key,
+                                  project=self.project,
+                                  endpoint=self.endpoint)
+            except Exception as e:
+                raise MaxComputeConnectionError(
+                    f"failed to connect to MaxCompute: {e}") from e
+        return self._odps
+
+    # ------------------------------------------------------------------
+    def get_table_schema(self, table_name: str) -> list[dict[str, Any]]:
+        """Reference-shaped schema dicts; partition columns appended last
+        with ``is_partition=True`` (``maxcompute_client.py:61-103``).
+        The output plugs straight into ``schema.ColumnSpec``/
+        ``functions.casts.apply_source_schema``."""
+        table = self.odps.get_table(table_name)
+        if table is None:
+            raise TableNotFoundError(f"table {table_name!r} does not exist")
+        columns = [{"name": c.name, "type": str(c.type),
+                    "comment": getattr(c, "comment", "") or "",
+                    "is_partition": False}
+                   for c in table.table_schema.columns]
+        parts = getattr(table.table_schema, "partitions", None) or []
+        columns += [{"name": p.name, "type": str(p.type),
+                     "comment": getattr(p, "comment", "") or "",
+                     "is_partition": True} for p in parts]
+        return columns
+
+    # ------------------------------------------------------------------
+    def build_select_sql(self, table_name: str,
+                         limit: int | None = None) -> str:
+        """The reference's pruned SELECT (``maxcompute_client.py:164-217``):
+        ``pt`` partition → latest ``pt`` value; other partition columns →
+        each independently pruned to its MAX (the reference quirk
+        ``readers.latest_partition_filter`` also preserves); nothing
+        prunable → LIMIT 100000 guard. Explicit ``limit`` appended last.
+        Values are single-quote-escaped before interpolation."""
+        def q(v: str) -> str:
+            return str(v).replace("'", "''")
+
+        table = self.odps.get_table(table_name)
+        if table is None:
+            raise TableNotFoundError(f"table {table_name!r} does not exist")
+        sql = f"SELECT * FROM {table_name}"
+        parts = [p.name for p in
+                 (getattr(table.table_schema, "partitions", None) or [])]
+        if parts:
+            if "pt" in parts:
+                latest = self.latest_partition_value(table_name, "pt")
+                if latest is not None:
+                    sql += f" WHERE pt = '{q(latest)}'"
+                elif not limit:
+                    sql += f" LIMIT {FULL_SCAN_GUARD_LIMIT}"
+                    logger.warning("no pt partition value; applying LIMIT "
+                                   "%s guard", FULL_SCAN_GUARD_LIMIT)
+            else:
+                latest = {c: self.latest_partition_value(table_name, c)
+                          for c in parts}
+                latest = {c: v for c, v in latest.items() if v is not None}
+                if latest:
+                    sql += " WHERE " + " AND ".join(
+                        f"{c} = '{q(v)}'" for c, v in latest.items())
+                elif not limit:
+                    sql += f" LIMIT {FULL_SCAN_GUARD_LIMIT}"
+                    logger.warning("no partition values; applying LIMIT "
+                                   "%s guard", FULL_SCAN_GUARD_LIMIT)
+        if limit:
+            sql += f" LIMIT {int(limit)}"
+        return sql
+
+    # ------------------------------------------------------------------
+    def latest_partition_value(self, table_name: str,
+                               partition_column: str):
+        """MAX over the table's partition SPECS — catalog metadata, no data
+        scan (the reference runs ``SELECT max(pt)`` server-side,
+        ``maxcompute_client.py:241-252``; partition specs carry the same
+        values without a query)."""
+        table = self.odps.get_table(table_name)
+        values = []
+        for p in table.partitions:
+            for kv in str(p.partition_spec).split(","):
+                k, _, v = kv.partition("=")
+                k, v = k.strip(), v.strip()
+                # strip only SURROUNDING quotes (pyodps renders
+                # pt='2024-01-01') — an apostrophe inside the value stays
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                    v = v[1:-1]
+                if k == partition_column:
+                    values.append(v)
+        return max(values) if values else None
+
+    # ------------------------------------------------------------------
+    def read_table(self, spark: SparkSession, table_name: str,
+                   limit: int | None = None) -> DataFrame:
+        """Run the pruned SELECT in MaxCompute and return a Spark
+        DataFrame via the tunnel's Arrow reader — set-at-a-time end to
+        end, no per-row Python loop (contrast reference
+        ``maxcompute_client.py:105-163``)."""
+        sql = self.build_select_sql(table_name, limit)
+        logger.info("MaxCompute read: %s", sql)
+        with self.odps.execute_sql(sql).open_reader() as reader:
+            pdf = reader.to_pandas()
+        return spark.createDataFrame(pdf)
