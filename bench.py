@@ -148,9 +148,12 @@ HEADLINE = [
 ]
 
 
-# Round-4 additions, timed into the DETAIL artifact only — the HEADLINE
+# Round-4/5 additions, timed into the DETAIL artifact only — the HEADLINE
 # list stays fixed so headline totals compare across rounds.
 EXTENDED = [
+    "jdbc_roundtrip",
+    "sessionize_stream",
+    "enrich_stream",
     "incremental_migrate",
     "mixture_sample",
     "quality_band_filter",

@@ -176,6 +176,31 @@ def introspect_jdbc_schema(spark: SparkSession, jdbc_options: dict[str, str],
              "default": r["COLUMN_DEFAULT"]} for r in rows]
 
 
+def introspect_jdbc_schema_generic(spark: SparkSession,
+                                   jdbc_options: dict[str, str],
+                                   table: str) -> list[dict]:
+    """S6, dialect-neutral: destination schema via a ZERO-ROW pushdown
+    query (``SELECT * FROM t WHERE 1=0``) — the JDBC driver returns
+    ResultSet metadata and Spark maps it through its dialect, so names,
+    engine-mapped Spark types, and nullability come back for ANY database
+    without an information_schema (Derby, Oracle, ...). Complements the
+    MySQL-shaped :func:`introspect_jdbc_schema` (which additionally
+    surfaces column DEFAULTs — not part of ResultSet metadata). No data
+    moves. Returns ``[{'name','type','is_nullable'}]`` in table order.
+    """
+    # the table name passes through UNQUOTED, the same convention as every
+    # other dbtable option in this module: quoting here would force
+    # exact-case lookup while the engine's own writer creates tables
+    # unquoted (case-folded per dialect — Derby uppercases, MySQL keeps)
+    probe = f"(SELECT * FROM {table} WHERE 1=0) AS probe"
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options.items():
+        reader = reader.option(k, v)
+    schema = reader.option("dbtable", probe).load().schema
+    return [{"name": f.name, "type": f.dataType.simpleString(),
+             "is_nullable": bool(f.nullable)} for f in schema.fields]
+
+
 def parquet_footer_stats(path: str,
                          columns: list[str] | None = None) -> dict:
     """Table statistics from parquet FOOTERS ONLY — zero data scanned:

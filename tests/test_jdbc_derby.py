@@ -14,8 +14,9 @@ JVM, and speaks enough ANSI DDL to verify the semantics end-to-end:
   * MigrationJob runs parquet→JDBC and JDBC→parquet whole (S1/S8/S14)
 
 Derby has no information_schema, so the MySQL-shaped introspection
-(``introspect_jdbc_schema``) stays mock-tested; everything else here is
-the real write/read path with zero mocks.
+(``introspect_jdbc_schema``) stays mock-tested; the dialect-neutral
+zero-row probe (``introspect_jdbc_schema_generic``) IS live-tested here.
+Everything else is the real write/read path with zero mocks.
 """
 
 from __future__ import annotations
@@ -167,3 +168,25 @@ def test_validate_table_access_jdbc(spark, derby_opts):
     # the JDBC path treat the read itself as the access check
     with pytest.raises(Exception, match="(?i)t_missing|does not exist|42"):
         read_table(spark, "t_missing", fmt="jdbc", jdbc_options=derby_opts)
+
+
+def test_introspect_generic_against_derby(spark, derby_opts):
+    """Dialect-neutral S6: the zero-row probe must surface names, mapped
+    Spark types, and nullability from a REAL engine without an
+    information_schema."""
+    from data_warehouse_migrate_spark.sources.readers import (
+        introspect_jdbc_schema_generic,
+    )
+
+    df = spark.createDataFrame([(1, "abc", 2.5)],
+                               "k long, status string, price double")
+    write_table(df, "t_intro", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts,
+                create_table_column_types="status VARCHAR(10)")
+    # Derby upper-cases unquoted identifiers; Spark's writer quotes them,
+    # so the created table preserves the exact names
+    cols = introspect_jdbc_schema_generic(spark, derby_opts, "t_intro")
+    assert [c["name"] for c in cols] == ["k", "status", "price"]
+    types = {c["name"]: c["type"] for c in cols}
+    assert types == {"k": "bigint", "status": "string", "price": "double"}
+    assert all(c["is_nullable"] for c in cols)
