@@ -403,7 +403,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     assert k % bands == 0
     r = k // bands
-    sigs = _materialize(minhash_signatures(df, text_col, id_col, n, k))
+    # persist + size in ONE job: the sizing aggregate over the (persisted)
+    # frame is itself the materializing action — a separate count would
+    # pay a second scheduling round for nothing
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    n_sets, sets_bytes = count_and_row_bytes(sigs.select("id", "shingles"))
     # band rows: (band_idx, band_key, id)
     band_rows = sigs.select(
         "id",
@@ -423,10 +430,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         candidates = _materialize(candidates)
         diag["candidate_pairs"] = candidates.count()
     sets = sigs.select("id", "shingles")
-    # one agg on the cached frame: count (needed anyway) + width estimate
-    # (shared schema-derived estimator — a hand-built expression here
-    # once under-priced string ids at a hard fixed width)
-    n_sets, sets_bytes = count_and_row_bytes(sets)
     out = (
         candidates
         .join(_maybe_broadcast(
@@ -811,10 +814,15 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     # spread first — the n_planes dot products per row serialize on a
     # single-partition scan otherwise
     df = spread_input(df)
-    base = _materialize(df.select(
+    from pyspark import StorageLevel
+
+    base = df.select(
         F.col(id_col).alias("id"),
         normalize(F.col(vec_col)).alias("vec"),
-        hyperplane_projections(F.col(vec_col), n_planes).alias("proj")))
+        hyperplane_projections(F.col(vec_col), n_planes).alias("proj")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist + size in ONE job (the sizing agg is the materializer)
+    n_rows, base_bytes = count_and_row_bytes(base.select("id", "vec"))
     keys = band_keys_from_projections(F.col("proj"), bands, r)
     membership = base.select("id", F.posexplode(keys).alias("band", "band_key"))
     probes = membership.select(
@@ -837,8 +845,6 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         diag.update(vectors=base.count(), candidate_pairs=cand.count(),
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     n_planes=n_planes, r_bits=r)
-    # one agg on the cached frame: count (needed anyway) + width estimate
-    n_rows, base_bytes = count_and_row_bytes(base.select("id", "vec"))
     va = _maybe_broadcast(
         base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
         n_rows, base_bytes)
