@@ -5,15 +5,22 @@ check: an eval document is "contaminated" to the degree its word n-grams
 also appear anywhere in the training corpus (the n-gram-overlap criterion
 used by public LLM reports, e.g. GPT-3 appendix C / PaLM appendix).
 
-Plan shape (the 100 TB-safe one): both sides reduce to DISTINCT
-(doc, shingle-hash) pairs — explode → hash → distinct, all JVM
-expressions — then ONE equi-join on the 64-bit shingle hash and ONE
-aggregation per eval doc. No all-pairs document comparison ever happens;
-the join key space is the shingle vocabulary, which AQE re-splits if a
-stop-phrase shingle skews a partition. Joining 60-bit md5-prefix hashes
-instead of shingle strings keeps shuffle rows fixed-width; a hash
-collision can only inflate overlap (flag-safe, never misses true
-contamination) at ~2^-60 per pair.
+Plan shape (the 100 TB-safe one): the scored side's per-doc shingle
+TOTAL is a narrow array-size projection (no aggregation — the count is
+known before the explode), so the only corpus-sized work is one INNER
+equi-join of exploded shingle hashes against the reference side's
+distinct set, which produces HIT rows only. Spark's runtime Bloom-filter
+join injection (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on
+by default, application side ≥ 10 GB) builds a Bloom filter over the
+small reference side and drops non-matching shingles BEFORE the shuffle
+— at pre-training scale, where contamination is rare, the big exchange
+carries a sliver of the corpus; a Bloom false positive merely reaches
+the exact join and fails there, so results stay exact. Hit counts then
+re-join the narrow totals on doc id (hit side is contaminated-docs-
+sized — AQE broadcasts it). No all-pairs document comparison ever
+happens. Joining 60-bit md5-prefix hashes instead of shingle strings
+keeps shuffle rows fixed-width; a hash collision can only inflate
+overlap (flag-safe, never misses true contamination) at ~2^-60 per pair.
 """
 
 from __future__ import annotations
@@ -37,6 +44,25 @@ def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col).alias(out_id), F.explode(sh).alias("sh"))
 
 
+def _doc_shingles_with_size(df: DataFrame, text_col: str, id_col: str,
+                            n: int, out_id: str):
+    """(exploded (out_id, sh) frame, narrow (out_id, n_shingles) frame) —
+    the per-doc total comes from the pre-explode array size, a pure
+    projection: counting it with an aggregate would pay a corpus-wide
+    shuffle for a number every row already knows."""
+    sh = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), n),
+                    lambda s: md5_prefix_int(s)))
+    base = spread_input(df).select(F.col(id_col).alias(out_id),
+                                   sh.alias("__shs"))
+    exploded = base.select(out_id, F.explode("__shs").alias("sh"))
+    # NULL/empty shingle arrays produce no exploded rows — the totals
+    # frame must agree (a NULL-text doc has no contamination surface)
+    sizes = (base.select(out_id, F.size("__shs").alias("n_shingles"))
+             .filter(F.col("n_shingles") > 0))
+    return exploded, sizes
+
+
 def ngram_contamination(eval_df: DataFrame, train_df: DataFrame,
                         text_col: str, id_col: str, n: int = 3,
                         flag_threshold: float = 0.8) -> DataFrame:
@@ -49,15 +75,20 @@ def ngram_contamination(eval_df: DataFrame, train_df: DataFrame,
     shingle (same convention as the dedup operators), so every eval row
     appears in the output.
     """
-    ev = _doc_shingle_hashes(eval_df, text_col, id_col, n, "eval_id")
+    ev, sizes = _doc_shingles_with_size(eval_df, text_col, id_col, n,
+                                        "eval_id")
     tr = (_doc_shingle_hashes(train_df, text_col, id_col, n, "__tid")
-          .select("sh").distinct().withColumn("__hit", F.lit(1)))
-    rate = F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
-    return (ev.join(tr, "sh", "left")
+          .select("sh").distinct())
+    # INNER hit join (runtime-Bloom-prunable) + narrow totals; zero-hit
+    # eval docs re-enter via the LEFT join on the (eval-set-sized) totals
+    hits = (ev.join(tr, "sh")
             .groupBy("eval_id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint")
-                 .alias("n_contaminated"))
+            .agg(F.count(F.lit(1)).alias("__hits")))
+    rate = F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+    return (sizes.join(hits, "eval_id", "left")
+            .select("eval_id", "n_shingles",
+                    F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint")
+                    .alias("n_contaminated"))
             .withColumn("contamination_rate", rate)
             .withColumn("is_contaminated",
                         F.col("contamination_rate") >= flag_threshold))
@@ -79,17 +110,25 @@ def decontaminate(train_df: DataFrame, benchmark_df: DataFrame,
     list, applied with a LEFT ANTI join on ``id_col`` — at 100 TB the
     drop list is a tiny fraction of the corpus, so AQE turns the anti
     join into a broadcast and the cleaned corpus never reshuffles.
-    Documents shorter than ``n`` words score on their whole text as a
-    single shingle, matching the check's convention.
+    Because ``drop_threshold`` > 0, only docs with ≥1 hit can be dropped
+    — the rate join is INNER with the (contaminated-docs-sized) hit
+    counts, so the corpus-wide totals never shuffle at all (they are a
+    narrow projection; see module docstring for the Bloom-pruned hit
+    join). Documents shorter than ``n`` words score on their whole text
+    as a single shingle, matching the check's convention.
     """
-    tr = _doc_shingle_hashes(train_df, text_col, id_col, n, "train_id")
+    if drop_threshold <= 0:
+        raise ValueError("drop_threshold must be > 0 — at 0 every "
+                         "document (hit or not) would be dropped")
+    tr, sizes = _doc_shingles_with_size(train_df, text_col, id_col, n,
+                                        "train_id")
     bench = (_doc_shingle_hashes(benchmark_df, text_col, id_col, n, "__bid")
-             .select("sh").distinct().withColumn("__hit", F.lit(1)))
-    rate = (F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
-            / F.count(F.lit(1)))
-    drops = (tr.join(bench, "sh", "left")
-             .groupBy("train_id")
-             .agg(F.round(rate, 6).alias("__rate"))
-             .filter(F.col("__rate") >= drop_threshold)
+             .select("sh").distinct())
+    hits = (tr.join(bench, "sh")
+            .groupBy("train_id")
+            .agg(F.count(F.lit(1)).alias("__hits")))
+    drops = (hits.join(sizes, "train_id")
+             .filter(F.round(F.col("__hits").cast("double")
+                             / F.col("n_shingles"), 6) >= drop_threshold)
              .select(F.col("train_id").alias(id_col)))
     return train_df.join(drops, id_col, "left_anti")
