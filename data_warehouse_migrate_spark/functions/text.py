@@ -295,3 +295,82 @@ def redact_pii(col: Column) -> Column:
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# Gopher rule-based quality filter (Rae et al. 2021 §A1.1.1, public):
+# the canonical pre-training document gate. The stopword rule uses the
+# paper's own word list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(col: Column,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_avg_word_len: float = 3.0,
+                         max_avg_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_ellipsis_line_ratio: float = 0.3,
+                         max_bullet_line_ratio: float = 0.9,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stopword_hits: int = 2) -> dict[str, Column]:
+    """Gopher's published rule set as per-row JVM expressions — one
+    boolean column per rule plus the conjunction ``keep``. Pure
+    projection: at 100 TB this is a map-side filter fused into the scan.
+
+    Rules (Rae et al. 2021, Table A1): word count in [min,max]; mean word
+    length in [min,max]; (# + …) symbol-to-word ratio below cap; ≤30% of
+    lines ending in an ellipsis; <90% of lines starting with a bullet;
+    ≥80% of words containing an alphabetic character; at least 2 of the
+    paper's 8 stopwords present. Ratios round at 6dp so the DuckDB oracle
+    is bit-identical; blank text fails the word-count rule (keep=False);
+    NULL text propagates NULL through every flag.
+    """
+    toks = tokens(col)
+    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks))
+    avg_wlen = F.round(
+        F.when(n_words > 0,
+               F.aggregate(toks, F.lit(0).cast("bigint"),
+                           lambda acc, t: acc + F.length(t)) / n_words)
+        .otherwise(F.lit(0.0)), 6)
+    n_hash = F.size(F.regexp_extract_all(col, F.lit(r"#"), 0))
+    n_ellipsis = (F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0))
+                  + F.size(F.regexp_extract_all(col, F.lit("…"), 0)))
+    symbol_ratio = F.round(
+        F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+        .otherwise(F.lit(0.0)), 6)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*([•‣▪-]\s)")))
+    ellipsis_line_ratio = F.round(
+        F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0)), 6)
+    bullet_line_ratio = F.round(
+        F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0)), 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_word_ratio = F.round(
+        F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0)), 6)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(toks, w)))
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_len": (avg_wlen >= min_avg_word_len)
+                       & (avg_wlen <= max_avg_word_len),
+        "ok_symbols": symbol_ratio <= max_symbol_ratio,
+        "ok_ellipsis_lines": ellipsis_line_ratio <= max_ellipsis_line_ratio,
+        "ok_bullet_lines": bullet_line_ratio < max_bullet_line_ratio,
+        "ok_alpha_words": alpha_word_ratio >= min_alpha_word_ratio,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    out = {"n_words": n_words.cast("bigint"),
+           "avg_word_len": avg_wlen,
+           "symbol_ratio": symbol_ratio,
+           "alpha_word_ratio": alpha_word_ratio,
+           "stopword_hits": stop_hits.cast("int")}
+    out.update(flags)
+    out["keep"] = keep
+    return out

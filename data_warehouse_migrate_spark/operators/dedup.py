@@ -236,6 +236,63 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return w.join(keep, [id_col, "__h"], "leftsemi").drop("__h")
 
 
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_occurrences: int = 2,
+               delimiter: str = "\n") -> DataFrame:
+    """C4-style LINE-level corpus dedup (sub-document granularity): drop
+    every line whose exact text occurs in ``min_occurrences`` or more
+    line slots across the WHOLE corpus (boilerplate headers, cookie
+    banners, license blocks), then reassemble each document from its
+    surviving lines in original order.
+
+    Returns (``id_col``, text_clean, n_lines, n_kept):
+      * text_clean — surviving lines re-joined with ``delimiter``; ''
+        when every line was dropped; NULL for NULL input text;
+      * n_lines / n_kept — per-doc totals (n_lines is 0 for NULL text).
+
+    Plan: split → posexplode; corpus-wide occurrence counts via a window
+    over the 60-bit line hash (fixed-width shuffle keys — the same
+    md5-prefix trick as the shingle operators; a collision merges two
+    lines' counts at ~2^-60, over-dropping, never corrupting text);
+    surviving (pos, line) pairs re-group per doc and sort inside an array
+    expression (no global sort); one narrow sizes projection LEFT-joined
+    back so fully-dropped and NULL-text docs stay in the output. Three
+    shuffles total — line-hash window, doc regroup, doc-stat join — each
+    keyed and AQE-coalesced; nothing is corpus²."""
+    from pyspark.sql import Window as W
+
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2 (1 drops every line)")
+    split_arr = F.split(F.col(text_col), delimiter)
+    sizes = df.select(
+        F.col(id_col),
+        F.coalesce(F.when(F.size(split_arr) >= 0, F.size(split_arr)),
+                   F.lit(0)).alias("n_lines"),
+        F.col(text_col).isNull().alias("__null_text"))
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(split_arr).alias("pos", "line"))
+             .withColumn("__h", md5_prefix_int(F.col("line"))))
+    kept = (lines
+            .withColumn("__c", F.count("*").over(W.partitionBy("__h")))
+            .filter(F.col("__c") < min_occurrences)
+            .groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "line"))),
+                         lambda x: x["line"]),
+                     delimiter).alias("__clean"),
+                 F.count("*").alias("__kept")))
+    return (sizes.join(kept, id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("__null_text"), F.lit(None))
+                     .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+                     .alias("text_clean"),
+                    F.col("n_lines"),
+                    F.coalesce(F.col("__kept"), F.lit(0)).cast("bigint")
+                     .alias("n_kept")))
+
+
 # ---------------------------------------------------------------------------
 # shingle machinery shared by Jaccard / MinHash
 # ---------------------------------------------------------------------------

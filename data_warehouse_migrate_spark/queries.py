@@ -1151,6 +1151,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level corpus dedup (operators/dedup.py line_dedup):
+    the synthetic corpus has no newlines, so both engines first derive a
+    deterministic multi-line form (8-word lines), then drop every line
+    occurring >= 2 times across the corpus and reassemble the survivors
+    in order. The oracle replicates line derivation + slot counting +
+    ordered reassembly in SQL."""
+    from data_warehouse_migrate_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    text_ml = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+        "\n")
+    ml = d.select("doc_id", text_ml.alias("text_ml"))
+    return line_dedup(ml, "text_ml", "doc_id", min_occurrences=2)
+
+
+O_LINE_DEDUP = r"""
+WITH ml AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           array_to_string(
+             list_transform(
+               range(0, CAST(ceil(len(string_split_regex(trim(text), '\s+'))
+                                  / 8.0) AS BIGINT)),
+               i -> array_to_string(
+                      string_split_regex(trim(text), '\s+')[i*8+1 : i*8+8],
+                      ' '))
+           , chr(10)) END AS text_ml
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+  FROM (SELECT doc_id, string_split(text_ml, chr(10)) AS l FROM ml
+        WHERE text_ml IS NOT NULL) t,
+       UNNEST(list_transform(range(0, len(t.l)),
+                             i -> struct_pack(pos := i, line := t.l[i+1]))) AS u(s)
+), counts AS (
+  SELECT line, count(*) AS c FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN counts c USING (line) WHERE c.c < 2
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CASE WHEN m.text_ml IS NULL THEN NULL
+            ELSE coalesce(a.clean, '') END AS text_clean,
+       CASE WHEN m.text_ml IS NULL THEN 0
+            ELSE len(string_split(m.text_ml, chr(10))) END AS n_lines,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM ml m LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_sessionize_stream(spark, sf_dir):
     """REAL stateful Structured Streaming: file source →
     ``applyInPandasWithState`` gap sessionization → memory sink (append

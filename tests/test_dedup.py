@@ -291,3 +291,57 @@ def test_cross_corpus_dedup_rejects_negative_ids(spark):
 
     with pytest.raises(SparkRuntimeException, match="requires ids"):
         cross_corpus_dedup(new, ref, "text", "doc_id").collect()
+
+
+class TestLineDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_corpus_repeated_lines(self, spark):
+        from data_warehouse_migrate_spark.operators.dedup import line_dedup
+
+        df = self._df(spark, [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "unique doc\nall original"),
+        ])
+        out = {r.doc_id: r for r in
+               line_dedup(df, "text", "doc_id").collect()}
+        assert out[1].text_clean == "real content one"
+        assert out[2].text_clean == "real content two"
+        assert out[3].text_clean == "unique doc\nall original"
+        assert (out[1].n_lines, out[1].n_kept) == (3, 1)
+        assert (out[3].n_lines, out[3].n_kept) == (2, 2)
+
+    def test_order_preserved_and_within_doc_repeat(self, spark):
+        from data_warehouse_migrate_spark.operators.dedup import line_dedup
+
+        # 'dup' occurs twice IN ONE doc — corpus occurrences = 2 >= 2,
+        # so both slots drop (C4 counts slots, not documents)
+        df = self._df(spark, [(1, "z\ndup\na\ndup\nm")])
+        r = line_dedup(df, "text", "doc_id").first()
+        assert r.text_clean == "z\na\nm"
+        assert (r.n_lines, r.n_kept) == (5, 3)
+
+    def test_fully_dropped_and_null_text(self, spark):
+        from data_warehouse_migrate_spark.operators.dedup import line_dedup
+
+        df = self._df(spark, [(1, "same"), (2, "same"), (3, None)])
+        out = {r.doc_id: r for r in
+               line_dedup(df, "text", "doc_id").collect()}
+        assert out[1].text_clean == "" and out[1].n_kept == 0
+        assert out[2].text_clean == "" and out[2].n_lines == 1
+        assert out[3].text_clean is None
+        assert (out[3].n_lines, out[3].n_kept) == (0, 0)
+
+    def test_threshold(self, spark):
+        from data_warehouse_migrate_spark.operators.dedup import line_dedup
+
+        df = self._df(spark, [(1, "x\ny"), (2, "x\nz"), (3, "x\nw")])
+        out = {r.doc_id: r.text_clean for r in
+               line_dedup(df, "text", "doc_id",
+                          min_occurrences=4).collect()}
+        assert out == {1: "x\ny", 2: "x\nz", 3: "x\nw"}  # 3 < 4: kept
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            line_dedup(df, "text", "doc_id", min_occurrences=1)
