@@ -317,12 +317,14 @@ def gopher_quality_flags(col: Column,
     projection: at 100 TB this is a map-side filter fused into the scan.
 
     Rules (Rae et al. 2021, Table A1): word count in [min,max]; mean word
-    length in [min,max]; (# + …) symbol-to-word ratio below cap; ≤30% of
-    lines ending in an ellipsis; <90% of lines starting with a bullet;
+    length in [min,max]; (# + …) symbol-to-word ratio ≤ cap; ≤30% of
+    lines ending in an ellipsis; ≤90% of lines starting with a bullet;
     ≥80% of words containing an alphabetic character; at least 2 of the
-    paper's 8 stopwords present. Ratios round at 6dp so the DuckDB oracle
-    is bit-identical; blank text fails the word-count rule (keep=False);
-    NULL text propagates NULL through every flag.
+    paper's 8 stopwords present. Every cap is INCLUSIVE (uniform ``<=``
+    boundary convention; floors are inclusive ``>=``). Ratios round at
+    6dp so the DuckDB twin in tests/test_text.py compares cell-exact;
+    blank text fails the word-count rule (keep=False); NULL text
+    propagates NULL through every flag.
     """
     toks = tokens(col)
     n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks))
@@ -359,7 +361,7 @@ def gopher_quality_flags(col: Column,
                        & (avg_wlen <= max_avg_word_len),
         "ok_symbols": symbol_ratio <= max_symbol_ratio,
         "ok_ellipsis_lines": ellipsis_line_ratio <= max_ellipsis_line_ratio,
-        "ok_bullet_lines": bullet_line_ratio < max_bullet_line_ratio,
+        "ok_bullet_lines": bullet_line_ratio <= max_bullet_line_ratio,
         "ok_alpha_words": alpha_word_ratio >= min_alpha_word_ratio,
         "ok_stopwords": stop_hits >= min_stopword_hits,
     }

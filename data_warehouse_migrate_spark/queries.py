@@ -17,6 +17,7 @@ Spark built-ins and DuckDB list lambdas.
 from __future__ import annotations
 
 import os
+import stat as stat_module
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -79,7 +80,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        # memoize REGULAR FILES only: for a parquet DIRECTORY, rewriting a
+        # part file in place (same filename) changes neither the dir's
+        # mtime_ns nor its size, so a (path, mtime, size) key would serve
+        # a stale schema after an in-place rewrite. Directories fall
+        # through to normal footer inference every call.
+        if stat_module.S_ISREG(st.st_mode):
+            key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         pass  # non-local path (e.g. s3://) — fall through to inference
     memo = _SCHEMA_MEMO.get(key) if key else None

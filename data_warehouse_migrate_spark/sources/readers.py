@@ -191,8 +191,10 @@ def introspect_jdbc_schema_generic(spark: SparkSession,
     # the table name passes through UNQUOTED, the same convention as every
     # other dbtable option in this module: quoting here would force
     # exact-case lookup while the engine's own writer creates tables
-    # unquoted (case-folded per dialect — Derby uppercases, MySQL keeps)
-    probe = f"(SELECT * FROM {table} WHERE 1=0) AS probe"
+    # unquoted (case-folded per dialect — Derby uppercases, MySQL keeps).
+    # Bare correlation name, no AS: Oracle rejects AS on a table alias,
+    # while Derby, MySQL, and Postgres all accept the bare form.
+    probe = f"(SELECT * FROM {table} WHERE 1=0) probe"
     reader = spark.read.format("jdbc")
     for k, v in jdbc_options.items():
         reader = reader.option(k, v)

@@ -265,10 +265,24 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
     q = (out.writeStream.format("memory").queryName(sink)
          .outputMode("append").trigger(availableNow=True).start())
     deadline = _time.time() + wait_sec
+    processed = 0
     while _time.time() < deadline:
-        if sum(p["numInputRows"] for p in (q.recentProgress or [])) >= expected:
+        processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        if processed >= expected:
             break
         _time.sleep(0.25)
+    else:
+        # deadline expired: re-read once (rows may have landed during the
+        # final sleep), then fail loudly — stopping here and returning the
+        # memory sink would silently hand back PARTIAL results (only the
+        # sessions emitted so far)
+        processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        if processed < expected:
+            q.stop()
+            raise TimeoutError(
+                f"sessionize stream processed {processed}/{expected} input "
+                f"rows within wait_sec={wait_sec}s; raise wait_sec — "
+                f"returning the partial sink would silently drop sessions")
     q.stop()
     q.awaitTermination(60)
     return spark.table(sink)
