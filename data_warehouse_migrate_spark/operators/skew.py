@@ -33,9 +33,65 @@ def spread_input(df: DataFrame) -> DataFrame:
     594 KB documents file plans as ONE partition).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_partitions(df)
+    if est is None:
+        # not file-backed / remote store / unreadable sizes — fall back to
+        # the exact (but ~50-130 ms of plan-to-RDD conversion) probe
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan partition count from the leaf files' sizes
+    WITHOUT converting the plan to an RDD (``df.rdd`` costs 50-130 ms of
+    driver time per DataFrame — pure overhead when spread_input runs in
+    every per-row-heavy operator). Mirrors Spark's file-packing rule:
+    partitions ≈ ceil(Σ(size + openCost) / maxPartitionBytes), floored at
+    1 — exact enough for a `< parallelism` gate whose only failure mode
+    is an unnecessary (or missed) round-robin of a SMALL input. Returns
+    None (caller falls back to ``df.rdd``) for non-file plans, remote
+    schemes, or unstattable paths."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+
+    def _bytes(v: str, default: int) -> int:
+        v = (v or "").strip().lower()
+        try:
+            for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20),
+                              ("gb", 1 << 30), ("k", 1 << 10),
+                              ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+                if v.endswith(suf):
+                    return int(float(v[:-len(suf)]) * mult)
+            return int(v)
+        except ValueError:
+            return default
+
+    max_part = _bytes(conf.get("spark.sql.files.maxPartitionBytes",
+                               "134217728"), 128 << 20)
+    open_cost = _bytes(conf.get("spark.sql.files.openCostInBytes",
+                                "4194304"), 4 << 20)
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # s3/hdfs/... — can't stat locally
+        path = unquote(u.path) or f
+        try:
+            total += os.stat(path).st_size + open_cost
+        except OSError:
+            return None
+    return max(1, math.ceil(total / max_part))
 
 
 _MERGEABLE = {

@@ -1775,20 +1775,33 @@ def q_embedding_ivf(spark, sf_dir):
 
 
 def q_embedding_centroids(spark, sf_dir):
-    """Per-label centroid norms — elementwise array aggregation."""
+    """Per-label centroid norms — elementwise array aggregation.
+
+    Long (posexplode) shape, not 64 per-element agg columns: the wide
+    form's 130-expression plan cost ~1.1s/run of driver-side analysis +
+    codegen at sf0.1 (flat across r3-r5 — it was plan overhead, not
+    data); this shape is ~4x faster and scales the same (the exploded
+    rows collapse map-side to ≤ labels×dim partials per partition).
+    Decimal element sums keep the result partition-layout-independent;
+    the final Σ(mean²) folds a collect_list sorted by element index, so
+    the float additions run in the SAME fixed i=0..63 order as the
+    oracle's literal + chain — bit-identical, no decimal detour."""
     emb = _t(spark, sf_dir, "embeddings")
-    dim = 64
-    # decimal sums: float sums vary in the last ulp with partition layout
-    sums = emb.groupBy("label").agg(
-        F.count("*").alias("n_vectors"),
-        *[F.sum(F.col("embedding")[i].cast("decimal(18,8)")).cast("double")
-           .alias(f"s{i}") for i in range(dim)])
-    sq = None
-    for i in range(dim):
-        term = (F.col(f"s{i}") / F.col("n_vectors")) ** 2
-        sq = term if sq is None else sq + term
-    return (sums.select("label", "n_vectors",
-                        F.round(F.sqrt(sq), 6).alias("centroid_norm"))
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    per = ex.groupBy("label", "i").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,8)")).cast("double").alias("s"))
+    # n is per-(label, element) and equals the per-label row count because
+    # the embeddings table contract is fixed-width non-null vectors
+    term = (F.col("s") / F.col("n")) ** 2
+    out = per.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("i").alias("i"),
+                                                 term.alias("t")))),
+            F.lit(0.0), lambda acc, s: acc + s["t"]).alias("sq"))
+    return (out.select("label", "n_vectors",
+                       F.round(F.sqrt(F.col("sq")), 6).alias("centroid_norm"))
             .orderBy("label"))
 
 

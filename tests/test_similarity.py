@@ -266,3 +266,41 @@ def test_truncate_normalize_matryoshka(spark):
     row = df.filter(F.col("id") == 1).select(
         F.round(norm(truncate_normalize(F.col("v"), 2)), 9).alias("n")).first()
     assert row.n == 1.0
+
+
+def test_registry_lsh_ann_recall_pinned(spark, sf_dir):
+    """Pin the REGISTRY query's recall (q_embedding_lsh_ann is rows-only
+    checked externally, so speed/recall trades would otherwise be
+    invisible): top-5 recall vs the oracle-checked exact twin
+    embedding_topk. Everything is deterministic (hash-seeded planes, no
+    RNG), so this is a fixed number at a fixed sf — 0.64 at sf0.001 as
+    of r06; the assert leaves headroom only for testdata regeneration."""
+    from data_warehouse_migrate_spark.queries import QUERIES
+
+    exact = {(r.query_id, r.corpus_id)
+             for r in QUERIES["embedding_topk"](spark, sf_dir).collect()
+             if r.rank <= 5}
+    approx = {(r.query_id, r.corpus_id)
+              for r in QUERIES["embedding_lsh_ann"](spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"registry lsh_ann recall dropped: {recall}"
+
+
+def test_band_keys_sql_matches_column_builders(emb):
+    """band_keys_sql MUST stay bit-identical to the Column builders: a
+    probe computed by one form must land in buckets an index persisted by
+    the other form laid out (build_lsh_index cross-session contract)."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        band_keys_from_projections,
+        band_keys_sql,
+        hyperplane_projections,
+    )
+
+    col_form = {r.vec_id: list(r.k) for r in emb.select(
+        "vec_id", band_keys_from_projections(
+            hyperplane_projections(F.col("embedding"), 24), 4, 6).alias("k")
+    ).collect()}
+    sql_form = {r.vec_id: list(r.k) for r in emb.select(
+        "vec_id", band_keys_sql("embedding", 24, 4, 6).alias("k")
+    ).collect()}
+    assert col_form == sql_form and len(col_form) > 0
