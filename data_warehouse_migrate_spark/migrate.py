@@ -272,7 +272,8 @@ class MigrationJob:
     # ------------------------------------------------------------------
     def run_incremental(self, spark: SparkSession,
                         key_cols: list[str],
-                        reconcile_drift: bool = False) -> dict[str, Any]:
+                        reconcile_drift: bool = False,
+                        jdbc_merge: bool = True) -> dict[str, Any]:
         """Incremental sync (beyond-reference — the reference re-ships
         every row on every run): diff the TRANSFORMED source against the
         destination's current rows on the business key
@@ -285,10 +286,17 @@ class MigrationJob:
         first to break the read-then-overwrite cycle on the same path
         (the delta JOIN, not the rewrite, is the expensive part this
         method saves — and the summary tells operators how much churn a
-        true in-place sink would see). A JDBC destination would turn the
-        same delta into MERGE/DELETE statements server-side; not wired
-        here (no live warehouse in this environment — same disposition as
-        S6/S8's mocked introspection).
+        true in-place sink would see). A JDBC destination applies the
+        same delta IN PLACE: the changed rows are bulk-staged to a temp
+        table and one server-side MERGE (``jdbc_merge=True``, the
+        default — live-tested against embedded Derby) or a
+        DELETE+INSERT pair (``jdbc_merge=False``, for dialects without
+        MERGE) reconciles the destination where it lives — no snapshot
+        rewrite, no rows pulled through the driver
+        (``operators.delta.apply_delta_jdbc``). First-run detection for
+        JDBC probes the destination table; an unreachable endpoint also
+        classifies as first-run, where the immediate full :meth:`run`
+        surfaces the real connection error instead.
 
         ``reconcile_drift=True`` projects the transformed source onto the
         destination's CURRENT schema first
@@ -301,15 +309,10 @@ class MigrationJob:
         """
         from data_warehouse_migrate_spark.operators.delta import (
             apply_delta,
+            apply_delta_jdbc,
             delta_counts,
             snapshot_delta,
         )
-
-        if self.destination_format == "jdbc":
-            raise NotImplementedError(
-                "incremental JDBC apply needs MERGE against a live "
-                "warehouse; compute the delta with snapshot_delta() and "
-                "ship it via your warehouse's MERGE")
         from pyspark.errors import AnalysisException
 
         # a limited or latest-partition-pruned source is a SUBSET of the
@@ -323,19 +326,41 @@ class MigrationJob:
                 "destination row outside the pruned subset as a delete "
                 "and destroy it; drop those options for incremental sync")
         src = self.build_plan(spark)
-        try:
-            dest = read_table(spark, self.destination_path,
-                              fmt=self.destination_format)
-            if not dest.columns:
-                raise AnalysisException("empty destination")
-        except AnalysisException:
-            # destination absent / schema-less — the genuine first-run
-            # signal. Anything else (corrupt files, auth, IO) PROPAGATES:
-            # a bare except here would silently reclassify a broken
-            # destination as "first run" and full-overwrite it.
-            out = self.run(spark)
-            out["incremental"] = False
-            return out
+        if self.destination_format == "jdbc":
+            from data_warehouse_migrate_spark.sources.readers import (
+                introspect_jdbc_schema_generic,
+            )
+
+            try:
+                # zero-row probe: cheap existence + schema check. A
+                # missing table (or unreachable endpoint) routes to the
+                # full first run, whose own write surfaces any real
+                # connection error immediately.
+                introspect_jdbc_schema_generic(
+                    spark, self.destination_jdbc or {},
+                    self.destination_path)
+                dest = read_table(spark, self.destination_path,
+                                  fmt="jdbc",
+                                  jdbc_options=self.destination_jdbc)
+            except Exception:
+                out = self.run(spark)
+                out["incremental"] = False
+                return out
+        else:
+            try:
+                dest = read_table(spark, self.destination_path,
+                                  fmt=self.destination_format)
+                if not dest.columns:
+                    raise AnalysisException("empty destination")
+            except AnalysisException:
+                # destination absent / schema-less — the genuine
+                # first-run signal. Anything else (corrupt files, auth,
+                # IO) PROPAGATES: a bare except here would silently
+                # reclassify a broken destination as "first run" and
+                # full-overwrite it.
+                out = self.run(spark)
+                out["incremental"] = False
+                return out
 
         if reconcile_drift:
             from data_warehouse_migrate_spark.functions.casts import (
@@ -353,20 +378,28 @@ class MigrationJob:
                   for r in delta_counts(delta).collect()}
         changed = delta.filter(F.col("change_type") != "unchanged")
         n_changed = sum(v for k, v in counts.items() if k != "unchanged")
-        if n_changed:
-            nxt = apply_delta(dest, changed, key_cols).localCheckpoint()
-            write_table(nxt, self.destination_path,
-                        fmt=self.destination_format,
-                        mode=MigrationMode.OVERWRITE,
-                        partition_by=self.write_partition_by or None)
-        delta.unpersist()
-        return {
+        out: dict[str, Any] = {
             "status": "success",
             "incremental": True,
             "destination": self.destination_path,
             "delta_counts": counts,
             "rows_applied": n_changed,
         }
+        if n_changed:
+            if self.destination_format == "jdbc":
+                # in-place server-side apply: stage + MERGE (or the
+                # DELETE+INSERT fallback) — no snapshot rewrite
+                out["jdbc_apply"] = apply_delta_jdbc(
+                    delta, key_cols, self.destination_jdbc or {},
+                    self.destination_path, use_merge=jdbc_merge)
+            else:
+                nxt = apply_delta(dest, changed, key_cols).localCheckpoint()
+                write_table(nxt, self.destination_path,
+                            fmt=self.destination_format,
+                            mode=MigrationMode.OVERWRITE,
+                            partition_by=self.write_partition_by or None)
+        delta.unpersist()
+        return out
 
     # ------------------------------------------------------------------
     def run_stream(self, spark: SparkSession, checkpoint_dir: str,

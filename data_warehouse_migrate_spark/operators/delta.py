@@ -113,3 +113,112 @@ def apply_delta(dest: DataFrame, delta: DataFrame,
     add = (delta.filter(F.col("change_type").isin("insert", "update"))
            .select(*dest.columns))
     return keep.unionByName(add)
+
+
+def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
+                     jdbc_options: dict[str, str], table: str,
+                     use_merge: bool = True,
+                     stage_table: str | None = None) -> dict:
+    """Server-side incremental apply for a JDBC destination: stage the
+    changed delta rows into a temp table with the BULK writer (the only
+    corpus-sized movement — parallel batched INSERTs, exactly like any
+    other JDBC write), then apply them with ONE set-based statement the
+    warehouse executes where the data lives.
+
+    ``use_merge=True`` emits ANSI/SQL:2003 MERGE (Derby — the live e2e
+    harness — MySQL 8 via its MERGE-less path below, Postgres 15+,
+    Oracle, BigQuery all speak a dialect of it):
+
+      MERGE INTO target t USING stage s ON <null-safe key equality>
+      WHEN MATCHED AND s.change_type = 'delete' THEN DELETE
+      WHEN MATCHED AND s.change_type = 'update' THEN UPDATE SET ...
+      WHEN NOT MATCHED AND s.change_type = 'insert' THEN INSERT ...
+
+    ``use_merge=False`` is the two-statement fallback for dialects
+    without MERGE: DELETE every staged delete/update key, then INSERT
+    the staged insert/update payloads — same end state, not atomic
+    (disclosed; wrap in a transaction if the dialect allows).
+
+    Dialect notes baked in from the live Derby runs: Spark's JDBC
+    writers QUOTE column identifiers at CREATE time (so generated SQL
+    quotes every column) but pass table names through unquoted (this
+    module's convention — the engine case-folds them); string columns
+    that Spark's dialect maps to CLOB (Derby) are not comparable, so
+    string-typed KEY columns are compared through VARCHAR casts and the
+    stage's change_type is created as VARCHAR via
+    createTableColumnTypes. Statements run over a java.sql connection in
+    the driver JVM — rows never cross it.
+
+    Returns ``{'staged': n, 'applied': affected-row-count}``.
+    """
+    spark = delta.sparkSession
+    changed = delta.filter(F.col("change_type") != "unchanged")
+    payload_cols = [c for c in delta.columns
+                    if c != "change_type" and c not in key_cols]
+    str_cols = {name for name, t in delta.dtypes if t == "string"}
+    stage = stage_table or f"{table}_dwms_stage"
+
+    # bulk-stage the delta (drop/recreate: a stale stage from a failed
+    # run must not leak schema or rows into this one)
+    writer = (changed.write.format("jdbc").mode("overwrite")
+              .option("dbtable", stage)
+              .option("createTableColumnTypes",
+                      "change_type VARCHAR(16)"))
+    for k, v in jdbc_options.items():
+        writer = writer.option(k, v)
+    writer.save()
+    n_staged = changed.count()
+
+    def q(c: str) -> str:
+        return '"' + c + '"'
+
+    def keyeq(c: str, left: str = "t") -> str:
+        t, s = f"{left}.{q(c)}", f"s.{q(c)}"
+        if c in str_cols:  # CLOB-mapped columns are incomparable raw
+            t = f"CAST({t} AS VARCHAR(32672))"
+            s = f"CAST({s} AS VARCHAR(32672))"
+        return (f"({t} = {s} OR "
+                f"({left}.{q(c)} IS NULL AND s.{q(c)} IS NULL))")
+
+    on = " AND ".join(keyeq(k) for k in key_cols)
+    ins_cols = ", ".join(q(c) for c in key_cols + payload_cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in key_cols + payload_cols)
+    if use_merge:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in payload_cols)
+        upd = (f"WHEN MATCHED AND s.{q('change_type')} = 'update' "
+               f"THEN UPDATE SET {sets} " if payload_cols else "")
+        stmts = [
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED AND s.{q('change_type')} = 'delete' THEN DELETE "
+            + upd +
+            f"WHEN NOT MATCHED AND s.{q('change_type')} = 'insert' "
+            f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"]
+    else:
+        on_t = " AND ".join(keyeq(k, left=table) for k in key_cols)
+        stmts = [
+            f"DELETE FROM {table} WHERE EXISTS (SELECT 1 FROM {stage} s "
+            f"WHERE {on_t} AND s.{q('change_type')} IN ('delete', 'update'))",
+            f"INSERT INTO {table} ({ins_cols}) "
+            f"SELECT {ins_cols} FROM {stage} "
+            f"WHERE {q('change_type')} IN ('insert', 'update')"]
+
+    applied = 0
+    jvm = spark._jvm
+    if jdbc_options.get("driver"):
+        jvm.java.lang.Class.forName(jdbc_options["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in jdbc_options.items():
+        if k not in ("url", "dbtable"):
+            props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_options["url"], props)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in stmts:
+                applied += st.executeUpdate(sql)
+            st.executeUpdate(f"DROP TABLE {stage}")
+        finally:
+            st.close()
+    finally:
+        conn.close()
+    return {"staged": n_staged, "applied": applied}

@@ -190,3 +190,59 @@ def test_introspect_generic_against_derby(spark, derby_opts):
     types = {c["name"]: c["type"] for c in cols}
     assert types == {"k": "bigint", "status": "string", "price": "double"}
     assert all(c["is_nullable"] for c in cols)
+
+
+def test_incremental_jdbc_merge_end_to_end(spark, derby_opts, tmp_path):
+    """run_incremental with a JDBC destination: first run full-loads,
+    second run applies the snapshot_delta IN PLACE via server-side MERGE
+    (stage table + one statement) — insert, update, and delete all land."""
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k long, status string, price double").write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path="t_incr",
+                       destination_format="jdbc",
+                       destination_jdbc=derby_opts, mode="append")
+    out1 = job.run_incremental(spark, key_cols=["k"])
+    assert out1["incremental"] is False  # first run = full load
+    assert _read(spark, derby_opts, "t_incr").count() == 3
+
+    # change the source: update k=2, delete k=3, insert k=4
+    import shutil
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B2", 21.0), (4, "D", 40.0)],
+        "k long, status string, price double").write.parquet(src)
+    out2 = job.run_incremental(spark, key_cols=["k"])
+    assert out2["incremental"] is True
+    assert out2["delta_counts"] == {"unchanged": 1, "update": 1,
+                                    "delete": 1, "insert": 1}
+    assert out2["jdbc_apply"]["staged"] == 3
+    rows = {(r.k, r.status, r.price)
+            for r in _read(spark, derby_opts, "t_incr").collect()}
+    assert rows == {(1, "A", 10.0), (2, "B2", 21.0), (4, "D", 40.0)}
+    # stage table cleaned up — resolving it fails at load time
+    with pytest.raises(Exception, match="(?i)not exist|not found|42"):
+        _read(spark, derby_opts, "t_incr_dwms_stage").schema
+
+
+def test_incremental_jdbc_delete_insert_fallback(spark, derby_opts, tmp_path):
+    """The MERGE-less dialect path (use_merge=False): DELETE+INSERT pair
+    reaches the same end state."""
+    src = str(tmp_path / "src2.parquet")
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, status string").write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path="t_incr_fb",
+                       destination_format="jdbc",
+                       destination_jdbc=derby_opts, mode="append")
+    job.run_incremental(spark, key_cols=["k"])
+
+    import shutil
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(2, "B2"), (3, "C")], "k long, status string").write.parquet(src)
+    out = job.run_incremental(spark, key_cols=["k"], jdbc_merge=False)
+    assert out["incremental"] is True
+    rows = {(r.k, r.status)
+            for r in _read(spark, derby_opts, "t_incr_fb").collect()}
+    assert rows == {(2, "B2"), (3, "C")}

@@ -346,13 +346,17 @@ def test_run_incremental_sync(spark, tmp_path):
     assert r3["rows_applied"] == 0 and r3["delta_counts"] == {"unchanged": 100}
 
 
-def test_run_incremental_rejects_jdbc(spark, tmp_path):
+def test_run_incremental_jdbc_guard_precedes_probe(spark, tmp_path):
+    """The subset-source guard fires BEFORE any JDBC work: a limited
+    source must be refused for a JDBC destination too (it would classify
+    every out-of-subset key as a delete). The full live MERGE path is
+    covered in tests/test_jdbc_derby.py."""
     import pytest as _pytest
 
     job = MigrationJob(source_path=str(tmp_path / "s"),
                        destination_path="sometable",
-                       destination_format="jdbc")
-    with _pytest.raises(NotImplementedError, match="MERGE"):
+                       destination_format="jdbc", limit=10)
+    with _pytest.raises(ValueError, match="FULL source snapshot"):
         job.run_incremental(spark, ["k"])
 
 
