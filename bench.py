@@ -330,9 +330,20 @@ def main() -> int:
     total = round(sum(times.values()), 3)
 
     ext_times: dict[str, float] = {}
+    stream_state: dict[str, dict] = {}
     for name in EXTENDED:
         ext_times[name] = timed_best(name)
         print(f"  ext {name}: {ext_times[name]}s", file=sys.stderr)
+        if name == "sessionize_stream":
+            # state-store footprint of the stateful operator (captured by
+            # run_sessionize_stream from the query's progress events) —
+            # the quantity that scales with KEY CARDINALITY at 100 TB
+            from data_warehouse_migrate_spark.streaming.windows import (
+                LAST_STREAM_STATE,
+            )
+
+            if LAST_STREAM_STATE:
+                stream_state[name] = dict(LAST_STREAM_STATE)
 
     # Volume counters for the dedup/LSH family (AFTER all timing — the
     # eager counts inside the diag path persist intermediates and would
@@ -404,6 +415,7 @@ def main() -> int:
 
     detail = {
         "extended_queries": ext_times,
+        "stream_state": stream_state,
         "diagnostics": diagnostics,
         "index_contract": index_contract,
         "stress": stress,

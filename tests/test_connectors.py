@@ -271,3 +271,45 @@ def test_bq_schema_validation_runs(spark):
     df = spark.createDataFrame([(1, "x", 2.5)], "id long, s string, v double")
     with pytest.raises(RuntimeError, match="classpath"):
         write_bigquery(df, "ds", "tbl", validate_schema=True)
+
+
+@pytest.mark.parametrize("table_fn,limit,expected", [
+    # shape 1 — single-pt partitioned, latest value
+    # (reference maxcompute_client.py:183-186)
+    (lambda: _pt_table(["pt=2024-01-01", "pt=2024-01-03", "pt=2024-01-02"]),
+     None, "SELECT * FROM t WHERE pt = '2024-01-03'"),
+    (lambda: _pt_table(["pt=2024-01-01", "pt=2024-01-03"]),
+     500, "SELECT * FROM t WHERE pt = '2024-01-03' LIMIT 500"),
+    # shape 2 — multi-column partitions, each at its independent MAX
+    # (reference maxcompute_client.py:196-203)
+    (lambda: _Table(
+        _Schema([_Col("id", "bigint")],
+                partitions=[_Col("dt", "string"), _Col("hour", "string")]),
+        partitions=["dt=2024-01-01,hour=23", "dt=2024-01-02,hour=03"]),
+     None, "SELECT * FROM t WHERE dt = '2024-01-02' AND hour = '23'"),
+    (lambda: _Table(
+        _Schema([_Col("id", "bigint")],
+                partitions=[_Col("dt", "string"), _Col("hour", "string")]),
+        partitions=["dt=2024-01-05,hour=01"]),
+     7, "SELECT * FROM t WHERE dt = '2024-01-05' AND hour = '01' LIMIT 7"),
+    # shape 3 — partitioned but NO partition values: full-scan guard,
+    # suppressed by an explicit limit (reference
+    # maxcompute_client.py:187-195, 204-211)
+    (lambda: _pt_table([]), None, "SELECT * FROM t LIMIT 100000"),
+    (lambda: _pt_table([]), 5, "SELECT * FROM t LIMIT 5"),
+    (lambda: _Table(
+        _Schema([_Col("id", "bigint")],
+                partitions=[_Col("dt", "string")]), partitions=[]),
+     None, "SELECT * FROM t LIMIT 100000"),
+    # shape 4 — non-partitioned table, explicit limit appended last
+    # (reference maxcompute_client.py:177, 213-215)
+    (lambda: _plain_table(), None, "SELECT * FROM t"),
+    (lambda: _plain_table(), 10, "SELECT * FROM t LIMIT 10"),
+])
+def test_mc_select_sql_contract_byte_for_byte(table_fn, limit, expected):
+    """The adapter's emitted SQL, byte-for-byte, for every shape of the
+    reference's _build_select_sql (maxcompute_client.py:165-217):
+    single-pt latest, multi-column independent-MAX, no-partition guard
+    (and its explicit-limit suppression), and explicit-limit ordering."""
+    src = MaxComputeSource(odps=_FakeODPS({"t": table_fn()}))
+    assert src.build_select_sql("t", limit=limit) == expected
