@@ -174,6 +174,7 @@ EXTENDED = [
     "curriculum_buckets",
     "embedding_truncate",
     "pmi_collocations",
+    "line_dedup",
 ]
 
 
