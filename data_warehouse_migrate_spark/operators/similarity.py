@@ -100,11 +100,6 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     # driver merge) — drop them up front, disclosed here
     corpus = corpus.filter(F.col(vec_col).isNotNull()
                            & (F.size(F.col(vec_col)) > 0))
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("kmeans_centroids: empty corpus "
-                         "(after dropping NULL/empty vectors)")
-    dim = first["d"]
     # spread before the persist: all n_iter+1 passes (k dot products per
     # row each) otherwise run on a single-partition scan's one core
     unit = (spread_input(corpus)
@@ -112,48 +107,83 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
                     normalize(F.col(vec_col)).alias("__nv"))
             .persist())
     try:
+        # seeds double as the dimensionality probe — one action, not two
         seeds = (unit.orderBy("__id").limit(k).select("__nv").collect())
+        if not seeds:
+            raise ValueError("kmeans_centroids: empty corpus "
+                             "(after dropping NULL/empty vectors)")
         cents = [list(r["__nv"]) for r in seeds]
+        dim = len(cents[0])
         for _ in range(n_iter):
-            cell = _argmax_cell(F.col("__nv"), cents)
-            sums = (unit.select(cell.alias("__cell"), "__nv")
-                    .groupBy("__cell")
+            # LONG aggregation shape (groupBy(cell, element) over a
+            # posexplode), not dim separate decimal agg columns: the wide
+            # form built a ~130-expression plan whose per-round
+            # analysis+codegen cost ~1.5s at dim=64 — five Lloyd rounds
+            # made ivf_topk("kmeans") an 11s call at sf0.1; this shape is
+            # ~5x faster end-to-end with identical decimal-exact sums.
+            # k×dim rows (KBs) reach the driver instead of k wide rows —
+            # same information, same bound.
+            cell = _argmax_cell("__nv", cents)
+            # two selects: a generator sharing a projection with the
+            # struct-field-referencing argmax expression mangles the
+            # struct's field names at analysis (FIELD_NOT_FOUND)
+            rows = (unit.select(cell.alias("__cell"), "__nv")
+                    .select("__cell",
+                            F.posexplode("__nv").alias("__i", "__x"))
+                    .groupBy("__cell", "__i")
                     .agg(F.count(F.lit(1)).alias("__n"),
-                         *[F.sum(F.element_at("__nv", i + 1)
-                                 .cast("decimal(38,12)")).alias(f"s{i}")
-                           for i in range(dim)])
+                         F.sum(F.col("__x").cast("decimal(38,12)"))
+                         .alias("__s"))
                     .collect())
+            per_cell: dict[int, dict[int, tuple]] = {}
+            for row in rows:
+                per_cell.setdefault(row["__cell"], {})[row["__i"]] = (
+                    row["__n"], float(row["__s"]))
             new_cents = [list(c) for c in cents]
-            for row in sums:
-                mean = [float(row[f"s{i}"]) / row["__n"] for i in range(dim)]
+            for cid, elems in per_cell.items():
+                n = elems[0][0]
+                mean = [elems[i][1] / n for i in range(dim)]
                 nrm = sum(x * x for x in mean) ** 0.5
                 if nrm > 0:
-                    new_cents[row["__cell"]] = [x / nrm for x in mean]
+                    new_cents[cid] = [x / nrm for x in mean]
             cents = new_cents
     finally:
         unit.unpersist()
     return cents
 
 
-def _cent_sims(vec: Column, cents: list[list[float]]) -> Column:
-    """array<struct<sim,negcell>> of dot(vec, centroid_j) for literal unit
-    centroids. negcell (-j) makes struct-ordering ties resolve to the
-    LOWEST cell id under max/descending sort — deterministic argmax."""
-    return F.array(*[
-        F.struct(
-            dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-            F.lit(-j).alias("negcell"))
-        for j, c in enumerate(cents)])
+def _cent_sims_sql(vec_name: str, cents: list[list[float]]) -> str:
+    """SQL text for array<struct<sim,negcell>> of dot(vec, centroid_j)
+    with the centroids inlined as literals. negcell (-j) makes
+    struct-ordering ties resolve to the LOWEST cell id under
+    max/descending sort — deterministic argmax.
+
+    SQL-string construction, not Column builders: k×dim ``F.lit`` calls
+    (1024 at k=16, dim=64) cost ~1.5s of py4j round-trips PER expression
+    — and kmeans builds one per Lloyd round. Literals render via
+    ``repr`` (shortest round-trip form) inside CAST('…' AS DOUBLE), so
+    the parsed doubles are bit-identical to the ``F.lit(float)`` form;
+    the casts are constant-folded at optimization."""
+    vec = f"`{vec_name}`"
+    structs = []
+    for j, c in enumerate(cents):
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+        structs.append(
+            f"struct(aggregate(zip_with({vec}, array({arr}), "
+            f"(x, w) -> (CAST(x AS DOUBLE) * w)), 0.0D, "
+            f"(a, v) -> a + v) AS sim, {-j} AS negcell)")
+    return "array(" + ", ".join(structs) + ")"
 
 
-def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
-    return -F.array_max(_cent_sims(vec, cents))["negcell"]
+def _argmax_cell(vec_name: str, cents: list[list[float]]) -> Column:
+    return F.expr(f"-array_max({_cent_sims_sql(vec_name, cents)}).negcell")
 
 
-def _top_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
-    ranked = F.slice(F.sort_array(_cent_sims(vec, cents), asc=False),
-                     1, nprobe)
-    return F.transform(ranked, lambda s: -s["negcell"])
+def _top_cells(vec_name: str, cents: list[list[float]],
+               nprobe: int) -> Column:
+    return F.expr(
+        f"transform(slice(sort_array({_cent_sims_sql(vec_name, cents)}, "
+        f"false), 1, {nprobe}), s -> -s.negcell)")
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame,
@@ -193,22 +223,31 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     c = spread_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         F.col(corpus_vec).alias("__cv"),
-        _argmax_cell(F.col(corpus_vec), cents).alias("cell"))
-    q = (queries.select(F.col(query_id).alias("query_id"),
-                        F.col(query_vec).alias("__qv"),
-                        _top_cells(F.col(query_vec), cents, nprobe)
-                        .alias("__cells"))
-         .withColumn("cell", F.explode("__cells")).drop("__cells"))
+        _argmax_cell(corpus_vec, cents).alias("cell"))
+    # same probe shape as lsh_topk: the (small-by-contract) query batch is
+    # broadcast so the cell-assigned corpus never exchanges, and the
+    # per-query top-k is ONE groupBy instead of distinct+window. IVF
+    # probes are distinct cells per query, so collect_SET semantics are
+    # merely defensive here (no multi-probe repeats to dedup).
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("__qv"),
+                       F.explode(_top_cells(query_vec, cents, nprobe))
+                       .alias("cell")))
     scored = q.join(c, "cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
-    scored = (scored
-              .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-              .select("query_id", "corpus_id", "cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "corpus_id", "cosine", "rank"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    top = (scored.groupBy("query_id")
+           .agg(F.slice(F.array_sort(F.collect_set(
+                F.struct((-F.col("cosine")).alias("nc"),
+                         F.col("corpus_id").alias("corpus_id")))),
+                1, k).alias("__top")))
+    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
+            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
+                    (-F.col("s.nc")).alias("cosine"),
+                    (F.col("pos") + 1).alias("rank")))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame,
