@@ -175,6 +175,7 @@ EXTENDED = [
     "embedding_truncate",
     "pmi_collocations",
     "line_dedup",
+    "gopher_quality",
 ]
 
 
