@@ -246,3 +246,29 @@ def test_incremental_jdbc_delete_insert_fallback(spark, derby_opts, tmp_path):
     rows = {(r.k, r.status)
             for r in _read(spark, derby_opts, "t_incr_fb").collect()}
     assert rows == {(2, "B2"), (3, "C")}
+
+
+def test_incremental_jdbc_merge_string_key(spark, derby_opts, tmp_path):
+    """String business keys exercise the CLOB-comparison workaround:
+    Spark's Derby dialect maps strings to CLOB, which the engine refuses
+    to compare — apply_delta_jdbc must route string keys through VARCHAR
+    casts on BOTH merge sides."""
+    src = str(tmp_path / "src3.parquet")
+    spark.createDataFrame(
+        [("alpha", 1.0), ("beta", 2.0), ("gamma", 3.0)],
+        "sku string, price double").write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path="t_incr_sk",
+                       destination_format="jdbc",
+                       destination_jdbc=derby_opts, mode="append")
+    job.run_incremental(spark, key_cols=["sku"])
+
+    import shutil
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [("alpha", 1.5), ("delta", 4.0)],
+        "sku string, price double").write.parquet(src)
+    out = job.run_incremental(spark, key_cols=["sku"])
+    assert out["delta_counts"] == {"update": 1, "delete": 2, "insert": 1}
+    rows = {(r.sku, r.price)
+            for r in _read(spark, derby_opts, "t_incr_sk").collect()}
+    assert rows == {("alpha", 1.5), ("delta", 4.0)}
