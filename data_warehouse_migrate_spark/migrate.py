@@ -42,6 +42,24 @@ from data_warehouse_migrate_spark.sources.sinks import MigrationMode, write_tabl
 
 logger = logging.getLogger(__name__)
 
+# Dialect "table does not exist" signatures for the incremental-JDBC
+# first-run check: Derby 42X05, MySQL 42S02/1146, Postgres 42P01,
+# Oracle ORA-00942, plus the prose most drivers embed. Best-effort by
+# nature (JDBC has no portable error taxonomy) — an UNRECOGNIZED error
+# propagates, which fails safe: the hazard is misreading a live-but-
+# unreachable table as absent and append-duplicating it, not the
+# reverse.
+_JDBC_MISSING_TABLE_MARKS = (
+    "42x05", "42s02", "42p01", "ora-00942", "error 1146",
+    "does not exist", "not found", "no such table",
+    "table_or_view_not_found", "object not found",
+)
+
+
+def _jdbc_table_missing(err: Exception) -> bool:
+    msg = str(err).lower()
+    return any(m in msg for m in _JDBC_MISSING_TABLE_MARKS)
+
 
 @dataclass
 class MigrationJob:
@@ -332,17 +350,22 @@ class MigrationJob:
             )
 
             try:
-                # zero-row probe: cheap existence + schema check. A
-                # missing table (or unreachable endpoint) routes to the
-                # full first run, whose own write surfaces any real
-                # connection error immediately.
+                # zero-row probe: cheap existence + schema check. ONLY a
+                # table-not-found error is the first-run signal — any
+                # other probe failure (auth, network, dialect quirk)
+                # PROPAGATES: falling through to self.run() in append
+                # mode against a table that actually exists would
+                # silently duplicate every row (the same hazard the
+                # file-sink branch below guards with AnalysisException).
                 introspect_jdbc_schema_generic(
                     spark, self.destination_jdbc or {},
                     self.destination_path)
                 dest = read_table(spark, self.destination_path,
                                   fmt="jdbc",
                                   jdbc_options=self.destination_jdbc)
-            except Exception:
+            except Exception as e:
+                if not _jdbc_table_missing(e):
+                    raise
                 out = self.run(spark)
                 out["incremental"] = False
                 return out
@@ -391,7 +414,8 @@ class MigrationJob:
                 # DELETE+INSERT fallback) — no snapshot rewrite
                 out["jdbc_apply"] = apply_delta_jdbc(
                     delta, key_cols, self.destination_jdbc or {},
-                    self.destination_path, use_merge=jdbc_merge)
+                    self.destination_path, use_merge=jdbc_merge,
+                    n_changed=n_changed)
             else:
                 nxt = apply_delta(dest, changed, key_cols).localCheckpoint()
                 write_table(nxt, self.destination_path,

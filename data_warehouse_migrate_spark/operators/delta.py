@@ -118,7 +118,8 @@ def apply_delta(dest: DataFrame, delta: DataFrame,
 def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
                      jdbc_options: dict[str, str], table: str,
                      use_merge: bool = True,
-                     stage_table: str | None = None) -> dict:
+                     stage_table: str | None = None,
+                     n_changed: int | None = None) -> dict:
     """Server-side incremental apply for a JDBC destination: stage the
     changed delta rows into a temp table with the BULK writer (the only
     corpus-sized movement — parallel batched INSERTs, exactly like any
@@ -159,15 +160,21 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
     stage = stage_table or f"{table}_dwms_stage"
 
     # bulk-stage the delta (drop/recreate: a stale stage from a failed
-    # run must not leak schema or rows into this one)
-    writer = (changed.write.format("jdbc").mode("overwrite")
-              .option("dbtable", stage)
-              .option("createTableColumnTypes",
-                      "change_type VARCHAR(16)"))
+    # run must not leak schema or rows into this one). dbtable and the
+    # change_type DDL are set AFTER the options loop — module convention
+    # (read_table/write_table do the same) so a stray 'dbtable' or
+    # 'createTableColumnTypes' in caller options cannot redirect the
+    # drop/recreate staging write at a real table
+    writer = changed.write.format("jdbc").mode("overwrite")
     for k, v in jdbc_options.items():
         writer = writer.option(k, v)
+    writer = (writer.option("dbtable", stage)
+              .option("createTableColumnTypes",
+                      "change_type VARCHAR(16)"))
     writer.save()
-    n_staged = changed.count()
+    # callers that already counted the delta pass it in; only ad-hoc use
+    # pays the extra action
+    n_staged = changed.count() if n_changed is None else n_changed
 
     def q(c: str) -> str:
         return '"' + c + '"'

@@ -152,6 +152,29 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     return cents
 
 
+def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+    """Single-shuffle per-query top-k over (query_id, corpus_id, cosine)
+    candidate rows: one groupBy(query_id) with a map-side partial
+    collect_set replaces the distinct + row_number-window pair (two wide
+    ops over the same candidates). collect_set dedups repeat candidates
+    (multi-probe LSH) exactly; the sorted slice gives the canonical
+    (cosine DESC, corpus_id ASC) tie-break via (-cosine, corpus_id)
+    struct ordering; rank is the array position. Shared by every ANN
+    path — lsh_topk, lsh_topk_indexed, ivf_topk — so the ordering/dedup
+    contract lives in exactly one place. Set size per query is
+    candidate-bounded (bands × bucket occupancy / nprobe cells), the
+    same bound the old distinct carried through its shuffle."""
+    top = (scored.groupBy("query_id")
+           .agg(F.slice(F.array_sort(F.collect_set(
+                F.struct((-F.col("cosine")).alias("nc"),
+                         F.col("corpus_id").alias("corpus_id")))),
+                1, k).alias("__top")))
+    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
+            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
+                    (-F.col("s.nc")).alias("cosine"),
+                    (F.col("pos") + 1).alias("rank")))
+
+
 def _cent_sims_sql(vec_name: str, cents: list[list[float]]) -> str:
     """SQL text for array<struct<sim,negcell>> of dot(vec, centroid_j)
     with the centroids inlined as literals. negcell (-j) makes
@@ -239,15 +262,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-    top = (scored.groupBy("query_id")
-           .agg(F.slice(F.array_sort(F.collect_set(
-                F.struct((-F.col("cosine")).alias("nc"),
-                         F.col("corpus_id").alias("corpus_id")))),
-                1, k).alias("__top")))
-    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
-            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
-                    (-F.col("s.nc")).alias("cosine"),
-                    (F.col("pos") + 1).alias("rank")))
+    return _topk_by_query(scored, k)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame,
@@ -306,23 +321,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-    # Single-shuffle top-k: one groupBy(query_id) replaces
-    # distinct + row_number window (two wide ops on the same data).
-    # collect_set dedups multi-probe repeat candidates exactly (same
-    # (cosine, corpus_id) pair); the sorted slice gives (cosine DESC,
-    # corpus_id ASC) via the (-cosine, corpus_id) struct ordering — the
-    # same deterministic tie-break as the window form. Set size per query
-    # is candidate-bounded (bands x bucket occupancy), the same bound the
-    # old distinct carried through its shuffle.
-    top = (scored.groupBy("query_id")
-           .agg(F.slice(F.array_sort(F.collect_set(
-                F.struct((-F.col("cosine")).alias("nc"),
-                         F.col("corpus_id").alias("corpus_id")))),
-                1, k).alias("__top")))
-    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
-            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
-                    (-F.col("s.nc")).alias("cosine"),
-                    (F.col("pos") + 1).alias("rank")))
+    return _topk_by_query(scored, k)
 
 
 def build_lsh_index(corpus: DataFrame, table: str,
@@ -392,16 +391,9 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
-    scored = (scored
-              .withColumn("cosine",
-                          F.round(cosine(F.col("__qv"), F.col("corpus_vec")), 6))
-              .select("query_id", "corpus_id", "cosine")
-              .distinct())
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("corpus_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "corpus_id", "cosine", "rank"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qv"), F.col("corpus_vec")), 6))
+    return _topk_by_query(scored, k)
 
 
 def label_principal_direction(df: DataFrame, vec_col: str = "embedding",

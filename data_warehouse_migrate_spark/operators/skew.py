@@ -47,12 +47,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate the scan partition count from the leaf files' sizes
     WITHOUT converting the plan to an RDD (``df.rdd`` costs 50-130 ms of
     driver time per DataFrame — pure overhead when spread_input runs in
-    every per-row-heavy operator). Mirrors Spark's file-packing rule:
-    partitions ≈ ceil(Σ(size + openCost) / maxPartitionBytes), floored at
-    1 — exact enough for a `< parallelism` gate whose only failure mode
-    is an unnecessary (or missed) round-robin of a SMALL input. Returns
-    None (caller falls back to ``df.rdd``) for non-file plans, remote
-    schemes, or unstattable paths."""
+    every per-row-heavy operator). Mirrors Spark's FilePartition packing
+    rule INCLUDING the bytes-per-core term:
+
+      maxSplit = min(maxPartitionBytes,
+                     max(openCostInBytes, totalBytes / parallelism))
+      partitions ≈ ceil(totalBytes / maxSplit)
+
+    (omitting bytes-per-core would call a single 64 MB file "1
+    partition" when Spark actually splits it ~8 ways at parallelism 8 —
+    and trigger a pointless full round-robin of anything under
+    parallelism × 128 MB). Returns None (caller falls back to
+    ``df.rdd``) for non-file plans, remote schemes, unstattable paths,
+    or whole-file-compressed text inputs (.gz/.bz2/… are non-splittable:
+    their real partition count is the FILE count regardless of size, and
+    those are exactly the inputs where a missed spread hurts most)."""
     import math
     import os
     from urllib.parse import unquote, urlparse
@@ -62,6 +71,12 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     except Exception:
         return None
     if not files:
+        return None
+    # whole-file compression (non-splittable text codecs): one partition
+    # per file no matter the size — the size model below doesn't apply
+    if any(f.lower().endswith(suf) for f in files
+           for suf in (".gz", ".bz2", ".lz4", ".zst", ".xz", ".deflate",
+                       ".snappy")):
         return None
     conf = df.sparkSession.conf
 
@@ -91,7 +106,9 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
             total += os.stat(path).st_size + open_cost
         except OSError:
             return None
-    return max(1, math.ceil(total / max_part))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+    return max(1, math.ceil(total / max(max_split, 1)))
 
 
 _MERGEABLE = {

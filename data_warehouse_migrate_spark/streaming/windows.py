@@ -307,15 +307,27 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
         processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
         if processed >= expected:
             break
+        if q.exception() is not None:  # crashed — don't wait out the clock
+            LAST_STREAM_STATE.clear()
+            failure = q.exception()
+            q.stop()
+            raise failure
         _time.sleep(0.25)
     else:
         # deadline expired: re-read once (rows may have landed during the
         # final sleep), then fail loudly — stopping here and returning the
         # memory sink would silently hand back PARTIAL results (only the
-        # sessions emitted so far)
+        # sessions emitted so far). A CRASHED query also presents as
+        # stalled progress, so surface its real exception instead of
+        # misdiagnosing it as a timeout; stale metrics from a previous
+        # run are cleared on every failure path.
         processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
         if processed < expected:
+            LAST_STREAM_STATE.clear()
+            failure = q.exception()
             q.stop()
+            if failure is not None:
+                raise failure
             raise TimeoutError(
                 f"sessionize stream processed {processed}/{expected} input "
                 f"rows within wait_sec={wait_sec}s; raise wait_sec — "

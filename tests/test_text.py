@@ -149,68 +149,29 @@ def test_lang_id_null_text_is_null(spark):
 # Gopher quality flags (Rae et al. 2021 Table A1)
 # ---------------------------------------------------------------------------
 
-_GOPHER_TWIN_SQL = r"""
-WITH base AS (
-  SELECT doc_id, text,
-         string_split_regex(lower(trim(text)), '\s+') AS toks,
-         string_split(text, chr(10)) AS lines
-  FROM docs WHERE text IS NOT NULL),
-m AS (
-  SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_words,
-    len(regexp_extract_all(text, '#')) AS n_hash,
-    len(regexp_extract_all(text, '\.\.\.'))
-      + len(regexp_extract_all(text, '…')) AS n_ell,
-    len(lines) AS n_lines,
-    len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS ell_lines,
-    len(list_filter(lines, ln -> regexp_matches(ln, '^\s*([•‣▪-]\s)'))) AS bullet_lines,
-    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
-    coalesce(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))), 0) AS sum_wlen,
-    len(list_filter(['the','be','to','of','and','that','have','with'],
-                    w -> list_contains(toks, w))) AS stop_hits
-  FROM base),
-r AS (
-  SELECT doc_id, n_words, stop_hits,
-    round(CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END, 6) AS avg_word_len,
-    round(CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words ELSE 0.0 END, 6) AS symbol_ratio,
-    round(CASE WHEN n_lines > 0 THEN ell_lines / n_lines ELSE 0.0 END, 6) AS ell_ratio,
-    round(CASE WHEN n_lines > 0 THEN bullet_lines / n_lines ELSE 0.0 END, 6) AS bullet_ratio,
-    round(CASE WHEN n_words > 0 THEN alpha_words / n_words ELSE 0.0 END, 6) AS alpha_word_ratio
-  FROM m)
-SELECT doc_id, n_words, avg_word_len, symbol_ratio, alpha_word_ratio, stop_hits,
-       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
-       (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS ok_word_len,
-       (symbol_ratio <= 0.1) AS ok_symbols,
-       (ell_ratio <= 0.3) AS ok_ellipsis_lines,
-       (bullet_ratio <= 0.9) AS ok_bullet_lines,
-       (alpha_word_ratio >= 0.8) AS ok_alpha_words,
-       (stop_hits >= 2) AS ok_stopwords
-FROM r ORDER BY doc_id
-"""
+def test_gopher_flags_match_registry_oracle(spark, sf_dir):
+    """The registry oracle (O_GOPHER_QUALITY, an independent DuckDB
+    re-implementation of the rule set) is cell-exact against the Spark
+    flags over the real documents table. One source of truth: the same
+    pair test_oracle_parity replays — kept here as the text-layer smoke
+    so a flags change fails in THIS suite too, next to the rule tests."""
+    import pandas as pd
 
+    from data_warehouse_migrate_spark.queries import ORACLES, QUERIES
 
-def test_gopher_flags_match_duckdb_twin(spark, sf_dir):
-    """Every numeric + boolean column of gopher_quality_flags is
-    cell-exact against an independent DuckDB re-implementation over the
-    real documents table (6dp rounding makes the ratios engine-stable)."""
-    path = f"{sf_dir}/documents.parquet"
-    d = spark.read.parquet(path).filter(F.col("text").isNotNull())
-    flags = X.gopher_quality_flags(F.col("text"))
-    cols = ["n_words", "avg_word_len", "symbol_ratio", "alpha_word_ratio",
-            "stopword_hits", "ok_word_count", "ok_word_len", "ok_symbols",
-            "ok_ellipsis_lines", "ok_bullet_lines", "ok_alpha_words",
-            "ok_stopwords"]
-    sdf = (d.select("doc_id", *[flags[c].alias(c) for c in cols])
-           .orderBy("doc_id").toPandas())
+    sdf = QUERIES["gopher_quality"](spark, sf_dir).toPandas()
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{path}'")
-    ddf = con.execute(_GOPHER_TWIN_SQL).fetchdf().rename(
-        columns={"stop_hits": "stopword_hits"})
-    assert len(sdf) == len(ddf) > 0
-    for c in ["doc_id"] + cols:
-        sv = sdf[c].tolist()
-        dv = ddf[c].tolist()
-        assert sv == dv, f"column {c} differs: {sv[:3]} vs {dv[:3]}"
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ddf = con.execute(ORACLES["gopher_quality"]).fetchdf()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = canon(sdf), canon(ddf)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
 
 
 def test_gopher_flags_edges(spark):
