@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_migrate_spark.functions.vectors import cosine, dot
+from data_warehouse_migrate_spark.functions.vectors import cosine
 from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
