@@ -263,7 +263,11 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
                 "n_events": [c for _, _, c in closed],
             })
 
-    return (events.groupBy(user_col)
+    # narrow BEFORE the stateful exchange: the operator reads only
+    # (user, ts), so any other event column would ride the shuffle and
+    # the Arrow->Python transfer for nothing — at 100 TB that's the
+    # difference between shuffling two columns and shuffling the table
+    return (events.select(user_col, ts_col).groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
