@@ -176,6 +176,7 @@ EXTENDED = [
     "pmi_collocations",
     "line_dedup",
     "gopher_quality",
+    "token_budget_sample",
 ]
 
 

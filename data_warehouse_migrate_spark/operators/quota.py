@@ -141,3 +141,55 @@ def curriculum_buckets(df: DataFrame, score_col, n_buckets: int = 4,
     for c in cuts:
         bucket = bucket + (score > F.lit(float(c))).cast("int")
     return df.withColumn(out_col, bucket)
+
+
+def token_budget_sample(df: DataFrame, strata_col: str, id_col: str,
+                        tokens, budgets: dict[str, int] | None = None,
+                        default_budget: int | None = None) -> DataFrame:
+    """Token-budget corpus composition: per stratum (source), keep
+    documents in deterministic hash order until the stratum's TOKEN
+    budget is reached — the mixing primitive when a training recipe is
+    written in tokens ("50B web, 10B code"), not row counts
+    (``mixture_sample``'s unit).
+
+    ``tokens``: Column expression (or column name) giving each document's
+    token count. Selection order is the shared integer-hash draw with
+    ``id_col`` as tie-break — reproducible, engine-independent, and
+    independent of input partitioning. A document is kept iff the
+    cumulative token count BEFORE it is below the budget, so the budget
+    is crossed by at most one document per stratum (never undershot while
+    data remains). Strata without a budget (and no ``default_budget``)
+    are dropped, mirroring ``mixture_sample``'s weights contract.
+
+    Plan: ONE window shuffle keyed by the stratum for the exclusive
+    running sum — exact budgets need a global order per stratum, so each
+    stratum's rows meet on one reducer (same disclosed cost as
+    ``sampling.stratified_sample``'s exact-N window; at 100 TB with few
+    large strata, pre-aggregating per hash-range bucket and prefix-
+    summing the bucket totals bounds the sequential scan, at the price of
+    approximate boundary handling — not implemented here).
+    """
+    if budgets is None and default_budget is None:
+        raise ValueError("provide budgets and/or default_budget")
+    budgets = dict(budgets or {})
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    if default_budget is None:
+        df = df.filter(F.col(strata_col).isin(list(budgets)))
+    budget_expr = None
+    for stratum, b in budgets.items():
+        case = F.when(F.col(strata_col) == stratum, F.lit(int(b)))
+        budget_expr = case if budget_expr is None else \
+            budget_expr.when(F.col(strata_col) == stratum, F.lit(int(b)))
+    if budget_expr is None:
+        budget_expr = F.lit(int(default_budget))
+    elif default_budget is not None:
+        budget_expr = budget_expr.otherwise(F.lit(int(default_budget)))
+
+    draw = _draw(id_col)
+    w = (Window.partitionBy(strata_col)
+         .orderBy(draw.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tok.cast("long")).over(w), F.lit(0))
+    return (df.withColumn("__cum_before", cum_before)
+            .filter(F.col("__cum_before") < budget_expr)
+            .drop("__cum_before"))

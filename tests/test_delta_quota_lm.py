@@ -276,3 +276,54 @@ def test_snapshot_delta_null_business_keys(spark):
     rows = sorted(((r.k, r.v) for r in nxt.collect()),
                   key=lambda t: (t[0] is None, t[0]))
     assert rows == [(1, 1.0), (None, 9.0)]   # exactly one NULL-key row
+
+
+def test_token_budget_sample_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migrate_spark.operators.quota import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i < 6 else "b", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    # budget 250 for 'a': hash-ordered docs keep until cum_before < 250 —
+    # exactly 3 docs (0, 100, 200 before-counts), crossing once
+    out = token_budget_sample(df, "source", "doc_id", "n_tok",
+                              budgets={"a": 250})
+    kept = out.collect()
+    assert all(r.source == "a" for r in kept)      # 'b' has no budget -> dropped
+    assert len(kept) == 3
+    # determinism: same set every run
+    again = {r.doc_id for r in token_budget_sample(
+        df, "source", "doc_id", "n_tok", budgets={"a": 250}).collect()}
+    assert {r.doc_id for r in kept} == again
+
+    # default budget applies to strata missing from the dict
+    out2 = token_budget_sample(df, "source", "doc_id", "n_tok",
+                               budgets={"a": 250}, default_budget=100)
+    by_src = {}
+    for r in out2.collect():
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert by_src == {"a": 3, "b": 1}   # b keeps exactly one 100-token doc
+
+    # zero budget keeps nothing; oversized budget keeps everything
+    assert token_budget_sample(df, "source", "doc_id", "n_tok",
+                               default_budget=0).count() == 0
+    assert token_budget_sample(df, "source", "doc_id", "n_tok",
+                               default_budget=10_000).count() == 10
+
+    # missing both budget sources raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        token_budget_sample(df, "source", "doc_id", "n_tok")
+
+    # NULL token counts don't poison the running sum
+    df2 = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 100), (3, "a", 100)],
+        "doc_id long, source string, n_tok long")
+    n = token_budget_sample(df2, "source", "doc_id", "n_tok",
+                            default_budget=150).count()
+    assert n >= 2   # the NULL doc contributes 0 tokens wherever it sorts
