@@ -345,3 +345,51 @@ class TestLineDedup:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             line_dedup(df, "text", "doc_id", min_occurrences=1)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check over random graphs: BOTH regimes of the
+    scale-adaptive dispatch (numpy hooking local path; checkpointed
+    min-label distributed path) must equal a reference union-find with
+    min-id canonical labels. Random structure exercises chains, merges,
+    isolated nodes, self-loops, and duplicate edges in one sweep."""
+    import random
+
+    from data_warehouse_migrate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(0, 60)
+        edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id label per component
+        expect = {}
+        for i in range(n):
+            root = find(i)
+            expect.setdefault(root, []).append(i)
+        want = {i: min(members) for root, members in expect.items()
+                for i in members}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = (spark.createDataFrame(edge_list or [(0, 0)],
+                                       "id_a long, id_b long")
+                 .limit(len(edge_list)))
+        for kwargs in ({}, {"local_max_edges": 0}):
+            got = {r.id: r.cluster_id for r in
+                   connected_components(nodes, edges, **kwargs).collect()}
+            assert got == want, (trial, kwargs, sorted(edge_list))
