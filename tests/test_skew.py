@@ -73,3 +73,30 @@ def test_shuffle_corpus_reproducible_permutation(spark):
     # keys are globally range-ordered across the output partitions
     keys = [r.shuffle_key for r in shuffle_corpus(df, "doc_id").collect()]
     assert keys == sorted(keys)
+
+
+def test_estimated_scan_partitions(spark, sf_dir, tmp_path):
+    import gzip
+
+    from data_warehouse_migrate_spark.operators.skew import (
+        _estimated_scan_partitions,
+    )
+
+    # parquet scan: estimate must be within ±1 partition of Spark's own
+    # packing at the session's parallelism
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = _estimated_scan_partitions(df)
+    actual = df.rdd.getNumPartitions()
+    assert est is not None and abs(est - actual) <= 1, (est, actual)
+
+    # non-splittable whole-file compression: size model doesn't apply —
+    # must decline (None) so the caller falls back to the exact probe
+    gz = tmp_path / "rows.json.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write('{"a": 1}\n' * 1000)
+    gz_df = spark.read.json(str(gz))
+    assert _estimated_scan_partitions(gz_df) is None
+
+    # non-file plan (in-memory relation): unknown — decline
+    mem = spark.createDataFrame([(1,)], "a long")
+    assert _estimated_scan_partitions(mem) is None
