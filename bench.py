@@ -177,6 +177,7 @@ EXTENDED = [
     "line_dedup",
     "gopher_quality",
     "token_budget_sample",
+    "clean_corpus",
 ]
 
 

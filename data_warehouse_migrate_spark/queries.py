@@ -2343,6 +2343,76 @@ WHERE cum_before < CASE WHEN source = 'src0' THEN 300 ELSE 600 END
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed corpus cleaning (operators/pipeline.py clean_corpus):
+    language filter (en) → Gopher gate (floors relaxed for the short
+    synthetic docs) → exact dedup, in the published C4/RefinedWeb order.
+    Each stage is oracle-verified standalone elsewhere in the registry;
+    this query verifies the COMPOSITION end-to-end."""
+    from data_warehouse_migrate_spark.operators.pipeline import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return (clean_corpus(
+                d, "text", "doc_id", lang_allow=("en",),
+                gopher_kwargs=dict(min_words=5, min_avg_word_len=2.0,
+                                   max_avg_word_len=12.0,
+                                   max_symbol_ratio=0.3,
+                                   min_alpha_word_ratio=0.5,
+                                   min_stopword_hits=1))
+            .select("doc_id", "source", "lang"))
+
+
+O_CLEAN_CORPUS = rf"""
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL),
+lc AS (
+  SELECT *,
+         len(list_filter(toks, x -> x IN ({_stop_sql('en')}))) AS en_c,
+         len(list_filter(toks, x -> x IN ({_stop_sql('de')}))) AS de_c,
+         len(list_filter(toks, x -> x IN ({_stop_sql('fr')}))) AS fr_c
+  FROM t),
+l AS (
+  SELECT * FROM lc
+  WHERE NOT (en_c = 0 AND de_c = 0 AND fr_c = 0)
+    AND en_c >= de_c AND en_c >= fr_c),
+m AS (
+  SELECT *,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_words,
+    len(regexp_extract_all(text, '#')) AS n_hash,
+    len(regexp_extract_all(text, '\.\.\.'))
+      + len(regexp_extract_all(text, '…')) AS n_ell,
+    len(lines) AS n_lines,
+    len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS ell_lines,
+    len(list_filter(lines, ln -> regexp_matches(ln, '^\s*([•‣▪-]\s)'))) AS bullet_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+    coalesce(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))), 0) AS sum_wlen,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(toks, w))) AS stop_hits
+  FROM l),
+k AS (
+  SELECT doc_id, source, lang, text FROM m
+  WHERE n_words >= 5 AND n_words <= 100000
+    AND round(CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END, 6)
+        BETWEEN 2.0 AND 12.0
+    AND round(CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words
+                   ELSE 0.0 END, 6) <= 0.3
+    AND round(CASE WHEN n_lines > 0 THEN ell_lines / n_lines
+                   ELSE 0.0 END, 6) <= 0.3
+    AND round(CASE WHEN n_lines > 0 THEN bullet_lines / n_lines
+                   ELSE 0.0 END, 6) <= 0.9
+    AND round(CASE WHEN n_words > 0 THEN alpha_words / n_words
+                   ELSE 0.0 END, 6) >= 0.5
+    AND stop_hits >= 1),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM k
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+SELECT k.doc_id, k.source, k.lang FROM k JOIN keep USING (doc_id)
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic mixture sampling (operators/quota.py): compose a
     corpus to target per-source weights via the integer-hash draw.
@@ -2985,7 +3055,7 @@ FROM orders
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ORDER is part of the verification contract: the driver's
     # correctness harness checks the first 50 entries each round (the
-    # registry holds 103 queries). ROTATION POLICY (standing, per round-3
+    # registry holds 104 queries). ROTATION POLICY (standing, per round-3
     # judge + advisor guidance, tightened by the round-4 and round-5
     # verdicts):
     #   1. Queries absent from the PREVIOUS round's window lead the next
@@ -3083,7 +3153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 49-50: pinned (execution-path code changed this round, rule 2) --
     "embedding_centroids": q_embedding_centroids,
     "sessionize_stream": q_sessionize_stream,
-    # --- 51-52: NEW in r06, registered post-window-freeze -----------------
+    # --- 51-53: NEW in r06, registered post-window-freeze -----------------
     # Documented exception to rule 2's "new queries enter in-window": the
     # r06 window was exactly filled by rules 1-3 demands (45 two-round-
     # stale oracle-backed queries + 2 red-row repairs + line_dedup + 2
@@ -3093,7 +3163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # under rule 1.
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
-    # --- 53-59: permanent tail — no_oracle by design (rule 4) ------------
+    "clean_corpus": q_clean_corpus,
+    # --- 54-60: permanent tail — no_oracle by design (rule 4) ------------
     "approx_distinct_users": q_approx_distinct_users,
     "approx_value_percentiles": q_approx_value_percentiles,
     "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -3101,7 +3172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,
     "dedup_minhash": q_dedup_minhash,
     "embedding_near_dup": q_embedding_near_dup,
-    # --- 60-103: r05-green window queries rotating out (rule 3) ----------
+    # --- 61-104: r05-green window queries rotating out (rule 3) ----------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3182,6 +3253,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": O_LINE_DEDUP,
     "gopher_quality": O_GOPHER_QUALITY,
     "token_budget_sample": O_TOKEN_BUDGET_SAMPLE,
+    "clean_corpus": O_CLEAN_CORPUS,
     "dedup_exact_stream": O_DEDUP_EXACT_STREAM,
     "pack_sequences": O_PACK_SEQUENCES,
     "packing_stats": O_PACKING_STATS,

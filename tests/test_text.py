@@ -204,3 +204,37 @@ def test_gopher_keep_is_conjunction(spark, sf_dir):
            .filter(F.col("keep") != F.expr(" AND ".join(names)))
            .count())
     assert bad == 0
+
+
+def test_clean_corpus_stage_interplay(spark):
+    from data_warehouse_migrate_spark.operators.pipeline import clean_corpus
+
+    en = ("the cat and the dog have been to the house of that man "
+          "with a big hat and they have seen all of it")
+    de = ("der hund und die katze sind nicht mit dem mann "
+          "von das haus und auch nicht auf ein berg")
+    rows = [
+        (1, en),                 # survives everything
+        (2, en),                 # exact dup of 1 -> dropped by dedup
+        (3, de),                 # german -> dropped by lang filter
+        (4, "tiny"),             # fails word-count floor
+        (5, None),               # NULL text dropped up front
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_words=5, min_stopword_hits=1, min_alpha_word_ratio=0.5)
+
+    kept = {r.doc_id for r in clean_corpus(df, gopher_kwargs=kw).collect()}
+    assert kept == {1}
+
+    # dedup off: both english copies survive
+    kept2 = {r.doc_id for r in clean_corpus(
+        df, gopher_kwargs=kw, dedup=False).collect()}
+    assert kept2 == {1, 2}
+
+    # lang filter off: the german doc still fails the (English) Gopher
+    # stopword rule — zeroing that floor lets it through, showing the
+    # stages compose independently
+    kept3 = {r.doc_id for r in clean_corpus(
+        df, gopher_kwargs=dict(kw, min_stopword_hits=0),
+        lang_allow=None).collect()}
+    assert 3 in kept3 and 5 not in kept3
