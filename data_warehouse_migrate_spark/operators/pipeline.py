@@ -15,6 +15,13 @@ survivors); the single shuffle is exact-dedup's hash-groupBy at the END
 of the chain, keyed on a fixed-width md5 — the cheapest possible point,
 since the gates have already dropped the junk that would otherwise ride
 it.
+
+Known CPU cost (disclosed): the fused Filter inlines the whitespace
+token-split subtree once per rule (~15 copies; FilterExec predicates get
+no subexpression elimination), so the composed gate is several times the
+CPU of any single stage — still shuffle-free and scan-fused, but a
+future materialization barrier for the token array would cut the per-row
+work substantially.
 """
 
 from __future__ import annotations
