@@ -110,7 +110,8 @@ def _maybe_broadcast(df: DataFrame, n_rows: int,
 
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
                   max_bucket_size: int = 512,
-                  diag: dict | None = None) -> DataFrame:
+                  diag: dict | None = None,
+                  input_cached: bool = False) -> DataFrame:
     """Within-bucket candidate pairs, hot-bucket safe.
 
     ``band_rows`` must have (band, band_key, *payload_cols). Normal
@@ -168,7 +169,15 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     # one task while producing pairs the downstream hamming/threshold
     # filter discards anyway. Drop them before anything else.
     band_rows = band_rows.filter(F.col("band_key").isNotNull())
-    band_rows = _materialize(band_rows)
+    # ``input_cached=True``: the caller's band_rows derive from an
+    # ALREADY-PERSISTED frame (e.g. minhash signatures), so the three
+    # consuming branches re-derive only a cache scan plus the cheap band
+    # hash — a second eager materialize here would pay a whole extra
+    # scheduling round to save nothing (the expensive fingerprint subtree
+    # is behind the cache). Callers whose band_rows embed the full
+    # text-derived expression (simhash) keep the default materialize.
+    if not input_cached:
+        band_rows = _materialize(band_rows)
     counts = (band_rows.groupBy("band", "band_key")
               .agg(F.count("*").alias("__bn")))
     hot_keys = F.broadcast(
@@ -477,7 +486,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         ])).alias("band", "band_key"),
     )
     candidates = (
-        _bucket_pairs(band_rows, ["id"], diag=diag)
+        _bucket_pairs(band_rows, ["id"], diag=diag, input_cached=True)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"))
