@@ -325,12 +325,42 @@ def gopher_quality_flags(col: Column,
     6dp so the DuckDB twin in tests/test_text.py compares cell-exact;
     blank text fails the word-count rule (keep=False); NULL text
     propagates NULL through every flag.
+
+    Per-column form: each returned Column computes only ITS metric —
+    right for projections that select several flags side by side (one
+    split per selected column, same as any projection). For a fused
+    FILTER on the conjunction use :func:`gopher_keep`, which binds the
+    splits once (filter predicates get no subexpression elimination, so
+    ``flags["keep"]`` there would split the text once per rule).
     """
-    toks = tokens(col)
-    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks))
+    return _gopher_rules(
+        col, tokens(col), F.split(col, "\n"),
+        min_words=min_words, max_words=max_words,
+        min_avg_word_len=min_avg_word_len,
+        max_avg_word_len=max_avg_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_ellipsis_line_ratio=max_ellipsis_line_ratio,
+        max_bullet_line_ratio=max_bullet_line_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopword_hits=min_stopword_hits)
+
+
+def _gopher_rules(col: Column, tk: Column, ln: Column,
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_avg_word_len: float = 3.0,
+                  max_avg_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  max_ellipsis_line_ratio: float = 0.3,
+                  max_bullet_line_ratio: float = 0.9,
+                  min_alpha_word_ratio: float = 0.8,
+                  min_stopword_hits: int = 2) -> dict[str, Column]:
+    """Rule math shared by :func:`gopher_quality_flags` (unbound
+    token/line expressions) and :func:`gopher_keep` (lambda-bound
+    arrays) — ``tk``/``ln`` may be either."""
+    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tk))
     avg_wlen = F.round(
         F.when(n_words > 0,
-               F.aggregate(toks, F.lit(0).cast("bigint"),
+               F.aggregate(tk, F.lit(0).cast("bigint"),
                            lambda acc, t: acc + F.length(t)) / n_words)
         .otherwise(F.lit(0.0)), 6)
     n_hash = F.size(F.regexp_extract_all(col, F.lit(r"#"), 0))
@@ -339,28 +369,31 @@ def gopher_quality_flags(col: Column,
     symbol_ratio = F.round(
         F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
         .otherwise(F.lit(0.0)), 6)
-    lines = F.split(col, "\n")
-    n_lines = F.size(lines)
+    n_lines = F.size(ln)
     ellipsis_lines = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        ln, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
     bullet_lines = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"^\s*([•‣▪-]\s)")))
+        ln, lambda x: x.rlike(r"^\s*([•‣▪-]\s)")))
     ellipsis_line_ratio = F.round(
-        F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0)), 6)
+        F.when(n_lines > 0, ellipsis_lines / n_lines)
+        .otherwise(F.lit(0.0)), 6)
     bullet_line_ratio = F.round(
-        F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0)), 6)
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        F.when(n_lines > 0, bullet_lines / n_lines)
+        .otherwise(F.lit(0.0)), 6)
+    alpha_words = F.size(F.filter(tk, lambda t: t.rlike("[a-z]")))
     alpha_word_ratio = F.round(
-        F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0)), 6)
+        F.when(n_words > 0, alpha_words / n_words)
+        .otherwise(F.lit(0.0)), 6)
     stop_hits = F.size(F.filter(
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-        lambda w: F.array_contains(toks, w)))
+        lambda w: F.array_contains(tk, w)))
     flags = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
         "ok_word_len": (avg_wlen >= min_avg_word_len)
                        & (avg_wlen <= max_avg_word_len),
         "ok_symbols": symbol_ratio <= max_symbol_ratio,
-        "ok_ellipsis_lines": ellipsis_line_ratio <= max_ellipsis_line_ratio,
+        "ok_ellipsis_lines":
+            ellipsis_line_ratio <= max_ellipsis_line_ratio,
         "ok_bullet_lines": bullet_line_ratio <= max_bullet_line_ratio,
         "ok_alpha_words": alpha_word_ratio >= min_alpha_word_ratio,
         "ok_stopwords": stop_hits >= min_stopword_hits,
@@ -368,11 +401,30 @@ def gopher_quality_flags(col: Column,
     keep = None
     for f in flags.values():
         keep = f if keep is None else (keep & f)
-    out = {"n_words": n_words.cast("bigint"),
-           "avg_word_len": avg_wlen,
-           "symbol_ratio": symbol_ratio,
-           "alpha_word_ratio": alpha_word_ratio,
-           "stopword_hits": stop_hits.cast("int")}
-    out.update(flags)
-    out["keep"] = keep
-    return out
+    fields = {"n_words": n_words.cast("bigint"),
+              "avg_word_len": avg_wlen,
+              "symbol_ratio": symbol_ratio,
+              "alpha_word_ratio": alpha_word_ratio,
+              "stopword_hits": stop_hits.cast("int")}
+    fields.update(flags)
+    fields["keep"] = keep
+    return fields
+
+
+def gopher_keep(col: Column, **thresholds) -> Column:
+    """The :func:`gopher_quality_flags` ``keep`` conjunction with the
+    token/line splits bound ONCE per row, for use inside a fused FILTER:
+    ``transform(array(struct(toks, lines)), x -> …)[0]`` makes every
+    rule reference the same bound arrays instead of re-inlining the
+    split subtree (FilterExec predicates get no subexpression
+    elimination — measured ~2x on the composed
+    ``operators.pipeline.clean_corpus`` gate at sf0.1). Identical values
+    to ``gopher_quality_flags(col, **thresholds)["keep"]`` (asserted in
+    tests/test_text.py)."""
+    def bound_keep(x: Column) -> Column:
+        return _gopher_rules(col, x["t"], x["l"], **thresholds)["keep"]
+
+    return F.transform(
+        F.array(F.struct(tokens(col).alias("t"),
+                         F.split(col, "\n").alias("l"))),
+        bound_keep)[0]

@@ -16,12 +16,10 @@ of the chain, keyed on a fixed-width md5 — the cheapest possible point,
 since the gates have already dropped the junk that would otherwise ride
 it.
 
-Known CPU cost (disclosed): the fused Filter inlines the whitespace
-token-split subtree once per rule (~15 copies; FilterExec predicates get
-no subexpression elimination), so the composed gate is several times the
-CPU of any single stage — still shuffle-free and scan-fused, but a
-future materialization barrier for the token array would cut the per-row
-work substantially.
+The quality gate goes through ``text.gopher_keep``: filter predicates
+get no subexpression elimination, so the per-column flags form would
+inline the token-split subtree once per rule — the bound-array form
+splits the text once per row inside the fused Filter.
 """
 
 from __future__ import annotations
@@ -30,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.functions.text import (
-    gopher_quality_flags,
+    gopher_keep,
     lang_id,
 )
 from data_warehouse_migrate_spark.operators.dedup import drop_exact_dups
@@ -57,8 +55,9 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     out = df.filter(F.col(text_col).isNotNull())
     if lang_allow is not None:
         out = out.filter(lang_id(F.col(text_col)).isin(*lang_allow))
-    flags = gopher_quality_flags(F.col(text_col), **(gopher_kwargs or {}))
-    out = out.filter(flags["keep"])
+    # gopher_keep, not flags["keep"]: the bound-array form splits the
+    # text once inside the fused filter instead of once per rule
+    out = out.filter(gopher_keep(F.col(text_col), **(gopher_kwargs or {})))
     if dedup:
         out = drop_exact_dups(out, text_col, id_col)
     return out

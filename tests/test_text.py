@@ -238,3 +238,15 @@ def test_clean_corpus_stage_interplay(spark):
         df, gopher_kwargs=dict(kw, min_stopword_hits=0),
         lang_allow=None).collect()}
     assert 3 in kept3 and 5 not in kept3
+
+
+def test_gopher_keep_equals_flags_keep(spark, sf_dir):
+    """The bound-array gopher_keep and the per-column flags['keep'] must
+    agree row-for-row — same rule math, different sharing structure."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    flags = X.gopher_quality_flags(F.col("text"), min_words=5,
+                                   min_stopword_hits=1)
+    bound = X.gopher_keep(F.col("text"), min_words=5, min_stopword_hits=1)
+    assert d.filter(flags["keep"] != bound).count() == 0
+    assert d.filter(bound).count() > 0   # nonempty keep set at these floors
