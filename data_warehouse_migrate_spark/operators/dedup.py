@@ -184,11 +184,15 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
         counts.filter(F.col("__bn") > max_bucket_size)
         .select("band", "band_key"))
     if diag is not None:
+        # band_rows total = Σ per-bucket counts — folded into the stats
+        # aggregate so the diag path costs ONE job on both the
+        # materialized and the input_cached branches
         stats = counts.agg(
             F.count("*").alias("nb"), F.max("__bn").alias("mx"),
+            F.sum("__bn").alias("nr"),
             F.sum((F.col("__bn") > max_bucket_size).cast("int")).alias("hot"),
         ).first()
-        diag.update(band_rows=band_rows.count(),  # instant: materialized
+        diag.update(band_rows=int(stats["nr"] or 0),
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     hot_buckets=int(stats["hot"] or 0))
 

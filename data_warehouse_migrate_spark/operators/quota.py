@@ -169,17 +169,17 @@ def token_budget_sample(df: DataFrame, strata_col: str, id_col: str,
     summing the bucket totals bounds the sequential scan, at the price of
     approximate boundary handling — not implemented here).
     """
-    if budgets is None and default_budget is None:
-        raise ValueError("provide budgets and/or default_budget")
     budgets = dict(budgets or {})
+    if not budgets and default_budget is None:
+        raise ValueError("provide a non-empty budgets dict and/or "
+                         "default_budget")
     tok = F.col(tokens) if isinstance(tokens, str) else tokens
     if default_budget is None:
         df = df.filter(F.col(strata_col).isin(list(budgets)))
     budget_expr = None
     for stratum, b in budgets.items():
-        case = F.when(F.col(strata_col) == stratum, F.lit(int(b)))
-        budget_expr = case if budget_expr is None else \
-            budget_expr.when(F.col(strata_col) == stratum, F.lit(int(b)))
+        base = F if budget_expr is None else budget_expr
+        budget_expr = base.when(F.col(strata_col) == stratum, F.lit(int(b)))
     if budget_expr is None:
         budget_expr = F.lit(int(default_budget))
     elif default_budget is not None:

@@ -95,9 +95,6 @@ def _reference_merge(micros, state, gap_us):
     """The original per-event loop, kept as the executable spec."""
     closed = []
     micros = sorted(int(t) for t in micros)
-    import numpy as np
-
-    arr = np.array(micros, dtype="int64")
     if state is not None:
         start, end, n = state
         orig_start = start
@@ -126,7 +123,6 @@ def _reference_merge(micros, state, gap_us):
             start, n = t, 0
         end = max(end, t)
         n += 1
-    del arr
     return closed, (start, end, n)
 
 
