@@ -23,6 +23,14 @@ from data_warehouse_migrate_spark.schema import (
     to_struct_type,
     dedup_columns,
 )
+from data_warehouse_migrate_spark.exceptions import (
+    MigrationError,
+    ConfigurationError,
+    SchemaError,
+    ConnectionFailedError,
+    TableNotFoundError,
+    DataMigrationError,
+)
 
 __all__ = [
     "get_spark",
@@ -31,6 +39,12 @@ __all__ = [
     "parse_source_type",
     "to_struct_type",
     "dedup_columns",
+    "MigrationError",
+    "ConfigurationError",
+    "SchemaError",
+    "ConnectionFailedError",
+    "TableNotFoundError",
+    "DataMigrationError",
 ]
 
 __version__ = "0.1.0"

@@ -19,13 +19,17 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_migrate_spark.exceptions import SchemaError
+
 COMPUTED_WHITELIST = frozenset({"concat", "upper", "lower", "substr", "now", "format"})
 
 _CALL_RE = re.compile(r"^\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*\((.*)\)\s*$", re.DOTALL)
 
 
-class ComputedExpressionError(ValueError):
-    pass
+class ComputedExpressionError(SchemaError):
+    """Invalid computed-column expression — a
+    :class:`~data_warehouse_migrate_spark.exceptions.SchemaError`
+    (and still a ValueError, as before the typed hierarchy)."""
 
 
 def _split_args(s: str) -> list[str]:

@@ -21,6 +21,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehouse_migrate_spark.exceptions import ConfigurationError
 from data_warehouse_migrate_spark.functions.casts import apply_source_schema
 from data_warehouse_migrate_spark.operators.constraints import (
     apply_defaults_backfill,
@@ -42,21 +43,121 @@ from data_warehouse_migrate_spark.sources.sinks import MigrationMode, write_tabl
 
 logger = logging.getLogger(__name__)
 
-# Dialect "table does not exist" signatures for the incremental-JDBC
-# first-run check: Derby 42X05, MySQL 42S02/1146, Postgres 42P01,
-# Oracle ORA-00942, plus the prose most drivers embed. Best-effort by
-# nature (JDBC has no portable error taxonomy) — an UNRECOGNIZED error
-# propagates, which fails safe: the hazard is misreading a live-but-
-# unreachable table as absent and append-duplicating it, not the
-# reverse.
+# "Table does not exist" classification for the incremental-JDBC
+# first-run check, strongest evidence first (the r6 advisor flagged the
+# old prose-only matcher: generic marks like "not found" also appear in
+# missing-SCHEMA / missing-DATABASE errors, reclassifying a broken
+# destination as first-run and falling through to a full append — the
+# exact duplication hazard this check guards):
+#   1. SQLState of the underlying java.sql.SQLException — the standard
+#      table-not-found states: Derby/DB2 42X05, MySQL/SQLServer/HSQLDB
+#      42S02 + S0002, Postgres 42P01, DB2 42704; Oracle's ORA-00942
+#      hides behind the generic 42000, so it needs vendor code 942 too.
+#      A SQLException with a DIFFERENT state is a definitive "not a
+#      missing table" — propagate.
+#   2. No SQLException in the cause chain → DatabaseMetaData.getTables
+#      existence probe over a fresh driver connection (case-insensitive:
+#      engines case-fold unquoted names, Derby upper, Postgres lower).
+#   3. Prose matching as the last resort, and only the SPECIFIC
+#      table-shaped phrases — kept because some drivers (and Spark's own
+#      error framework) flatten the SQLException away entirely.
+# An UNRECOGNIZED error propagates, which fails safe: the hazard is
+# misreading a live-but-unreachable table as absent and
+# append-duplicating it, not the reverse.
+_JDBC_MISSING_SQLSTATES = frozenset({"42X05", "42S02", "S0002", "42P01",
+                                     "42704"})
 _JDBC_MISSING_TABLE_MARKS = (
     "42x05", "42s02", "42p01", "ora-00942", "error 1146",
-    "does not exist", "not found", "no such table",
-    "table_or_view_not_found", "object not found",
+    "no such table", "table or view not found",
+    "table_or_view_not_found", "table not found",
 )
 
 
-def _jdbc_table_missing(err: Exception) -> bool:
+def _java_throwable_chain(err: Exception):
+    """The Java cause chain of a Py4J / pyspark-captured exception
+    (depth-capped — JDBC drivers occasionally build cyclic causes)."""
+    jt = getattr(err, "java_exception", None)  # Py4JJavaError
+    if jt is None:
+        jt = getattr(err, "_origin", None)  # pyspark CapturedException
+    for _ in range(16):
+        if jt is None:
+            return
+        yield jt
+        try:
+            jt = jt.getCause()
+        except Exception:
+            return
+
+
+def _missing_by_sqlstate(err: Exception) -> bool | None:
+    """Tri-state SQLState verdict: True (a table-not-found state),
+    False (a SQLException with some OTHER state — definitely not a
+    missing table), None (no SQLState evidence either way)."""
+    verdict: bool | None = None
+    for t in _java_throwable_chain(err):
+        try:
+            state = t.getSQLState()
+            code = int(t.getErrorCode())
+        except Exception:
+            continue  # not a java.sql.SQLException
+        if state is None:
+            continue
+        state = str(state).upper()
+        if state in _JDBC_MISSING_SQLSTATES or (state == "42000"
+                                                and code == 942):
+            return True
+        verdict = False  # saw a real SQLState that says something else
+    return verdict
+
+
+def _jdbc_table_exists(spark: SparkSession, jdbc_options: dict[str, str],
+                       table: str) -> bool | None:
+    """DatabaseMetaData.getTables existence probe over the same driver
+    connection style ``apply_delta_jdbc`` uses. Case-insensitive on the
+    unqualified name (unquoted identifiers case-fold per dialect).
+    Returns None when the probe itself fails — the caller falls back to
+    prose matching rather than trusting a broken probe."""
+    try:
+        jvm = spark._jvm
+        if jdbc_options.get("driver"):
+            jvm.java.lang.Class.forName(jdbc_options["driver"])
+        from data_warehouse_migrate_spark.operators.delta import (
+            _SPARK_ONLY_JDBC_KEYS,
+        )
+
+        props = jvm.java.util.Properties()
+        for k, v in jdbc_options.items():
+            if k.lower() not in _SPARK_ONLY_JDBC_KEYS:
+                props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            jdbc_options["url"], props)
+        try:
+            name = table.rsplit(".", 1)[-1]
+            for pat in (name, name.upper(), name.lower()):
+                rs = conn.getMetaData().getTables(None, None, pat, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+            return False
+        finally:
+            conn.close()
+    except Exception as e:  # probe is advisory, never raises
+        logger.warning("JDBC existence probe failed: %s", e)
+        return None
+
+
+def _jdbc_table_missing(err: Exception, spark: SparkSession | None = None,
+                        jdbc_options: dict[str, str] | None = None,
+                        table: str | None = None) -> bool:
+    verdict = _missing_by_sqlstate(err)
+    if verdict is not None:
+        return verdict
+    if spark is not None and jdbc_options and jdbc_options.get("url") and table:
+        exists = _jdbc_table_exists(spark, jdbc_options, table)
+        if exists is not None:
+            return not exists
     msg = str(err).lower()
     return any(m in msg for m in _JDBC_MISSING_TABLE_MARKS)
 
@@ -338,7 +439,7 @@ class MigrationJob:
         # as 'delete' and be destroyed by apply_delta — refuse, as
         # run_stream does for its own incompatible options
         if self.limit or self.partition_columns:
-            raise ValueError(
+            raise ConfigurationError(
                 "run_incremental needs the FULL source snapshot: with "
                 "limit/partition_columns the diff would mark every "
                 "destination row outside the pruned subset as a delete "
@@ -364,7 +465,9 @@ class MigrationJob:
                                   fmt="jdbc",
                                   jdbc_options=self.destination_jdbc)
             except Exception as e:
-                if not _jdbc_table_missing(e):
+                if not _jdbc_table_missing(e, spark,
+                                           self.destination_jdbc or {},
+                                           self.destination_path):
                     raise
                 out = self.run(spark)
                 out["incremental"] = False
@@ -461,15 +564,15 @@ class MigrationJob:
         the increment — new files only). JDBC DESTINATIONS are fine.
         """
         if self.source_format in ("jdbc", "table"):
-            raise ValueError(
+            raise ConfigurationError(
                 "run_stream requires a file-based source format "
                 f"(parquet/csv/json/orc), got {self.source_format!r}")
         if not available_now and not processing_time:
-            raise ValueError(
+            raise ConfigurationError(
                 "run_stream with available_now=False requires "
                 "processing_time (the always-on trigger interval)")
         if self.partition_columns or self.limit:
-            raise ValueError(
+            raise ConfigurationError(
                 "limit/partition_columns do not apply to run_stream: the "
                 "stream's checkpoint already scopes work to NEW files")
 

@@ -23,6 +23,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_migrate_spark.exceptions import DataMigrationError
+
 logger = logging.getLogger(__name__)
 
 NULL_POLICIES = ("fail", "fill", "skip")
@@ -32,7 +34,7 @@ _FILLABLE_RE = re.compile(
     r"char|text|blob|string|varchar|date|time|year", re.IGNORECASE)
 
 
-class NullPolicyViolation(RuntimeError):
+class NullPolicyViolation(DataMigrationError):
     def __init__(self, null_counts: dict[str, int]):
         self.null_counts = null_counts
         super().__init__(

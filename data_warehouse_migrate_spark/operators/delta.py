@@ -23,6 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Spark JDBC reader/writer options that are NOT driver connection
+# properties (Spark DataSource option reference) — stripped before
+# building java.util.Properties for a raw DriverManager connection.
+# Lowercased for case-insensitive comparison (Spark options are
+# case-insensitive).
+_SPARK_ONLY_JDBC_KEYS = frozenset({
+    "url", "dbtable", "query", "preparequery", "partitioncolumn",
+    "lowerbound", "upperbound", "numpartitions", "querytimeout",
+    "fetchsize", "batchsize", "isolationlevel", "sessioninitstatement",
+    "truncate", "cascadetruncate", "createtableoptions",
+    "createtablecolumntypes", "customschema", "pushdownpredicate",
+    "pushdownaggregate", "pushdownlimit", "pushdownoffset",
+    "pushdowntablesample", "keytab", "principal", "refreshkrb5config",
+    "connectionprovider", "prefertimestampntz", "driver",
+})
+
 
 def snapshot_delta(source: DataFrame, dest: DataFrame,
                    key_cols: list[str],
@@ -160,15 +176,18 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
     stage = stage_table or f"{table}_dwms_stage"
 
     # bulk-stage the delta (drop/recreate: a stale stage from a failed
-    # run must not leak schema or rows into this one). dbtable and the
-    # change_type DDL are set AFTER the options loop — module convention
-    # (read_table/write_table do the same) so a stray 'dbtable' or
-    # 'createTableColumnTypes' in caller options cannot redirect the
-    # drop/recreate staging write at a real table
+    # run must not leak schema or rows into this one). dbtable, truncate
+    # and the change_type DDL are set AFTER the options loop — module
+    # convention (read_table/write_table do the same) so a stray
+    # 'dbtable'/'createTableColumnTypes' in caller options cannot
+    # redirect the staging write at a real table, and a caller-supplied
+    # truncate=true cannot make the stage overwrite KEEP a stale schema
+    # from an earlier failed run instead of drop/recreating it
     writer = changed.write.format("jdbc").mode("overwrite")
     for k, v in jdbc_options.items():
         writer = writer.option(k, v)
     writer = (writer.option("dbtable", stage)
+              .option("truncate", "false")
               .option("createTableColumnTypes",
                       "change_type VARCHAR(16)"))
     writer.save()
@@ -215,7 +234,10 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
         jvm.java.lang.Class.forName(jdbc_options["driver"])
     props = jvm.java.util.Properties()
     for k, v in jdbc_options.items():
-        if k not in ("url", "dbtable"):
+        # forward only CONNECTION properties: Spark-side writer/reader
+        # options are not JDBC driver properties, and strict drivers
+        # reject unknown keys at getConnection time
+        if k.lower() not in _SPARK_ONLY_JDBC_KEYS:
             props.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(jdbc_options["url"], props)
     try:
@@ -223,8 +245,15 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
         try:
             for sql in stmts:
                 applied += st.executeUpdate(sql)
-            st.executeUpdate(f"DROP TABLE {stage}")
         finally:
+            # the stage is scratch: drop it whether or not the MERGE
+            # succeeded (a failed apply must not strand <table>_dwms_stage
+            # for the next run's drop/recreate to trip over), and never
+            # let the cleanup mask the real apply error
+            try:
+                st.executeUpdate(f"DROP TABLE {stage}")
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
             st.close()
     finally:
         conn.close()

@@ -15,6 +15,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_migrate_spark.exceptions import SchemaError
 from data_warehouse_migrate_spark.functions.computed import (
     COMPUTED_WHITELIST,
     _CALL_RE,
@@ -24,8 +25,10 @@ from data_warehouse_migrate_spark.functions.computed import (
 )
 
 
-class MappingError(ValueError):
-    """Raised on invalid mapping config (reference ``migrator.py:752-825``)."""
+class MappingError(SchemaError):
+    """Raised on invalid mapping config (reference ``migrator.py:752-825``).
+    A :class:`~data_warehouse_migrate_spark.exceptions.SchemaError`, so it
+    is catchable categorically; still a ValueError as before."""
 
 
 @dataclass

@@ -31,6 +31,11 @@ import logging
 
 from pyspark.sql import DataFrame
 
+from data_warehouse_migrate_spark.exceptions import (
+    ConfigurationError,
+    ConnectionFailedError,
+)
+
 logger = logging.getLogger(__name__)
 
 _BQ_FORMAT = "bigquery"
@@ -70,7 +75,8 @@ def write_bigquery(df: DataFrame, dataset_id: str, table_id: str,
     column name, not inside a connector stack trace.
     """
     if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite (got {mode!r})")
+        raise ConfigurationError(
+            f"mode must be append|overwrite (got {mode!r})")
     if validate_schema:
         from data_warehouse_migrate_spark.schema import (
             bigquery_schema,
@@ -82,7 +88,7 @@ def write_bigquery(df: DataFrame, dataset_id: str, table_id: str,
                     [f["name"] for f in fields])
     spark = df.sparkSession
     if not bigquery_connector_available(spark):
-        raise RuntimeError(
+        raise ConnectionFailedError(
             "the BigQuery connector is not on the Spark classpath; add "
             f"the public artifact {_BQ_ARTIFACT} (spark.jars.packages) — "
             "no proprietary dependency is involved")
@@ -104,7 +110,7 @@ def read_bigquery(spark, dataset_id: str, table_id: str,
     API: server-side column pruning + filter pushdown — ``.explain``
     shows them like any DataSourceV2 scan)."""
     if not bigquery_connector_available(spark):
-        raise RuntimeError(
+        raise ConnectionFailedError(
             "the BigQuery connector is not on the Spark classpath; add "
             f"the public artifact {_BQ_ARTIFACT} (spark.jars.packages)")
     table = f"{project + ':' if project else ''}{dataset_id}.{table_id}"

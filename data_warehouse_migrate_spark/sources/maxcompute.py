@@ -29,6 +29,11 @@ from __future__ import annotations
 import logging
 from typing import Any
 
+from data_warehouse_migrate_spark.exceptions import (
+    ConnectionFailedError,
+    TableNotFoundError as _TableNotFoundError,
+)
+
 from pyspark.sql import DataFrame, SparkSession
 
 logger = logging.getLogger(__name__)
@@ -36,12 +41,15 @@ logger = logging.getLogger(__name__)
 FULL_SCAN_GUARD_LIMIT = 100_000  # reference maxcompute_client.py:192-195
 
 
-class MaxComputeConnectionError(RuntimeError):
-    """Connection/configuration failure (reference ``exceptions.py``)."""
+class MaxComputeConnectionError(ConnectionFailedError):
+    """Connection/configuration failure (reference ``exceptions.py:11``).
+    Still a RuntimeError (via ConnectionFailedError), as before."""
 
 
-class TableNotFoundError(RuntimeError):
-    """Missing table (reference ``exceptions.py``)."""
+# missing-table failures raise the shared category directly; the name is
+# re-exported here so existing ``from sources.maxcompute import
+# TableNotFoundError`` callers keep working
+TableNotFoundError = _TableNotFoundError
 
 
 def _require_pyodps():

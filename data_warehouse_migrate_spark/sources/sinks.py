@@ -18,6 +18,8 @@ import logging
 
 from pyspark.sql import DataFrame
 
+from data_warehouse_migrate_spark.exceptions import ConfigurationError
+
 logger = logging.getLogger(__name__)
 
 
@@ -30,7 +32,7 @@ class MigrationMode(str, enum.Enum):
         try:
             return cls(s.lower())
         except ValueError:
-            raise ValueError(
+            raise ConfigurationError(
                 f"unknown mode {s!r}; expected one of {[m.value for m in cls]}") from None
 
 

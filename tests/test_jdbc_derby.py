@@ -272,3 +272,76 @@ def test_incremental_jdbc_merge_string_key(spark, derby_opts, tmp_path):
     rows = {(r.sku, r.price)
             for r in _read(spark, derby_opts, "t_incr_sk").collect()}
     assert rows == {("alpha", 1.5), ("delta", 4.0)}
+
+
+def test_table_missing_classification_by_sqlstate(spark, derby_opts):
+    """The first-run check classifies by SQLState, not error prose (the
+    r6 advisor's hazard): a missing TABLE (Derby 42X05) is first-run; a
+    missing SCHEMA — whose prose says "does not exist", which the old
+    substring matcher would have swallowed — is NOT, because its
+    SQLState (42Y07) is not a table-not-found state."""
+    from data_warehouse_migrate_spark.migrate import (
+        _jdbc_table_missing,
+        _missing_by_sqlstate,
+    )
+    from data_warehouse_migrate_spark.sources.readers import (
+        introspect_jdbc_schema_generic,
+    )
+
+    # concrete table so the database exists before the probes
+    write_table(spark.createDataFrame([(1,)], "k long"), "t_cls",
+                fmt="jdbc", mode="append", jdbc_options=derby_opts)
+
+    def probe_error(table):
+        with pytest.raises(Exception) as ei:
+            introspect_jdbc_schema_generic(spark, derby_opts, table)
+        return ei.value
+
+    missing_table = probe_error("t_cls_nope")
+    assert _missing_by_sqlstate(missing_table) is True
+    assert _jdbc_table_missing(missing_table, spark, derby_opts,
+                               "t_cls_nope") is True
+
+    missing_schema = probe_error("nosuchschema.t_cls")
+    # prose contains "does not exist" — the SQLState verdict must win
+    assert "not exist" in str(missing_schema).lower()
+    assert _missing_by_sqlstate(missing_schema) is False
+    assert _jdbc_table_missing(missing_schema, spark, derby_opts,
+                               "nosuchschema.t_cls") is False
+
+
+def test_jdbc_table_exists_metadata_probe(spark, derby_opts):
+    """DatabaseMetaData.getTables fallback: case-insensitive existence,
+    tri-state None when the connection itself is broken."""
+    from data_warehouse_migrate_spark.migrate import _jdbc_table_exists
+
+    write_table(spark.createDataFrame([(1,)], "k long"), "t_meta",
+                fmt="jdbc", mode="append", jdbc_options=derby_opts)
+    assert _jdbc_table_exists(spark, derby_opts, "t_meta") is True
+    assert _jdbc_table_exists(spark, derby_opts, "T_META") is True
+    assert _jdbc_table_exists(spark, derby_opts, "t_meta_nope") is False
+    broken = {"url": "jdbc:derby:/nonexistent/denied/db",
+              "driver": derby_opts["driver"]}
+    assert _jdbc_table_exists(spark, broken, "t_meta") is None
+
+
+def test_stage_dropped_after_failed_merge(spark, derby_opts, tmp_path):
+    """A failed server-side apply must not strand the stage table (the
+    r6 advisor item): force the MERGE to fail by dropping the target
+    between staging setup and apply, then assert the stage is gone."""
+    from data_warehouse_migrate_spark.operators.delta import (
+        apply_delta_jdbc,
+        snapshot_delta,
+    )
+
+    write_table(spark.createDataFrame([(1, "A")], "k long, v string"),
+                "t_stage_tgt", fmt="jdbc", mode="append",
+                jdbc_options=derby_opts)
+    src = spark.createDataFrame([(1, "B"), (2, "C")], "k long, v string")
+    dest = _read(spark, derby_opts, "t_stage_tgt")
+    delta = snapshot_delta(src, dest, ["k"]).localCheckpoint()
+    with pytest.raises(Exception):
+        apply_delta_jdbc(delta, ["k"], derby_opts, "t_stage_gone")
+    # the apply failed (target never existed) but the stage was dropped
+    with pytest.raises(Exception, match="(?i)not exist|not found|42"):
+        _read(spark, derby_opts, "t_stage_gone_dwms_stage").schema
