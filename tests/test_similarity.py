@@ -212,18 +212,27 @@ def test_lsh_index_build_and_query(spark, sf_dir):
         a = {(r.query_id, r.rank): r.corpus_id for r in got.collect()}
         b = {(r.query_id, r.rank): r.corpus_id for r in want.collect()}
         assert a == b and a
-        # plan: only the probe side exchanges before the join — the scan
-        # of the bucketed index feeds the SMJ without hashpartitioning
+        # plan: the probe batch is BROADCAST over the stored index — the
+        # index scan keeps its bucket layout and feeds a broadcast hash
+        # join with ZERO exchanges/sorts on the join key (the r6 bench
+        # caught the un-hinted version planning sort-merge, which
+        # exchanged the probe AND sorted the corpus-sized index scan —
+        # probe_speedup 0.67; the hint makes the intended shape explicit
+        # even with autoBroadcast disabled)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             probes = lsh_topk_indexed(q, "lsh_idx_test", k=5, probe_bits=1)
             plan = explain_plan(probes)
             assert "Bucketed: true" in plan, plan
-            # exactly ONE exchange on the probe join key — the probe side;
-            # the index scan feeds the join in its stored bucket layout
-            assert plan.count("hashpartitioning(band") == 1, plan
+            assert "BroadcastHashJoin" in plan, plan
+            assert plan.count("hashpartitioning(band") == 0, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # build recorded the occupancy for zero-job strategy choice
+        assert meta["max_bucket"] >= 1
+        props = {r["key"]: r["value"] for r in
+                 spark.sql("SHOW TBLPROPERTIES lsh_idx_test").collect()}
+        assert int(props["dwms.lsh.max_bucket"]) == meta["max_bucket"]
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
 
@@ -304,3 +313,27 @@ def test_band_keys_sql_matches_column_builders(emb):
         "vec_id", band_keys_sql("embedding", 24, 4, 6).alias("k")
     ).collect()}
     assert col_form == sql_form and len(col_form) > 0
+
+
+def test_lsh_topk_hot_bucket_spill_path(spark):
+    """Degenerate corpus (mass-duplicated vectors → one giant bucket):
+    with a small max_bucket_size the query must route through the
+    spill-safe distinct+window top-k and return EXACTLY what the
+    in-buffer path returns on the same data (same rows, same ranks)."""
+    from data_warehouse_migrate_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [1.0, 0.0, 0.5, float(i % 7) / 7]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").alias("corpus_vec"))
+    kw = dict(k=5, n_planes=24, bands=4, probe_bits=1)
+    spill = lsh_topk(q, c, max_bucket_size=10, **kw)   # forces unbounded
+    fast = lsh_topk(q, c, max_bucket_size=None, **kw)  # in-buffer path
+    a = {(r.query_id, r.rank): (r.corpus_id, r.cosine)
+         for r in spill.collect()}
+    b = {(r.query_id, r.rank): (r.corpus_id, r.cosine)
+         for r in fast.collect()}
+    assert a == b and len(a) == 25
