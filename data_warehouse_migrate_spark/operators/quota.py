@@ -31,25 +31,34 @@ from data_warehouse_migrate_spark.operators.sampling import HASH_SPACE, _draw
 
 def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
                    weights: dict[str, float],
-                   total_rows: int) -> DataFrame:
-    """Deterministic mixture sampling: downsample each stratum so the
+                   total_rows: int,
+                   upsample: bool = False,
+                   copy_col: str = "copy_id") -> DataFrame:
+    """Deterministic mixture sampling: resample each stratum so the
     kept corpus approximates ``total_rows`` distributed by ``weights``
     (weights are normalized; strata absent from ``weights`` are dropped).
 
-    Per-stratum keep fraction = min(1, weight·total / stratum_rows) —
-    a stratum smaller than its target keeps everything (an UPSAMPLING
-    decision — repeating data — is a training-loop concern, not a corpus
-    filter's). Selection is the integer-hash Bernoulli draw keyed on the
-    row id: adding rows to one stratum never changes which rows of
-    another survive, and reruns are reproducible.
+    Per-stratum target ratio r = weight·total / stratum_rows. With the
+    default ``upsample=False`` the keep fraction is min(1, r): a stratum
+    smaller than its target keeps everything and the output schema is
+    unchanged. With ``upsample=True`` (the full Pile-style recipe —
+    epochs > 1 on scarce sources) an undersized stratum REPEATS rows:
+    each row yields ``floor(r)`` copies plus one more when its hash draw
+    falls under the fractional remainder, so expected copies per row is
+    exactly r; the output gains ``copy_col`` (0-based repeat index) to
+    keep repeated rows distinguishable downstream. Selection/repetition
+    is the integer-hash draw keyed on the row id: adding rows to one
+    stratum never changes another stratum's outcome, and reruns are
+    reproducible.
 
     One aggregate over #strata rows (collected — bounded by the number
-    of sources, never corpus size), then one narrow filter: thresholds
-    are inlined as integer literals, so the filter pushes down to the
-    scan. Expected kept counts are binomial around the target (exact-N
-    per stratum would cost a window shuffle; see
-    ``sampling.stratified_sample`` when exactness matters more than a
-    shuffle).
+    of sources, never corpus size), then one narrow filter (plus, when
+    upsampling, a generator expression — still narrow, no shuffle):
+    per-stratum base copies and fractional thresholds are inlined as
+    integer literals, so the filter pushes down to the scan. Expected
+    kept counts are binomial around the target (exact-N per stratum
+    would cost a window shuffle; see ``sampling.stratified_sample``
+    when exactness matters more than a shuffle).
     """
     if not weights or total_rows < 0:
         raise ValueError("weights must be non-empty and total_rows >= 0")
@@ -60,22 +69,43 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
     counts = {r[0]: r[1] for r in
               (df.filter(F.col(strata_col).isin(list(weights)))
                .groupBy(strata_col).agg(F.count("*")).collect())}
-    thresholds: dict[str, int] = {}
+    # per stratum: (base copies, fractional-part draw threshold); with
+    # upsample=False the ratio is capped at 1 so base+Bernoulli(frac)
+    # degenerates to the plain keep/drop draw
+    plan: dict[str, tuple[int, int]] = {}
     for stratum, w in weights.items():
         n = counts.get(stratum, 0)
         if n == 0:
             continue
-        frac = min(1.0, (w / wsum) * total_rows / n)
-        thresholds[stratum] = int(frac * HASH_SPACE)
-    if not thresholds:
+        r = (w / wsum) * total_rows / n
+        if not upsample:
+            r = min(1.0, r)
+        base = int(r)
+        plan[stratum] = (base, int((r - base) * HASH_SPACE))
+    if not plan:
         return df.filter(F.lit(False))
 
     draw = _draw(id_col)
-    cond = None
-    for stratum, thr in thresholds.items():
-        keep = (F.col(strata_col) == stratum) & (draw < F.lit(thr))
-        cond = keep if cond is None else cond | keep
-    return df.filter(cond)
+    if not upsample:
+        cond = None
+        for stratum, (base, thr) in plan.items():
+            keep = (F.col(strata_col) == stratum) & (
+                F.lit(base == 1) | (draw < F.lit(thr)))
+            cond = keep if cond is None else cond | keep
+        return df.filter(cond)
+
+    copies = None
+    for stratum, (base, thr) in plan.items():
+        expr = F.lit(base) + (draw < F.lit(thr)).cast("int")
+        branch = (copies if copies is not None else F)
+        copies = branch.when(F.col(strata_col) == stratum, expr)
+    copies = copies.otherwise(F.lit(0))
+    return (df.withColumn("__copies", copies)
+            .filter(F.col("__copies") > 0)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(0),
+                                             F.col("__copies") - 1)))
+            .drop("__copies"))
 
 
 def quality_band_filter(df: DataFrame, score_col, group_col: str,

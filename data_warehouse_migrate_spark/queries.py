@@ -2445,6 +2445,55 @@ WHERE {_draw_sql('d.doc_id')} < t.cut
 """
 
 
+_UPSAMPLE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
+_UPSAMPLE_TOTAL = 200
+
+
+def q_mixture_upsample(spark, sf_dir):
+    """Mixture sampling WITH upsampling (operators/quota.py
+    mixture_sample(upsample=True)): undersized strata repeat rows —
+    floor(r) copies each plus one more under the fractional hash draw —
+    completing the Pile-style epochs>1 recipe; oversized strata still
+    downsample. With 25 docs/source at sf0.01 the targets 100/60/30/10
+    exercise ratios 4.0 / 2.4 / 1.2 / 0.4 — whole-multiple, fractional,
+    near-1 upsampling and plain downsampling in one query. Narrow scan +
+    generator, no corpus shuffle; copy_id keeps repeats distinguishable."""
+    from data_warehouse_migrate_spark.operators.quota import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (mixture_sample(d, "source", "doc_id",
+                           weights=_UPSAMPLE_WEIGHTS,
+                           total_rows=_UPSAMPLE_TOTAL, upsample=True)
+            .select("doc_id", "source", "lang", "copy_id"))
+
+
+O_MIXTURE_UPSAMPLE = f"""
+WITH n AS (
+  SELECT source, count(*) AS ns FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+par AS (
+  SELECT source,
+         (CASE source WHEN 'src0' THEN 0.5
+                      WHEN 'src1' THEN 0.3
+                      WHEN 'src2' THEN 0.15
+                      ELSE 0.05 END / 1.0) * {_UPSAMPLE_TOTAL} / ns AS r
+  FROM n),
+thr AS (
+  SELECT source, CAST(trunc(r) AS BIGINT) AS base,
+         CAST(trunc((r - trunc(r)) * 1152921504606846976.0) AS BIGINT)
+           AS cut
+  FROM par),
+cop AS (
+  SELECT d.doc_id, d.source, d.lang,
+         t.base + CASE WHEN {_draw_sql('d.doc_id')} < t.cut
+                       THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN thr t ON d.source = t.source)
+SELECT doc_id, source, lang,
+       CAST(unnest(range(copies)) AS INT) AS copy_id
+FROM cop WHERE copies > 0
+"""
+
+
 def q_quality_band_filter(spark, sf_dir):
     """Per-language quality banding (operators/quota.py): keep each
     language's top half by composite quality score — rank-based, so the

@@ -275,7 +275,8 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
 def run_sessionize_stream(spark: SparkSession, source_path: str,
                           user_col: str = "user_id", ts_col: str = "ts",
                           gap_minutes: int = 30,
-                          wait_sec: int = 120) -> DataFrame:
+                          wait_sec: int = 120,
+                          state_partitions: int | None = 16) -> DataFrame:
     """Execute ``sessionize_stream`` end-to-end over a parquet file source
     (availableNow trigger, memory sink) and return the GAP-CLOSED sessions
     as a batch DataFrame.
@@ -287,6 +288,17 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
     been processed and stop the query. Consequence (the documented append
     contract): each user's final still-open session is NOT emitted; the
     batch-twin oracle is ``sessionize`` minus each user's last session.
+
+    ``state_partitions`` pins the stream's shuffle-partition count at
+    START time (a streaming query's state layout is fixed by the conf it
+    starts under; restored after). This one-shot drain runs ONE
+    micro-batch, so each extra partition buys a state-store instance +
+    an Arrow worker round-trip but no useful parallelism beyond the key
+    spread — 16 measured ~15% faster than 32 at sf0.1 (r7; RocksDB vs
+    HDFS provider was also measured: 2.25s vs 2.12s min — no win at
+    KB-scale state, HDFS kept). A long-running production stream should
+    size this to its key cardinality instead (None = leave the session
+    conf alone).
     """
     import os
     import time as _time
@@ -322,62 +334,95 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     out = sessionize_stream(stream, user_col, ts_col, gap_minutes)
     sink = f"dwms_stream_sess_{uuid.uuid4().hex[:12]}"
-    q = (out.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    deadline = _time.time() + wait_sec
-    processed = 0
-    while _time.time() < deadline:
-        processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
-        if processed >= expected:
-            break
-        if q.exception() is not None:  # crashed — don't wait out the clock
-            LAST_STREAM_STATE.clear()
-            failure = q.exception()
-            q.stop()
-            raise failure
-        _time.sleep(0.25)
-    else:
-        # deadline expired: re-read once (rows may have landed during the
-        # final sleep), then fail loudly — stopping here and returning the
-        # memory sink would silently hand back PARTIAL results (only the
-        # sessions emitted so far). A CRASHED query also presents as
-        # stalled progress, so surface its real exception instead of
-        # misdiagnosing it as a timeout; stale metrics from a previous
-        # run are cleared on every failure path.
-        processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
-        if processed < expected:
-            LAST_STREAM_STATE.clear()
-            failure = q.exception()
-            q.stop()
-            if failure is not None:
-                raise failure
-            raise TimeoutError(
-                f"sessionize stream processed {processed}/{expected} input "
-                f"rows within wait_sec={wait_sec}s; raise wait_sec — "
-                f"returning the partial sink would silently drop sessions")
-    # capture state-store metrics before stopping (observability the
-    # bench records to BENCH_DETAIL: state rows/bytes are the quantities
-    # that grow with key cardinality at 100 TB, not with event volume)
+    # ephemeral RAM-backed checkpoint for the one-shot drain: this helper
+    # never restarts the query, so WAL + state-commit durability buys
+    # nothing and their file IO is pure overhead (~0.2s of the ~2s batch
+    # at sf0.1, measured r7). A PRODUCTION stream must point its own
+    # writeStream at durable storage — this shortcut is only sound
+    # because the query dies with the function.
+    ckpt_dir = None
+    if os.path.isdir("/dev/shm"):
+        ckpt_dir = f"/dev/shm/dwms_ck_{uuid.uuid4().hex[:12]}"
+    writer = (out.writeStream.format("memory").queryName(sink)
+              .outputMode("append").trigger(availableNow=True))
+    if ckpt_dir:
+        writer = writer.option("checkpointLocation", ckpt_dir)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        import json as _json
+        q = writer.start()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    try:
+        deadline = _time.time() + wait_sec
+        processed = 0
+        while _time.time() < deadline:
+            processed = sum(p["numInputRows"]
+                            for p in (q.recentProgress or []))
+            if processed >= expected:
+                break
+            if q.exception() is not None:  # crashed — don't wait the clock
+                LAST_STREAM_STATE.clear()
+                failure = q.exception()
+                q.stop()
+                raise failure
+            # fine-grained poll: the drain is a single ~2s micro-batch,
+            # so a coarse sleep adds up to its whole interval of dead
+            # time between batch commit and the stop below
+            _time.sleep(0.05)
+        else:
+            # deadline expired: re-read once (rows may have landed during
+            # the final sleep), then fail loudly — stopping here and
+            # returning the memory sink would silently hand back PARTIAL
+            # results (only the sessions emitted so far). A CRASHED query
+            # also presents as stalled progress, so surface its real
+            # exception instead of misdiagnosing it as a timeout; stale
+            # metrics from a previous run are cleared on every failure
+            # path.
+            processed = sum(p["numInputRows"]
+                            for p in (q.recentProgress or []))
+            if processed < expected:
+                LAST_STREAM_STATE.clear()
+                failure = q.exception()
+                q.stop()
+                if failure is not None:
+                    raise failure
+                raise TimeoutError(
+                    f"sessionize stream processed {processed}/{expected} "
+                    f"input rows within wait_sec={wait_sec}s; raise "
+                    f"wait_sec — returning the partial sink would "
+                    f"silently drop sessions")
+        # capture state-store metrics before stopping (observability the
+        # bench records to BENCH_DETAIL: state rows/bytes are the
+        # quantities that grow with key cardinality at 100 TB, not with
+        # event volume)
+        try:
+            import json as _json
 
-        ops = []
-        for p in (q.recentProgress or []):
-            ops.extend(_json.loads(p.json).get("stateOperators") or [])
-        LAST_STREAM_STATE.clear()
-        if ops:
-            LAST_STREAM_STATE.update({
-                "state_rows": sum(int(o.get("numRowsTotal", 0))
-                                  for o in ops),
-                "state_bytes": sum(int(o.get("memoryUsedBytes", 0))
-                                   for o in ops),
-                "rows_updated": sum(int(o.get("numRowsUpdated", 0))
-                                    for o in ops),
-            })
-    except Exception:  # metrics are best-effort, never fail the query
-        LAST_STREAM_STATE.clear()
-    q.stop()
-    q.awaitTermination(60)
+            ops = []
+            for p in (q.recentProgress or []):
+                ops.extend(_json.loads(p.json).get("stateOperators") or [])
+            LAST_STREAM_STATE.clear()
+            if ops:
+                LAST_STREAM_STATE.update({
+                    "state_rows": sum(int(o.get("numRowsTotal", 0))
+                                      for o in ops),
+                    "state_bytes": sum(int(o.get("memoryUsedBytes", 0))
+                                       for o in ops),
+                    "rows_updated": sum(int(o.get("numRowsUpdated", 0))
+                                        for o in ops),
+                })
+        except Exception:  # metrics are best-effort, never fail the query
+            LAST_STREAM_STATE.clear()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if ckpt_dir:
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(sink)
 
 

@@ -108,6 +108,33 @@ def test_mixture_sample_small_stratum_keeps_all(corpus):
     assert got["s2"] == 100 and got["s3"] == 100
 
 
+def test_mixture_upsample_repeats_undersized_strata(corpus):
+    # s0 target = 0.75*400 = 300 over 100 rows → r=3.0: exactly 3 copies
+    # of EVERY row (frac 0 → no Bernoulli extras); s1 target 100 = its
+    # size → r=1.0, one copy each; downsampled strata unaffected
+    out = mixture_sample(corpus, "source", "doc_id",
+                         weights={"s0": 0.75, "s1": 0.25}, total_rows=400,
+                         upsample=True)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert got == {"s0": 300, "s1": 100}
+    # copy_id enumerates repeats 0..2 per s0 row
+    per_doc = {r[0]: sorted(r[1]) for r in
+               (out.filter("source = 's0'").groupBy("doc_id")
+                .agg(F.collect_list("copy_id")).collect())}
+    assert all(v == [0, 1, 2] for v in per_doc.values())
+    # fractional ratio: r=1.5 → between 1x and 2x, expectation 150
+    frac = mixture_sample(corpus, "source", "doc_id",
+                          weights={"s0": 1.0}, total_rows=150,
+                          upsample=True)
+    n = frac.count()
+    assert 100 <= n <= 200 and n != 100 and n != 200
+    # without the flag the same recipe caps at the stratum size
+    plain = mixture_sample(corpus, "source", "doc_id",
+                           weights={"s0": 0.75, "s1": 0.25},
+                           total_rows=400)
+    assert plain.count() == 200 and "copy_id" not in plain.columns
+
+
 def test_mixture_sample_validates(corpus):
     with pytest.raises(ValueError):
         mixture_sample(corpus, "source", "doc_id", weights={}, total_rows=10)
