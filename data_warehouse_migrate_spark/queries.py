@@ -3130,25 +3130,110 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r06 window composition:
-    #   1-45: every oracle-backed query from the r05 tail (rule 1 — their
-    #         newest driver rows are r04; they also all exercised the r05
-    #         `_t` schema-memo diff while out-of-window, flagged by the
-    #         r05 verdict). The r06 `_t` diff (memoize regular files
-    #         only) is behavior-identical for the driver's file-per-table
-    #         layout and is exercised by all 50 in-window queries.
-    #  46-47: pinned by rule 2 — the two r05 red rows, re-serialized this
-    #         round (array outputs rendered to strings for the driver
-    #         canonicalizer).
-    #     48: NEW in r06 (line-level corpus dedup — registered per r05
-    #         advisor item 1).
-    #  49-50: pinned by rule 2 — code on their path changed this round
-    #         (embedding_centroids: fused Lloyd iteration in
-    #         similarity.py; sessionize_stream: deadline handling in
-    #         streaming/windows.py).
-    # Tail leads with the seven permanent no_oracle residents (rule 4),
-    # then the 44 r05-green window queries rotating out (rule 3).
-    # --- 1-45: r05 tail, oracle-backed, rotating back in (rule 1) -------
+    # r07 window composition (the rules above are over-constrained this
+    # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
+    # leads + 1 new query + 3 code-change pins + the r6 verdict's item 5
+    # (rows-only refresh) demand 56 slots for 50; the resolutions are
+    # documented per block):
+    #   1-3:  the three r06 post-freeze registrations — the only entries
+    #         that have NEVER had an external check (r6 verdict item 1).
+    #     4:  NEW in r07 (mixture_upsample — r6 verdict item 7, rule 2).
+    #   5-7:  pinned by rule 2 — code on their path changed this round
+    #         (mixture_sample: the upsample rework in quota.py;
+    #         incremental_migrate: SQLState first-run classification in
+    #         migrate.py + staging-cleanup fixes in delta.py;
+    #         sessionize_stream: drain tuning in streaming/windows.py).
+    #  8-13:  the stale rows-only residents (r6 verdict item 5 — last
+    #         driver rows r3/r4; rule 4 amended: rows-only entries now
+    #         rotate in at least every 3rd round so even their
+    #         rows/err checks can't drift) — embedding_lsh_ann and
+    #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
+    #         hot-bucket/kmeans guards in similarity.py are on their
+    #         paths; their oracle-backed twin embedding_topk is
+    #         in-window at 18).
+    # 14-50:  37 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 7 that don't fit —
+    #         hash_sample_orders, train_eval_split, stratified_sample,
+    #         weighted_sample_orders, reservoir_sample, doc_repetition,
+    #         shuffle_corpus — are the sampling family: all r05-green,
+    #         with NO code on their paths touched since (sampling.py
+    #         untouched this round), so they are the lowest-risk
+    #         overflow; they stay tail-resident at r05 rows (satisfying
+    #         item 5's "no row older than r5") and LEAD the r08 window.
+    # Tail: approx_value_percentiles (rows-only, twin value_percentiles
+    # in-window), the 7 overflow queries above, then the r06-green window
+    # queries rotating out (rule 3; none of their paths changed this
+    # round — the exception-class rebasing keeps raise sites
+    # behavior-identical on green paths, and embedding_centroids'
+    # query is the plain aggregation, not the kmeans path).
+    # --- 1-3: never driver-checked, lead (rule 1) ------------------------
+    "clean_corpus": q_clean_corpus,
+    "gopher_quality": q_gopher_quality,
+    "token_budget_sample": q_token_budget_sample,
+    # --- 4: NEW in r07 (rule 2) ------------------------------------------
+    "mixture_upsample": q_mixture_upsample,
+    # --- 5-7: pinned, execution-path code changed this round (rule 2) ----
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "sessionize_stream": q_sessionize_stream,
+    # --- 8-13: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    #           rule-2 pins via similarity.py) --------------------------
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "dedup_minhash": q_dedup_minhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pca": q_embedding_pca,
+    "approx_distinct_users": q_approx_distinct_users,
+    # --- 14-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "minhash_sigs": q_minhash_sigs,
+    "simhash": q_simhash,
+    "scrub_pii": q_scrub_pii,
+    "salted_event_totals": q_salted_event_totals,
+    "contamination_check": q_contamination_check,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "event_zscore": q_event_zscore,
+    "distinct_users_exact": q_distinct_users_exact,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly_stream": q_events_hourly_stream,
+    "hypertable_rollup": q_hypertable_rollup,
+    "salted_event_join": q_salted_event_join,
+    "migration_checksum": q_migration_checksum,
+    "profile_orders": q_profile_orders,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "chunk_documents": q_chunk_documents,
+    "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
+    "pmi_collocations": q_pmi_collocations,
+    # --- 51: rows-only permanent resident (rule 4; exact twin
+    #         value_percentiles was r6-green and rotates out below) ------
+    "approx_value_percentiles": q_approx_value_percentiles,
+    # --- 52-58: rule-1 overflow (r05-green, paths untouched; lead r08) ---
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "reservoir_sample": q_reservoir_sample,
+    "doc_repetition": q_doc_repetition,
+    "shuffle_corpus": q_shuffle_corpus,
+    # --- 59-105: r06-green window queries rotating out (rule 3) ----------
     "scan_orderby_limit": q_scan_orderby_limit,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "mapping_computed": q_mapping_computed,
@@ -3185,8 +3270,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_rows": q_dedup_keep_rows,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "migrate_pipeline": q_migrate_pipeline,
-    "incremental_migrate": q_incremental_migrate,
-    "mixture_sample": q_mixture_sample,
     "quality_band_filter": q_quality_band_filter,
     "unigram_logprob": q_unigram_logprob,
     "vocab_topk": q_vocab_topk,
@@ -3194,78 +3277,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_keep": q_dedup_near_keep,
     "pseudonymize_customers": q_pseudonymize_customers,
     "rolling_event_features": q_rolling_event_features,
-    # --- 46-47: pinned (r05 reds, re-serialized this round, rule 2) -----
     "embedding_quantize": q_embedding_quantize,
     "embedding_truncate": q_embedding_truncate,
-    # --- 48: new in r06 --------------------------------------------------
     "line_dedup": q_line_dedup,
-    # --- 49-50: pinned (execution-path code changed this round, rule 2) --
     "embedding_centroids": q_embedding_centroids,
-    "sessionize_stream": q_sessionize_stream,
-    # --- 51-53: NEW in r06, registered post-window-freeze -----------------
-    # Documented exception to rule 2's "new queries enter in-window": the
-    # r06 window was exactly filled by rules 1-3 demands (45 two-round-
-    # stale oracle-backed queries + 2 red-row repairs + line_dedup + 2
-    # code-change pins). Both are locally parity-checked every round
-    # (tests/test_oracle_parity.py; gopher_quality also via its
-    # cell-exact twin in tests/test_text.py) and LEAD the r07 window
-    # under rule 1.
-    "gopher_quality": q_gopher_quality,
-    "token_budget_sample": q_token_budget_sample,
-    "clean_corpus": q_clean_corpus,
-    # --- 54-60: permanent tail — no_oracle by design (rule 4) ------------
-    "approx_distinct_users": q_approx_distinct_users,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_pca": q_embedding_pca,
-    "dedup_minhash": q_dedup_minhash,
-    "embedding_near_dup": q_embedding_near_dup,
-    # --- 61-104: r05-green window queries rotating out (rule 3) ----------
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "embedding_topk": q_embedding_topk,
-    "minhash_sigs": q_minhash_sigs,
-    "simhash": q_simhash,
-    "scrub_pii": q_scrub_pii,
-    "salted_event_totals": q_salted_event_totals,
-    "contamination_check": q_contamination_check,
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "hash_sample_orders": q_hash_sample_orders,
-    "train_eval_split": q_train_eval_split,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample_orders": q_weighted_sample_orders,
-    "reservoir_sample": q_reservoir_sample,
-    "doc_repetition": q_doc_repetition,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "events_hourly": q_events_hourly,
-    "sessionize": q_sessionize,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "event_zscore": q_event_zscore,
-    "distinct_users_exact": q_distinct_users_exact,
-    "text_stats": q_text_stats,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "doc_fingerprints": q_doc_fingerprints,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly_stream": q_events_hourly_stream,
-    "hypertable_rollup": q_hypertable_rollup,
-    "salted_event_join": q_salted_event_join,
-    "migration_checksum": q_migration_checksum,
-    "profile_orders": q_profile_orders,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
-    "chunk_documents": q_chunk_documents,
-    "click_purchase_interval": q_click_purchase_interval,
-    "curriculum_buckets": q_curriculum_buckets,
-    "pmi_collocations": q_pmi_collocations,
-    "shuffle_corpus": q_shuffle_corpus,
 }
 
 
@@ -3287,6 +3302,7 @@ ORACLES: dict[str, str] = {
     "null_policy_fill": O_NULL_POLICY_FILL,
     "default_backfill": O_DEFAULT_BACKFILL,
     "migrate_pipeline": O_MIGRATE_PIPELINE,
+    "mixture_upsample": O_MIXTURE_UPSAMPLE,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,
