@@ -950,3 +950,85 @@ def embedding_exact_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   n_cells: int = 8, threshold: float = 0.95,
+                   centroids="lowid",
+                   max_bucket_size: int = 512,
+                   diag: dict | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): SEMANTIC
+    deduplication of an embedded corpus. Vectors are coarse-quantized to
+    ``n_cells`` centroid cells; within each cell, pairs with cosine ≥
+    ``threshold`` are semantic duplicates; one representative per
+    duplicate cluster survives (the MIN id — the paper keeps a random /
+    low-centroid-similarity member; min-id is the deterministic,
+    engine-independent choice this repo uses everywhere). Returns the
+    KEPT corpus: ``df``'s columns plus the assigned ``cell``.
+
+    Beyond-reference; the published method is approximate BY DESIGN
+    (cross-cell duplicates are never compared — that bound is what makes
+    it tractable), but every step is deterministic, so a SQL oracle can
+    mirror it cell-exactly: ``centroids="lowid"`` (default) takes the
+    ``n_cells`` lowest-id vectors, unit-normalized driver-side with the
+    same left-fold sum / libm sqrt the oracle's list_reduce/sqrt use;
+    "kmeans" trains ``similarity.kmeans_centroids`` (deterministic but
+    not SQL-expressible — use the exact-twin checks then); or pass a
+    trained k×dim list to reuse a quantizer (the 100 TB path: train
+    once, assign everywhere).
+
+    Plan shape: cell assignment is a NARROW projection (centroids inline
+    as literals — no crossJoin, no per-row window, reference
+    ``similarity._argmax_cell``); within-cell pair generation reuses
+    ``_bucket_pairs`` (one shuffle keyed by cell, hot cells spill to the
+    streamed self-join instead of the in-array expansion — cells are
+    corpus/n_cells-sized, so the guard matters here more than in
+    banding); duplicate clusters via ``connected_components``; the final
+    keep is ONE LEFT ANTI join (drop list is duplicate-sized, broadcast
+    at scale). Size ``n_cells`` ≈ sqrt(corpus) like any IVF quantizer so
+    cells stay bounded slices.
+
+    ``diag`` (bench-only) receives cells / max_cell / pairs eagerly.
+    """
+    import math
+
+    from data_warehouse_migrate_spark.functions.vectors import dot, normalize
+    from data_warehouse_migrate_spark.operators.similarity import (
+        _argmax_cell,
+        kmeans_centroids,
+    )
+
+    if centroids == "kmeans":
+        cents = kmeans_centroids(df, vec_col, id_col, k=n_cells)
+    elif centroids == "lowid":
+        rows = (df.select(F.col(id_col).alias("i"),
+                          F.col(vec_col).alias("v"))
+                .orderBy("i").limit(n_cells).collect())
+        cents = []
+        for r in rows:
+            v = [float(x) for x in r["v"]]
+            # left-fold sum from 0.0 + libm sqrt: bit-identical to the
+            # oracle's list_reduce(list_concat([0.0], squares)) + sqrt —
+            # NOT **0.5 (pow), which may differ from sqrt in the last ulp
+            # and flip a near-tied argmax between engines
+            nrm = math.sqrt(sum(x * x for x in v))
+            cents.append([x / nrm for x in v] if nrm > 0 else v)
+    else:
+        cents = centroids
+
+    assigned = df.withColumn("cell", _argmax_cell(vec_col, cents))
+    band_rows = assigned.select(
+        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("__nv"),
+        F.lit(0).alias("band"), F.col("cell").alias("band_key"))
+    cand = _bucket_pairs(band_rows, ["id", "__nv"],
+                         max_bucket_size=max_bucket_size, diag=diag)
+    pairs = (cand
+             .withColumn("cosine",
+                         F.round(dot(F.col("a.__nv"), F.col("b.__nv")), 6))
+             .filter(F.col("cosine") >= threshold)
+             .select(F.least("a.id", "b.id").alias("id_a"),
+                     F.greatest("a.id", "b.id").alias("id_b")))
+    if diag is not None:
+        pairs = _materialize(pairs)
+        diag.update(dup_pairs=pairs.count())
+    return near_dup_removal(assigned, pairs, id_col)

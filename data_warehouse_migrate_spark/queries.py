@@ -1769,6 +1769,63 @@ _NORM_SQL = ("sqrt(list_reduce(list_concat([0.0], list_transform(range(1, len({a
              "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semantic_dedup; Abbas et al. 2023):
+    coarse-quantize to 8 lowid-centroid cells, within-cell cosine ≥ 0.4
+    pairs (the synthetic corpus' cosines top out near 0.51) are semantic
+    duplicates, keep the min-id representative per cluster. Every step
+    deterministic, so the oracle mirrors the published method
+    cell-exactly: same argmax quantizer (bit-identical left-fold dots),
+    same pairs, same recursive-CTE components."""
+    from data_warehouse_migrate_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, "embedding", "vec_id",
+                           n_cells=8, threshold=0.4)
+            .select("vec_id", "label", "cell"))
+
+
+_SEMDEDUP_CENT_NORM = _NORM_SQL.format(a="embedding")
+O_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / {_SEMDEDUP_CENT_NORM}) AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+sims AS (
+  SELECT v.vec_id, c.cell, {_DOT_SQL.format(a='v.embedding', b='c.ce')} AS sim
+  FROM embeddings v CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1),
+nv AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a='e.embedding')}) AS u
+  FROM embeddings e JOIN assign a USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_DOT_SQL.format(a='a.u', b='b.u')}, 6) >= 0.4),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+members AS (SELECT id_a AS node FROM pairs
+            UNION SELECT id_b FROM pairs),
+reach(node, lab) AS (
+  SELECT node, node FROM members
+  UNION
+  SELECT e.d, reach.lab FROM reach JOIN edges e ON e.s = reach.node),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id, e.label, a.cell
+FROM embeddings e JOIN assign a USING (vec_id)
+WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for the first 10 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3137,13 +3194,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #     4:  NEW in r07 (mixture_upsample — r6 verdict item 7, rule 2).
-    #   5-7:  pinned by rule 2 — code on their path changed this round
+    #   4-5:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7)
+    #         and semantic_dedup (SemDeDup, beyond-reference addition).
+    #   6-8:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    #  8-13:  the stale rows-only residents (r6 verdict item 5 — last
+    #  9-14:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
@@ -3151,11 +3209,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
     #         in-window at 18).
-    # 14-50:  37 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 7 that don't fit —
+    # 15-50:  36 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 8 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
-    #         shuffle_corpus — are the sampling family: all r05-green,
+    #         shuffle_corpus, pmi_collocations — are the sampling/LM
+    #         family: all r05-green,
     #         with NO code on their paths touched since (sampling.py
     #         untouched this round), so they are the lowest-risk
     #         overflow; they stay tail-resident at r05 rows (satisfying
@@ -3170,13 +3229,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
-    # --- 4: NEW in r07 (rule 2) ------------------------------------------
+    # --- 4-5: NEW in r07 (rule 2) -----------------------------------------
     "mixture_upsample": q_mixture_upsample,
-    # --- 5-7: pinned, execution-path code changed this round (rule 2) ----
+    "semantic_dedup": q_semantic_dedup,
+    # --- 6-8: pinned, execution-path code changed this round (rule 2) ----
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 8-13: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 9-14: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3184,7 +3244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 14-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 15-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3221,11 +3281,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
-    "pmi_collocations": q_pmi_collocations,
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-58: rule-1 overflow (r05-green, paths untouched; lead r08) ---
+    # --- 52-59: rule-1 overflow (r05-green, paths untouched; lead r08) ---
     "hash_sample_orders": q_hash_sample_orders,
     "train_eval_split": q_train_eval_split,
     "stratified_sample": q_stratified_sample,
@@ -3233,7 +3292,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reservoir_sample": q_reservoir_sample,
     "doc_repetition": q_doc_repetition,
     "shuffle_corpus": q_shuffle_corpus,
-    # --- 59-105: r06-green window queries rotating out (rule 3) ----------
+    "pmi_collocations": q_pmi_collocations,
+    # --- 60-106: r06-green window queries rotating out (rule 3) ----------
     "scan_orderby_limit": q_scan_orderby_limit,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "mapping_computed": q_mapping_computed,
@@ -3303,6 +3363,7 @@ ORACLES: dict[str, str] = {
     "default_backfill": O_DEFAULT_BACKFILL,
     "migrate_pipeline": O_MIGRATE_PIPELINE,
     "mixture_upsample": O_MIXTURE_UPSAMPLE,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

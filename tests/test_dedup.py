@@ -393,3 +393,76 @@ def test_connected_components_random_graphs_match_union_find(spark):
             got = {r.id: r.cluster_id for r in
                    connected_components(nodes, edges, **kwargs).collect()}
             assert got == want, (trial, kwargs, sorted(edge_list))
+
+
+def test_semantic_dedup_semantics(spark):
+    """Planted semantic duplicates inside one cell survive as exactly the
+    min-id representative; distinct vectors all survive; output carries
+    the assigned cell and is deterministic."""
+    from data_warehouse_migrate_spark.operators.dedup import semantic_dedup
+
+    base = [
+        [1.0, 0.0, 0.0, 0.0],   # id 0 — also centroid 0
+        [0.0, 1.0, 0.0, 0.0],   # id 1 — centroid 1
+        [0.99, 0.05, 0.0, 0.0],  # id 2 — near-dup of 0 (same cell)
+        [0.98, 0.08, 0.0, 0.0],  # id 3 — near-dup of 0/2
+        [0.0, 0.97, 0.1, 0.0],   # id 4 — near-dup of 1
+        [0.5, 0.5, 0.5, 0.5],    # id 5 — distinct
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "embedding", "vec_id", n_cells=2,
+                         threshold=0.95)
+    kept = sorted(r.vec_id for r in out.collect())
+    # clusters: {0,2,3} -> keep 0; {1,4} -> keep 1; 5 unpaired
+    assert kept == [0, 1, 5]
+    cells = {r.vec_id: r.cell for r in out.collect()}
+    assert cells[0] == 0 and cells[1] == 1
+    # deterministic across runs
+    again = sorted(r.vec_id for r in
+                   semantic_dedup(df, "embedding", "vec_id", n_cells=2,
+                                  threshold=0.95).collect())
+    assert again == kept
+
+
+def test_semantic_dedup_kmeans_and_reuse(spark, sf_dir):
+    """kmeans quantizer variant runs, keeps <= corpus, and a precomputed
+    centroid list reproduces the lowid run exactly (the train-once path)."""
+    from data_warehouse_migrate_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    km = semantic_dedup(emb, "embedding", "vec_id", n_cells=4,
+                        threshold=0.4, centroids="kmeans")
+    assert 0 < km.count() <= n
+
+    import math
+    rows = (emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(4).collect())
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        cents.append([x / nrm for x in v])
+    a = sorted(r.vec_id for r in
+               semantic_dedup(emb, "embedding", "vec_id", n_cells=4,
+                              threshold=0.4).collect())
+    b = sorted(r.vec_id for r in
+               semantic_dedup(emb, "embedding", "vec_id", n_cells=4,
+                              threshold=0.4, centroids=cents).collect())
+    assert a == b
+
+
+def test_semantic_dedup_hot_cell_guard(spark):
+    """A degenerate corpus (every vector identical → one giant cell) must
+    route through _bucket_pairs' streamed self-join and still keep exactly
+    one representative."""
+    from data_warehouse_migrate_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "embedding", "vec_id", n_cells=2,
+                         threshold=0.99, max_bucket_size=16)
+    assert [r.vec_id for r in out.collect()] == [0]
