@@ -258,3 +258,72 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
     finally:
         conn.close()
     return {"staged": n_staged, "applied": applied}
+
+
+def scd2_apply(history: DataFrame, updates: DataFrame,
+               key_cols: list[str], tracked_cols: list[str],
+               batch_date: str,
+               from_col: str = "valid_from", to_col: str = "valid_to",
+               cur_col: str = "is_current",
+               close_deleted: bool = False) -> DataFrame:
+    """Slowly-changing-dimension type 2: fold an update snapshot into a
+    versioned history table, preserving every prior version.
+
+    ``history`` carries ``key_cols`` + ``tracked_cols`` +
+    (``from_col``, ``to_col``, ``cur_col``); ``updates`` carries
+    ``key_cols`` + ``tracked_cols``. For each update key:
+
+      * changed tracked payload — the current version closes
+        (``to_col`` = ``batch_date``, ``cur_col`` = false) and a new
+        current version opens at ``batch_date``;
+      * new key — a first version opens;
+      * identical payload — no-op (null-safe comparison, so
+        NULL == NULL is unchanged).
+
+    Keys absent from ``updates`` are untouched by default (partial
+    snapshots); ``close_deleted=True`` treats ``updates`` as a FULL
+    snapshot and closes their current versions without a successor.
+    ``batch_date`` is an ISO date/timestamp string cast to ``from_col``'s
+    existing type, so one operator serves date- and timestamp-grained
+    histories.
+
+    Beyond-reference surface: the reference ships whole tables
+    (``migrator.py:210-224``, append or overwrite) — history tracking is
+    the warehouse-side feature its users hand-roll downstream. Built on
+    ``snapshot_delta``'s classification join. 100 TB shape: two
+    key-keyed shuffle joins (classification + close-marker) and a
+    union — no collects, no windows, no UDFs; with history and updates
+    bucketed on the key both exchanges vanish. History rows stay one
+    pass; only delta-sized data moves twice.
+    """
+    cur = history.filter(F.col(cur_col))
+    delta = snapshot_delta(
+        updates.select(*key_cols, *tracked_cols),
+        cur.select(*key_cols, *tracked_cols),
+        key_cols, tracked_cols)
+
+    close_types = ["update"] + (["delete"] if close_deleted else [])
+    to_close = (delta.filter(F.col("change_type").isin(close_types))
+                .select(*key_cols).withColumn("__close", F.lit(1)))
+
+    h, m = history.alias("h"), to_close.alias("m")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"h.{k}").eqNullSafe(F.col(f"m.{k}"))
+        cond = eq if cond is None else cond & eq
+    batch = F.lit(batch_date).cast(dict(history.dtypes)[from_col])
+    closing = F.col(f"h.{cur_col}") & F.col("m.__close").isNotNull()
+    kept = (h.join(m, cond, "left")
+            .select(*[F.col(f"h.{c}") for c in history.columns
+                      if c not in (to_col, cur_col)],
+                    F.when(closing, batch).otherwise(F.col(f"h.{to_col}"))
+                    .alias(to_col),
+                    F.when(closing, F.lit(False))
+                    .otherwise(F.col(f"h.{cur_col}")).alias(cur_col)))
+
+    opened = (delta.filter(F.col("change_type").isin("insert", "update"))
+              .select(*key_cols, *tracked_cols)
+              .withColumn(from_col, batch)
+              .withColumn(to_col, F.lit(None).cast(dict(history.dtypes)[to_col]))
+              .withColumn(cur_col, F.lit(True)))
+    return kept.unionByName(opened.select(*history.columns))

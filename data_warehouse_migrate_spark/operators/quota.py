@@ -108,6 +108,42 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
             .drop("__copies"))
 
 
+def temperature_sample(df: DataFrame, strata_col: str, id_col: str,
+                       total_rows: int, alpha: float = 0.3,
+                       upsample: bool = False,
+                       copy_col: str = "copy_id") -> DataFrame:
+    """Temperature-smoothed mixture sampling: target per-stratum shares
+    proportional to ``count^alpha`` — the multilingual-corpus recipe
+    (mBERT/XLM-R exponential smoothing): ``alpha=1`` keeps the natural
+    distribution, ``alpha=0`` equalizes strata, between values lift
+    low-resource strata without letting the head dominate.
+
+    Delegates to ``mixture_sample`` with the smoothed weights, so
+    selection inherits its deterministic hash-draw semantics (and
+    ``upsample=True`` repeats undersized strata — the usual companion:
+    smoothing only helps low-resource languages if they can run extra
+    epochs). Costs one extra #strata-sized aggregate over
+    ``mixture_sample``'s own (two tiny collects total — both bounded by
+    stratum cardinality, never corpus size).
+
+    Cross-engine determinism: weights are ``round(n^alpha * 1e6)``
+    INTEGERS — a raw ``pow`` weight would make the downstream ratio
+    arithmetic depend on libm ulp agreement between engines, while
+    integer weights make every later op (one division, two multiplies)
+    bit-identical IEEE double steps an ANSI-SQL oracle can mirror.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    counts = (df.groupBy(strata_col).agg(F.count("*").alias("n"))
+              .collect())
+    weights = {r[0]: int(round(r[1] ** alpha * 1e6))
+               for r in counts if r[0] is not None}
+    if not weights:
+        return df.filter(F.lit(False))
+    return mixture_sample(df, strata_col, id_col, weights, total_rows,
+                          upsample=upsample, copy_col=copy_col)
+
+
 def quality_band_filter(df: DataFrame, score_col, group_col: str,
                         keep_top: float = 0.5,
                         id_col: str = "doc_id") -> DataFrame:

@@ -69,6 +69,50 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
             .select("query_id", "corpus_id", "cosine", "rank"))
 
 
+def hard_negatives(queries: DataFrame, corpus: DataFrame,
+                   k: int = 5,
+                   query_id: str = "query_id", query_vec: str = "query_vec",
+                   query_label: str = "query_label",
+                   corpus_id: str = "corpus_id",
+                   corpus_vec: str = "corpus_vec",
+                   corpus_label: str = "corpus_label") -> DataFrame:
+    """Contrastive hard-negative mining: per query, the ``k`` most
+    cosine-similar corpus vectors with a DIFFERENT label — the standard
+    embedding-training recipe (high-similarity, wrong-class examples
+    are the gradient-rich negatives; random negatives are too easy).
+
+    Returns (query_id, corpus_id, corpus_label, cosine, rank) with the
+    deterministic (cosine DESC, corpus_id ASC) tie-break. Same plan
+    shape as ``brute_force_topk``: broadcast query batch, one narrow
+    corpus pass, label-mismatch filter applied BEFORE the per-query
+    top-k window (the shuffle carries only cross-label candidates).
+    Exact by construction — the oracle-checked baseline. At corpus
+    scale, swap the cross join for an LSH candidate set the same way
+    ``lsh_topk`` buckets ``brute_force_topk``: mine per bucket, then
+    re-rank; the label filter composes unchanged.
+    """
+    q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
+                                   F.col(query_vec).alias("__qv"),
+                                   F.col(query_label).alias("__ql")))
+    c = spread_input(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.col(corpus_label).alias("corpus_label"))
+    scored = (q.crossJoin(c)
+              # null-safe mismatch: an unlabeled corpus row is not a
+              # provable negative — excluded rather than assumed
+              .filter(F.col("__ql").isNotNull()
+                      & F.col("corpus_label").isNotNull()
+                      & (F.col("__ql") != F.col("corpus_label")))
+              .withColumn("cosine",
+                          F.round(cosine(F.col("__qv"), F.col("__cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "corpus_label",
+                    "cosine", "rank"))
+
 
 
 def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,

@@ -1,0 +1,171 @@
+"""Round-7 operators: repeated-span (ExactSubstr) detection/removal,
+temperature-smoothed mixture, contrastive hard negatives, SCD2 history."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migrate_spark.operators.delta import scd2_apply
+from data_warehouse_migrate_spark.operators.quota import temperature_sample
+from data_warehouse_migrate_spark.operators.similarity import hard_negatives
+from data_warehouse_migrate_spark.operators.spans import (
+    repeated_ngram_spans,
+    strip_repeated_spans,
+)
+
+
+@pytest.fixture()
+def span_docs(spark):
+    # "the quick brown fox jumps over the lazy dog" shared verbatim by
+    # docs 1/2 (9 tokens — one maximal repeat); doc 3 shares nothing
+    # long enough; doc 4 is shorter than k
+    boiler = "the quick brown fox jumps over the lazy dog"
+    return spark.createDataFrame([
+        (1, f"alpha beta {boiler} gamma delta epsilon zeta"),
+        (2, f"one two three four {boiler} five six"),
+        (3, "totally different text with no shared phrases at all here"),
+        (4, "tiny doc"),
+    ], "doc_id int, text string")
+
+
+def test_repeated_spans_hand_checked(span_docs):
+    out = {(r.id, r.span_start, r.span_end, r.n_tokens)
+           for r in repeated_ngram_spans(
+               span_docs, "text", "doc_id", k=8, min_docs=2).collect()}
+    # boiler is 9 tokens: doc 1 positions 2-10, doc 2 positions 4-12;
+    # its two 8-gram windows chain into one maximal span each
+    assert out == {(1, 2, 10, 9), (2, 4, 12, 9)}
+
+
+def test_repeated_spans_min_docs_and_validation(span_docs):
+    assert repeated_ngram_spans(
+        span_docs, "text", "doc_id", k=8, min_docs=3).count() == 0
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(span_docs, "text", "doc_id", k=1)
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(span_docs, "text", "doc_id", min_docs=1)
+
+
+def test_strip_repeated_spans_removes_only_span_tokens(span_docs):
+    out = {r.id: r.clean_tokens
+           for r in strip_repeated_spans(
+               span_docs, "text", "doc_id", k=8, min_docs=2).collect()}
+    assert out[1] == "alpha beta gamma delta epsilon zeta"
+    assert out[2] == "one two three four five six"
+    # untouched docs keep their (lowercased, re-tokenized) text
+    assert out[3].startswith("totally different")
+    assert out[4] == "tiny doc"
+
+
+def test_strip_repeated_spans_fully_covered_doc(spark):
+    same = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id int, text string")
+    out = {r.id: r.clean_tokens
+           for r in strip_repeated_spans(
+               docs, "text", "doc_id", k=8, min_docs=2).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_temperature_sample_alpha_lifts_tail(spark):
+    rows = ([(i, "head") for i in range(900)]
+            + [(i + 1000, "tail") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    nat = temperature_sample(df, "lang", "doc_id", total_rows=200,
+                             alpha=1.0)
+    smooth = temperature_sample(df, "lang", "doc_id", total_rows=200,
+                                alpha=0.25)
+    nat_tail = nat.filter(F.col("lang") == "tail").count()
+    sm_tail = smooth.filter(F.col("lang") == "tail").count()
+    # alpha=1 keeps natural shares (~20 tail rows of 200); alpha=0.25
+    # pushes shares toward uniform (~2x+ the tail allocation)
+    assert sm_tail > nat_tail
+    # alpha=0 equalizes targets exactly (100 each; tail is undersized at
+    # alpha=0 only if total/2 > 100 — here target 100 = all of it)
+    eq = temperature_sample(df, "lang", "doc_id", total_rows=200,
+                            alpha=0.0)
+    assert eq.filter(F.col("lang") == "tail").count() == 100
+
+
+def test_temperature_sample_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id int, lang string")
+    with pytest.raises(ValueError):
+        temperature_sample(df, "lang", "doc_id", total_rows=10, alpha=1.5)
+
+
+def test_hard_negatives_labels_and_rank(spark):
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # nearest overall — same label, excluded
+        (2, [0.9, 0.2], 1),    # nearest cross-label
+        (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], None),  # unlabeled — never a provable negative
+    ], "vec_id int, embedding array<double>, label int")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec"),
+                 F.col("label").alias("query_label")))
+    c = emb.select(F.col("vec_id").alias("corpus_id"),
+                   F.col("embedding").alias("corpus_vec"),
+                   F.col("label").alias("corpus_label"))
+    out = hard_negatives(q, c, k=2).collect()
+    assert [(r.corpus_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    assert all(r.corpus_label != 0 for r in out)
+
+
+@pytest.fixture()
+def scd2_world(spark):
+    hist = spark.createDataFrame([
+        (1, 10.0, "2020-01-01", None, True),
+        (2, 20.0, "2020-01-01", None, True),
+        # key 3 already has history: one closed + one current version
+        (3, 30.0, "2020-01-01", "2023-01-01", False),
+        (3, 33.0, "2023-01-01", None, True),
+        (4, 40.0, "2020-01-01", None, True),
+    ], "k int, val double, valid_from string, valid_to string, is_current boolean")
+    hist = (hist.withColumn("valid_from", F.col("valid_from").cast("date"))
+            .withColumn("valid_to", F.col("valid_to").cast("date")))
+    upd = spark.createDataFrame([
+        (1, 11.0),   # changed → close + reopen
+        (2, 20.0),   # unchanged → no-op
+        (3, 34.0),   # changed (vs the CURRENT version) → close + reopen
+        (9, 90.0),   # new key → insert
+        # key 4 absent → untouched (partial-snapshot default)
+    ], "k int, val double")
+    return hist, upd
+
+
+def test_scd2_apply_versions(scd2_world):
+    hist, upd = scd2_world
+    out = scd2_apply(hist, upd, ["k"], ["val"], "2026-01-01")
+    rows = {(r.k, r.val, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, 10.0, "2020-01-01", "2026-01-01", False),
+        (1, 11.0, "2026-01-01", "None", True),
+        (2, 20.0, "2020-01-01", "None", True),
+        (3, 30.0, "2020-01-01", "2023-01-01", False),
+        (3, 33.0, "2023-01-01", "2026-01-01", False),
+        (3, 34.0, "2026-01-01", "None", True),
+        (4, 40.0, "2020-01-01", "None", True),
+        (9, 90.0, "2026-01-01", "None", True),
+    }
+
+
+def test_scd2_apply_close_deleted_full_snapshot(scd2_world):
+    hist, upd = scd2_world
+    out = scd2_apply(hist, upd, ["k"], ["val"], "2026-01-01",
+                     close_deleted=True)
+    k4 = {(str(r.valid_to), r.is_current)
+          for r in out.filter(F.col("k") == 4).collect()}
+    # absent key's current version closes with no successor
+    assert k4 == {("2026-01-01", False)}
+    assert out.count() == 8
+
+
+def test_scd2_apply_idempotent_on_unchanged(scd2_world):
+    hist, upd = scd2_world
+    once = scd2_apply(hist, upd, ["k"], ["val"], "2026-01-01")
+    again = scd2_apply(once, upd, ["k"], ["val"], "2026-06-01")
+    # re-applying the same snapshot produces no new versions
+    assert again.count() == once.count()
+    assert again.filter(F.col("valid_from") == "2026-06-01").count() == 0
