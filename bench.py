@@ -178,6 +178,14 @@ EXTENDED = [
     "gopher_quality",
     "token_budget_sample",
     "clean_corpus",
+    # round-7 additions
+    "mixture_upsample",
+    "semantic_dedup",
+    "repeated_spans",
+    "strip_spans",
+    "hard_negatives",
+    "temperature_mixture",
+    "scd2_customers",
 ]
 
 
@@ -199,6 +207,15 @@ def _one_index_contract(spark, emb, table: str, n_buckets: int,
     c = emb.select(F.col("vec_id").alias("corpus_id"),
                    F.col("embedding").alias("corpus_vec"))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a killed previous run can leave the managed table's LOCATION behind
+    # with no catalog entry — DROP can't see it and the next CREATE fails
+    # with LOCATION_ALREADY_EXISTS; clear the orphan explicitly
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     t0 = time.perf_counter()
     meta = build_lsh_index(c, table, n_planes=n_planes, bands=4,
                            n_buckets=n_buckets)
@@ -281,6 +298,9 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
+    from data_warehouse_migrate_spark.operators.spans import (
+        repeated_ngram_spans,
+    )
 
     sdir = build_stress_tables(sf_dir, factor)
     docs = spark.read.parquet(f"{sdir}/documents.parquet")
@@ -309,6 +329,13 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     timed("ngram_jaccard_pairs",
           lambda d: ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                                         threshold=0.6, diag=d))
+    # repeated-span detection on the duplicate-heavy corpus: every doc
+    # gains `factor` verbatim copies, so ~every position is covered —
+    # worst-case coverage volume while staying linear in instances
+    # (inverted index + leftsemi, never pairwise)
+    timed("repeated_ngram_spans",
+          lambda d: repeated_ngram_spans(docs, "text", "doc_id",
+                                         k=8, min_docs=2))
     # embedding near-dup at operator DEFAULTS (auto-sized key space,
     # t=0.95) — the configuration the 100 TB claim is made for; the
     # fixed-r degenerate regime is pinned separately by the sf-scale

@@ -138,3 +138,46 @@ def pmi_collocations(docs: DataFrame, text_col: str,
             .select("w1", "w2", "c_ab", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2")
             .limit(k))
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
+                    top_n: int = 3) -> DataFrame:
+    """Per-document top-``top_n`` terms by tf·idf — the classic
+    keyword/topic surface (feeds dataset cards, cluster labeling, and
+    per-domain vocabulary drift checks).
+
+      idf(t)      = log10(N / df_t)   (N = corpus documents, df_t =
+                                       documents containing t)
+      tfidf(d, t) = tf_{d,t} · idf(t), rounded 6dp
+
+    Deterministic rank per doc: (tfidf DESC, token ASC). idf is rounded
+    6dp BEFORE the product (the cross-engine contract surface, same
+    convention as ``unigram_model``); tf is an exact integer, so the
+    product is one deterministic IEEE multiply on both engines.
+
+    100 TB shape: tf is a (doc, token)-keyed hash aggregate; df reuses
+    the same exploded tokens at distinct-token volume (map-side
+    combined); N rides along as a broadcast scalar; the idf join
+    shuffles on the token key; the final top-n window is keyed per doc
+    with O(1) frame state. No UDFs, no collects.
+    """
+    dtoks = docs.select(F.col(id_col).alias("id"),
+                        F.explode(_tokens(F.col(text_col))).alias("token"))
+    tf = dtoks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    df_t = (tf.groupBy("token")
+            .agg(F.count("*").alias("df")))
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))
+    idf = (df_t.crossJoin(F.broadcast(n_docs))
+           .select("token",
+                   F.round(F.log10(F.col("__n") / F.col("df")), 6)
+                   .alias("idf")))
+    scored = (tf.join(idf, "token")
+              .withColumn("tfidf",
+                          F.round(F.col("tf") * F.col("idf"), 6)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select("id", "token", "tf", "tfidf", "rank"))

@@ -46,6 +46,59 @@ from pyspark.sql import functions as F
 from data_warehouse_migrate_spark.functions.text import TOKEN_REGEX
 
 
+def _gram_instances(docs: DataFrame, text_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """(id, p, gh): 0-based window start p and 64-bit gram hash gh for
+    every token k-gram. Gram assembly is all JVM-side and the gram TEXT
+    never materializes — only its hash does.
+
+    Plan shape matters here: the k-gram hashes must be computed in a
+    Project ABOVE the position Generate, referencing the token array as
+    a bound attribute. Building the whole hash array inside one
+    ``transform`` lambda inlines the tokenization INTO the lambda body
+    (CollapseProject substitutes the alias), re-running the regexp for
+    every window position — measured 35µs/instance (~8s at sf0.1, 131s
+    at 10×) vs ~1µs/instance for this shape: a Generate node is a
+    barrier alias substitution cannot cross, so the regexp runs ~2×
+    per document (filter + project) instead of ~n_tokens times.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_REGEX), 0)
+    base = (docs
+            .filter(F.size(toks) >= k)
+            .select(F.col(id_col).alias("id"), toks.alias("__toks")))
+    return (base
+            .select("id", "__toks",
+                    F.posexplode(
+                        F.sequence(F.lit(1), F.size("__toks") - k + 1))
+                    .alias("p", "__start"))
+            .select("id", "p",
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("__toks"),
+                                                 F.col("__start"), k)))
+                    .alias("gh")))
+
+
+def _merge_islands(covered: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of covered window starts (id, p) into
+    maximal spans: per doc, ordered by p (one window start per position,
+    so p is unique within a doc), a gap strictly greater than ``k``
+    breaks the island."""
+    w = Window.partitionBy("id").orderBy("p")
+    brk = F.when(F.lag("p").over(w).isNull()
+                 | (F.col("p") - F.lag("p").over(w) > k), 1).otherwise(0)
+    islands = (covered
+               .withColumn("__brk", brk)
+               .withColumn("__island",
+                           F.sum("__brk").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("id", "__island")
+            .agg(F.min("p").alias("span_start"),
+                 (F.max("p") + k - 1).alias("span_end"),
+                 (F.max("p") - F.min("p") + k).alias("n_tokens"))
+            .select("id", "span_start", "span_end", "n_tokens"))
+
+
 def repeated_ngram_spans(docs: DataFrame, text_col: str, id_col: str,
                          k: int = 20, min_docs: int = 2) -> DataFrame:
     """(id, span_start, span_end, n_tokens): maximal token spans whose
@@ -64,41 +117,43 @@ def repeated_ngram_spans(docs: DataFrame, text_col: str, id_col: str,
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2 (got {min_docs})")
 
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
-                                F.lit(TOKEN_REGEX), 0)
-    # (id, p, gh): 0-based window start p and 64-bit gram hash gh. The
-    # sequence/transform pair keeps gram assembly JVM-side; the gram
-    # TEXT never leaves the expression — only its hash is materialized.
-    inst = (docs
-            .filter(F.size(toks) >= k)
-            .select(F.col(id_col).alias("id"),
-                    F.posexplode(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(toks) - k + 1),
-                            lambda i: F.xxhash64(
-                                F.concat_ws(" ", F.slice(toks, i, k)))))
-                    .alias("p", "gh")))
+    inst = _gram_instances(docs, text_col, id_col, k)
     # distinct-doc counts per gram, map-side combined; the leftsemi join
     # back rides the same gh-keyed exchange
     dup = (inst.groupBy("gh")
            .agg(F.count_distinct("id").alias("nd"))
            .filter(F.col("nd") >= min_docs))
     covered = inst.join(dup.select("gh"), "gh", "leftsemi")
-    # gaps-and-islands merge: per doc, ordered by p (one window start
-    # per position, so p is unique within a doc)
-    w = Window.partitionBy("id").orderBy("p")
-    brk = F.when(F.lag("p").over(w).isNull()
-                 | (F.col("p") - F.lag("p").over(w) > k), 1).otherwise(0)
-    islands = (covered
-               .withColumn("__brk", brk)
-               .withColumn("__island",
-                           F.sum("__brk").over(
-                               w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (islands.groupBy("id", "__island")
-            .agg(F.min("p").alias("span_start"),
-                 (F.max("p") + k - 1).alias("span_end"),
-                 (F.max("p") - F.min("p") + k).alias("n_tokens"))
-            .select("id", "span_start", "span_end", "n_tokens"))
+    return _merge_islands(covered, k)
+
+
+def cross_corpus_spans(docs: DataFrame, ref: DataFrame,
+                       text_col: str, id_col: str, k: int = 20,
+                       ref_text_col: str | None = None,
+                       ref_id_col: str | None = None) -> DataFrame:
+    """Span-level decontamination surface: maximal token spans of
+    ``docs`` whose every length-``k`` window occurs verbatim ANYWHERE in
+    ``ref`` (a benchmark/eval corpus). Where ``operators.contamination``
+    drops whole documents past an overlap threshold, this locates the
+    exact leaked passages — the surgical-removal recipe (excise the
+    quoted benchmark item, keep the page).
+
+    Same inverted-index shape as :func:`repeated_ngram_spans` with the
+    duplicate test swapped for membership in the reference gram set:
+    the ref side reduces to DISTINCT 64-bit gram hashes (benchmark-
+    sized, broadcast/Bloom-prunable at corpus scale — contamination is
+    rare, so the leftsemi drops almost every instance before the
+    shuffle), then the per-doc island merge. Output schema matches
+    ``repeated_ngram_spans``; positions index the ``docs`` side.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    inst = _gram_instances(docs, text_col, id_col, k)
+    ref_set = (_gram_instances(ref, ref_text_col or text_col,
+                               ref_id_col or id_col, k)
+               .select("gh").distinct())
+    covered = inst.join(ref_set, "gh", "leftsemi")
+    return _merge_islands(covered, k)
 
 
 def strip_repeated_spans(docs: DataFrame, text_col: str, id_col: str,

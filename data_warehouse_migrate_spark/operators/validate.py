@@ -107,3 +107,31 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return (one.select(F.explode(per_col).alias("p"))
             .select("p.column_name", "p.n_rows", "p.n_nulls",
                     "p.n_distinct", "p.min_value", "p.max_value"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Per-group corpus composition sheet (the dataset-card table): doc
+    count, token totals (engine tokenizer — ``functions.text``'s BPE-ish
+    regex), mean/min/max tokens per doc, and character volume. Groups
+    with NULL keys are their own rows (standard GROUP BY semantics) —
+    an unlabeled slice is a finding, not noise.
+
+    ONE hash aggregate keyed on ``group_cols`` (token counting is a
+    per-row JVM expression, no explode — shuffle rows = #groups, not
+    token instances); mean rounded 6dp as the cross-engine contract.
+    Feeds mixture/temperature sampling decisions (``operators.quota``)
+    — the counts here are exactly the weights those operators consume.
+    """
+    from data_warehouse_migrate_spark.functions.text import token_count
+
+    nt = token_count(F.col(text_col))
+    return (docs.groupBy(*group_cols)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(nt.cast("long")).alias("total_tokens"),
+                 F.round(F.sum(nt.cast("long"))
+                         / F.count("*"), 6).alias("avg_tokens"),
+                 F.min(nt).alias("min_tokens"),
+                 F.max(nt).alias("max_tokens"),
+                 F.sum(F.length(F.col(text_col)).cast("long"))
+                 .alias("total_chars")))

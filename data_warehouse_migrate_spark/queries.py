@@ -3420,6 +3420,110 @@ FROM inserted
 """
 
 
+def q_span_decontaminate(spark, sf_dir):
+    """Span-level decontamination (operators/spans.py
+    cross_corpus_spans): even-id docs as the training side, odd-id docs
+    as the benchmark — spans whose every 8-gram occurs verbatim in the
+    benchmark are the leaked passages a surgical pipeline excises
+    (whole-doc dropping is operators/contamination.py)."""
+    from data_warehouse_migrate_spark.operators.spans import (
+        cross_corpus_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    return (cross_corpus_spans(train, bench, "text", "doc_id", k=_SPAN_K)
+            .select(F.col("id").alias("doc_id"),
+                    "span_start", "span_end", "n_tokens"))
+
+
+O_SPAN_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SPAN_TOKS_SQL} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {_SPAN_K} + 1)) AS i
+  FROM toks WHERE len(t) >= {_SPAN_K}),
+grams AS (
+  SELECT doc_id, i - 1 AS p,
+         array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS g FROM pos),
+ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1),
+cov AS (SELECT doc_id, p FROM grams
+        WHERE doc_id % 2 = 0 AND g IN (SELECT g FROM ref)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL
+                   OR p - lag(p) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM isl)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(max(p) - min(p) + {_SPAN_K} AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, island
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 tf·idf terms (functions/lm.py tfidf_top_terms):
+    keyword extraction for dataset cards / cluster labeling; idf rounded
+    6dp before the product (the cross-engine contract, unigram_model
+    convention)."""
+    from data_warehouse_migrate_spark.functions.lm import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return (tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+            .select(F.col("id").alias("doc_id"),
+                    "token", "tf", "tfidf", "rank"))
+
+
+O_TFIDF_TOP_TERMS = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_SPAN_TOKS_SQL}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY doc_id, token),
+dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+idf AS (SELECT token, round(log10(nd / df), 6) AS idf FROM dfx, n),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, round(t.tf * i.idf, 6) AS tfidf
+  FROM tf t JOIN idf i USING (token)),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-(source, lang) composition sheet (operators/validate.py
+    corpus_stats): the dataset-card rollup whose counts are exactly the
+    weights mixture/temperature sampling consume."""
+    from data_warehouse_migrate_spark.operators.validate import (
+        corpus_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs, "text", ["source", "lang"])
+
+
+O_CORPUS_STATS = f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len({_SPAN_TOKS_SQL})) AS BIGINT) AS total_tokens,
+       round(CAST(sum(len({_SPAN_TOKS_SQL})) AS DOUBLE) / count(*), 6)
+         AS avg_tokens,
+       CAST(min(len({_SPAN_TOKS_SQL})) AS INT) AS min_tokens,
+       CAST(max(len({_SPAN_TOKS_SQL})) AS INT) AS max_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3455,42 +3559,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 7 new queries + 3 code-change pins + the r6 verdict's item 5
-    # (rows-only refresh) demand 63 slots for 50; the resolutions are
+    # leads + 10 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 66 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-10:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
-    #         semantic_dedup (SemDeDup), repeated_spans + strip_spans
-    #         (ExactSubstr span dedup, Lee et al. 2021), hard_negatives
+    #  4-13:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
+    #         span_decontaminate (ExactSubstr span dedup and span-level
+    #         decontamination, Lee et al. 2021), hard_negatives
     #         (contrastive mining), temperature_mixture (α-smoothed
-    #         multilingual sampling), scd2_customers (type-2 history) —
-    #         all beyond-reference additions.
-    # 11-13:  pinned by rule 2 — code on their path changed this round
+    #         multilingual sampling), scd2_customers (type-2 history),
+    #         tfidf_top_terms (keyword extraction), corpus_stats
+    #         (dataset-card rollup) — all beyond-reference additions.
+    # 14-16:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 14-19:  the stale rows-only residents (r6 verdict item 5 — last
+    # 17-22:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 23).
-    # 20-50:  31 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 13 that don't fit —
+    #         in-window at 27).
+    # 23-50:  28 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 16 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
     #         sampling.py untouched), plus csv/json/orc_roundtrip,
-    #         migration_checksum, profile_orders (stable plumbing,
-    #         displaced when the five new r07 queries entered — rule 2
-    #         outranks rule 1; all five also pytest-verified live) —
-    #         are all r05-green with NO code on their paths touched
-    #         since: the lowest-risk overflow; they stay tail-resident
-    #         at r05 rows and LEAD the r08 window.
+    #         migration_checksum, profile_orders, metadata_probes,
+    #         cast_source_schema, events_hourly (stable plumbing/
+    #         aggregate paths, displaced when the eight new r07 queries
+    #         entered — rule 2 outranks rule 1; all eight also
+    #         pytest-verified live) — are all r05-green with NO code on
+    #         their paths touched since: the lowest-risk overflow; they
+    #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
     # in-window), the 7 overflow queries above, then the r06-green window
     # queries rotating out (rule 3; none of their paths changed this
@@ -3506,14 +3613,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
+    "span_decontaminate": q_span_decontaminate,
     "hard_negatives": q_hard_negatives,
     "temperature_mixture": q_temperature_mixture,
     "scd2_customers": q_scd2_customers,
-    # --- 11-13: pinned, execution-path code changed this round (rule 2) ---
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_stats": q_corpus_stats,
+    # --- 14-16: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 14-19: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 17-22: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3521,7 +3631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 20-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 23-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3534,7 +3644,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
-    "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_order_price": q_asof_order_price,
     "range_join_clicks": q_range_join_clicks,
@@ -3544,8 +3653,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
     "events_hourly_stream": q_events_hourly_stream,
     "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
@@ -3556,12 +3663,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-64: rule-1 overflow (r05-green, paths untouched; lead r08).
-    #     csv/json/orc_roundtrip, migration_checksum, profile_orders
-    #     displaced mid-round to make window room for the five NEW r07
-    #     queries (rule 2 outranks rule 1): stable plumbing paths, every
-    #     one ALSO live-verified by pytest (roundtrips end-to-end vs
-    #     written files, checksum/profile vs DuckDB) -------------------
+    # --- 52-67: rule-1 overflow (r05-green, paths untouched; lead r08).
+    #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
+    #     metadata_probes, cast_source_schema, events_hourly displaced
+    #     mid-round to make window room for the eight NEW r07 queries
+    #     (rule 2 outranks rule 1): stable plumbing/aggregate paths,
+    #     every one ALSO live-verified by pytest (roundtrips end-to-end
+    #     vs written files, checksum/profile/casts vs DuckDB,
+    #     events_hourly's streaming twin stays in-window) --------------
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3651,6 +3763,9 @@ ORACLES: dict[str, str] = {
     "hard_negatives": O_HARD_NEGATIVES,
     "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "scd2_customers": O_SCD2_CUSTOMERS,
+    "span_decontaminate": O_SPAN_DECONTAMINATE,
+    "tfidf_top_terms": O_TFIDF_TOP_TERMS,
+    "corpus_stats": O_CORPUS_STATS,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

@@ -169,3 +169,60 @@ def test_scd2_apply_idempotent_on_unchanged(scd2_world):
     # re-applying the same snapshot produces no new versions
     assert again.count() == once.count()
     assert again.filter(F.col("valid_from") == "2026-06-01").count() == 0
+
+
+def test_cross_corpus_spans_finds_leak(spark):
+    leak = "the exact benchmark question text appears here verbatim today"
+    train = spark.createDataFrame([
+        (1, f"intro words {leak} outro words"),
+        (2, "clean document with entirely original content throughout it"),
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, f"prefix {leak} suffix")], "doc_id int, text string")
+    from data_warehouse_migrate_spark.operators.spans import (
+        cross_corpus_spans,
+    )
+
+    out = {(r.id, r.span_start, r.span_end)
+           for r in cross_corpus_spans(train, bench, "text", "doc_id",
+                                       k=8).collect()}
+    # leak is 9 tokens at positions 2-10 of doc 1; doc 2 is clean
+    assert out == {(1, 2, 10)}
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    docs = spark.createDataFrame([
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ], "doc_id int, text string")
+    from data_warehouse_migrate_spark.functions.lm import tfidf_top_terms
+
+    out = {(r.id, r.rank): (r.token, r.tf)
+           for r in tfidf_top_terms(docs, "text", "doc_id",
+                                    top_n=1).collect()}
+    # idf: apple/date log10(3/1)≈.477, banana/cherry log10(3/2)≈.176
+    # doc1: apple 2·.477 wins; doc2: cherry tf1 ties banana, but both
+    # .176 → token asc picks banana; doc3: cherry 3·.176=.528 > date .477
+    assert out == {(1, 1): ("apple", 2), (2, 1): ("banana", 1),
+                   (3, 1): ("cherry", 3)}
+
+
+def test_corpus_stats_groups(spark):
+    docs = spark.createDataFrame([
+        (1, "one two three", "web", "en"),
+        (2, "four five", "web", "en"),
+        (3, "six", "book", None),
+    ], "doc_id int, text string, source string, lang string")
+    from data_warehouse_migrate_spark.operators.validate import (
+        corpus_stats,
+    )
+
+    rows = {(r.source, r.lang):
+            (r.n_docs, r.total_tokens, r.avg_tokens, r.min_tokens,
+             r.max_tokens)
+            for r in corpus_stats(docs, "text",
+                                  ["source", "lang"]).collect()}
+    assert rows[("web", "en")] == (2, 5, 2.5, 2, 3)
+    # NULL group key is its own row, not dropped
+    assert rows[("book", None)] == (1, 1, 1.0, 1, 1)
