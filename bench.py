@@ -186,6 +186,11 @@ EXTENDED = [
     "hard_negatives",
     "temperature_mixture",
     "scd2_customers",
+    "span_decontaminate",
+    "tfidf_top_terms",
+    "corpus_stats",
+    "fuzzy_match_customers",
+    "fluency_band",
 ]
 
 
@@ -501,10 +506,16 @@ def main() -> int:
                 "[1.68, 1.90, 2.06, 2.06, 2.24]s — median 2.06 vs r5's "
                 "2.03: the r6 2.52 was host noise, no regression"),
             "sessionize_stream_state_store": (
-                "RocksDB provider A/B at sf0.1 (r7, sp=16): min 2.25s "
-                "vs HDFS 2.12s — no win at KB-scale state, HDFS kept; "
-                "the <2s target is met via 16 state partitions + "
-                "RAM-backed ephemeral checkpoint for the one-shot drain"),
+                "providers + partitions A/B'd at sf0.1 (r7): RocksDB "
+                "no win vs HDFS at KB-scale state; state partitions "
+                "sp=8 vs 16 equal within noise, 4 and 32 worse — 16 "
+                "kept with the RAM-backed ephemeral checkpoint. "
+                "Measured band 1.85-2.4s across quiet runs: the floor "
+                "is the fixed streaming-query lifecycle (start + one "
+                "micro-batch + stop), not state (344 KB) — the r5 <2s "
+                "target is met on quiet runs and missed by ~0.3s "
+                "otherwise; at production scale this fixed cost "
+                "amortizes over a long-running stream"),
             "flagship_protocol": (
                 "migrate_pipeline timed min-of-5 (other queries "
                 "min-of-2-3): its single number carries the binding "

@@ -3524,6 +3524,99 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_fuzzy_match_customers(spark, sf_dir):
+    """Fuzzy entity resolution (operators/entity.py fuzzy_join): every
+    third customer name gets one character deleted (a keying typo),
+    then matches back against the clean dimension at edit distance ≤ 1
+    via the SymSpell deletion-neighborhood join — complete by
+    pigeonhole, linear in corpus × key length where q-gram blocking
+    degenerates to all-pairs on shared-prefix keys like
+    ``Customer#00000…``. Near-number names legitimately match at
+    distance 1 too (one substitution apart) — both engines agree."""
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pos = (k % 5 + 10).cast("int")  # delete a digit position (1-based)
+    dirty = (c.filter(k % 3 == 0)
+             .select((k + 5000000).alias("dirty_id"),
+                     F.concat(F.col("c_name").substr(F.lit(1), pos - 1),
+                              F.col("c_name").substr(
+                                  pos + 1, F.length("c_name")))
+                     .alias("dirty_name")))
+    clean = c.select("c_custkey", "c_name")
+    return (fuzzy_join(dirty, clean, "dirty_name", "c_name")
+            .select("dirty_id", "dirty_name", "c_custkey", "c_name",
+                    "edit_distance"))
+
+
+O_FUZZY_MATCH_CUSTOMERS = """
+WITH dirty AS (
+  SELECT c_custkey + 5000000 AS dirty_id,
+         concat(substr(c_name, 1, 9 + (c_custkey % 5)),
+                substr(c_name, 11 + (c_custkey % 5))) AS dirty_name
+  FROM customer WHERE c_custkey % 3 = 0)
+SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+       CAST(levenshtein(d.dirty_name, c.c_name) AS INT) AS edit_distance
+FROM dirty d, customer c
+WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+"""
+
+
+def q_fluency_band(spark, sf_dir):
+    """CCNet-style fluency selection: per-language top half by corpus
+    unigram-LM score (functions/lm.py doc_unigram_logprob composed with
+    operators/quota.py quality_band_filter) — the published recipe for
+    web-corpus head/middle/tail selection, rank-based so low-resource
+    languages keep their best half instead of dying to a global
+    threshold."""
+    from data_warehouse_migrate_spark.functions.lm import (
+        doc_unigram_logprob,
+    )
+    from data_warehouse_migrate_spark.operators.quota import (
+        quality_band_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (doc_unigram_logprob(docs, "text", "doc_id")
+              .join(docs.select(F.col("doc_id").alias("id"), "lang"),
+                    "id"))
+    return (quality_band_filter(scored, "avg_logprob", "lang",
+                                keep_top=0.5, id_col="id")
+            .select(F.col("id").alias("doc_id"), "lang", "n_tokens",
+                    "avg_logprob", "q_rank"))
+
+
+O_FLUENCY_BAND = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS token
+  FROM documents),
+freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq),
+model AS (SELECT token, round(log10(n / total), 6) AS logp FROM freq, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(CAST(round(logp * 1000000.0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS avg_logprob
+  FROM toks JOIN model USING (token) GROUP BY doc_id),
+full_docs AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         s.avg_logprob
+  FROM documents d LEFT JOIN scored s USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, avg_logprob,
+         round(percent_rank() OVER (
+             PARTITION BY lang
+             ORDER BY avg_logprob ASC, doc_id ASC), 6) AS q_rank
+  FROM full_docs)
+SELECT doc_id, lang, n_tokens, avg_logprob, q_rank
+FROM ranked WHERE q_rank >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3559,43 +3652,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 10 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 66 slots for 50; the resolutions are
+    # leads + 12 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 68 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-13:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-15:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
     #         (contrastive mining), temperature_mixture (α-smoothed
     #         multilingual sampling), scd2_customers (type-2 history),
     #         tfidf_top_terms (keyword extraction), corpus_stats
-    #         (dataset-card rollup) — all beyond-reference additions.
-    # 14-16:  pinned by rule 2 — code on their path changed this round
+    #         (dataset-card rollup), fuzzy_match_customers (SymSpell
+    #         deletion-neighborhood entity resolution), fluency_band
+    #         (CCNet LM-score selection) — all beyond-reference
+    #         additions.
+    # 16-18:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 17-22:  the stale rows-only residents (r6 verdict item 5 — last
+    # 19-24:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 27).
-    # 23-50:  28 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 16 that don't fit —
+    #         in-window at 29).
+    # 25-50:  26 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 18 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
     #         sampling.py untouched), plus csv/json/orc_roundtrip,
     #         migration_checksum, profile_orders, metadata_probes,
-    #         cast_source_schema, events_hourly (stable plumbing/
-    #         aggregate paths, displaced when the eight new r07 queries
-    #         entered — rule 2 outranks rule 1; all eight also
-    #         pytest-verified live) — are all r05-green with NO code on
+    #         cast_source_schema, events_hourly, quality_score,
+    #         doc_fingerprints (stable plumbing/expression paths,
+    #         displaced when the twelve new r07 queries entered — rule
+    #         2 outranks rule 1; all twelve also pytest-verified
+    #         live) — are all r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
@@ -3619,11 +3716,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customers": q_scd2_customers,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
-    # --- 14-16: pinned, execution-path code changed this round (rule 2) ---
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fluency_band": q_fluency_band,
+    # --- 16-18: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 17-22: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 19-24: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3631,7 +3730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 23-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 25-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3650,9 +3749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_zscore": q_event_zscore,
     "distinct_users_exact": q_distinct_users_exact,
     "text_stats": q_text_stats,
-    "quality_score": q_quality_score,
     "lang_id": q_lang_id,
-    "doc_fingerprints": q_doc_fingerprints,
     "events_hourly_stream": q_events_hourly_stream,
     "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
@@ -3663,7 +3760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-67: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-69: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -3674,6 +3771,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
     "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "doc_fingerprints": q_doc_fingerprints,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3766,6 +3865,8 @@ ORACLES: dict[str, str] = {
     "span_decontaminate": O_SPAN_DECONTAMINATE,
     "tfidf_top_terms": O_TFIDF_TOP_TERMS,
     "corpus_stats": O_CORPUS_STATS,
+    "fuzzy_match_customers": O_FUZZY_MATCH_CUSTOMERS,
+    "fluency_band": O_FLUENCY_BAND,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

@@ -226,3 +226,34 @@ def test_corpus_stats_groups(spark):
     assert rows[("web", "en")] == (2, 5, 2.5, 2, 3)
     # NULL group key is its own row, not dropped
     assert rows[("book", None)] == (1, 1, 1.0, 1, 1)
+
+
+def test_fuzzy_join_deletion_neighborhood(spark):
+    left = spark.createDataFrame([
+        (1, "acme corp"),    # exact match
+        (2, "acme crop"),    # NOT within 1 of "acme corp"? (transposition
+                             # = 2 edits in plain levenshtein) — excluded
+        (3, "acme cor"),     # deletion → distance 1
+        (4, "acme corps"),   # insertion → distance 1
+        (5, "acme dorp"),    # substitution → distance 1
+        (6, "totally else"),
+    ], "lid int, lkey string")
+    right = spark.createDataFrame(
+        [(100, "acme corp")], "rid int, rkey string")
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    out = {(r.lid, r.edit_distance)
+           for r in fuzzy_join(left, right, "lkey", "rkey").collect()}
+    assert out == {(1, 0), (3, 1), (4, 1), (5, 1)}
+
+
+def test_fuzzy_join_validates_and_nulls(spark):
+    import pytest as _pytest
+
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    left = spark.createDataFrame([(1, None)], "lid int, lkey string")
+    right = spark.createDataFrame([(2, "x")], "rid int, rkey string")
+    assert fuzzy_join(left, right, "lkey", "rkey").count() == 0
+    with _pytest.raises(ValueError):
+        fuzzy_join(left, right, "lkey", "rkey", max_distance=2)
