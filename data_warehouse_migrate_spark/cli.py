@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "transformed source against the destination and "
                         "apply only the insert/update/delete delta "
                         "(beyond-reference incremental sync)")
+    p.add_argument("--scd2-keys", dest="scd2_keys",
+                   help="comma-separated business-key columns: maintain "
+                        "the destination as a type-2 slowly-changing-"
+                        "dimension history (changed keys close + reopen, "
+                        "new keys insert; beyond-reference)")
+    p.add_argument("--scd2-batch-date", dest="scd2_batch_date",
+                   help="ISO date stamped on versions opened/closed this "
+                        "run (default: today UTC); pass explicitly for "
+                        "reproducible pipelines")
     p.add_argument("--target-file-mb", dest="target_file_mb", type=int,
                    help="size output files near this many MB (file sinks: "
                         "measures the data and repartitions before the "
@@ -82,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
     args = vars(build_parser().parse_args(argv))
     config_path = args.pop("config", None)
     skip_confirm = args.pop("yes", False)
-    for k in ("source_partition_columns", "non_nullable", "incremental_keys"):
+    for k in ("source_partition_columns", "non_nullable",
+              "incremental_keys", "scd2_keys"):
         if args.get(k):
             args[k] = [c.strip() for c in args[k].split(",") if c.strip()]
 
@@ -127,6 +137,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(result, default=str), flush=True)
             q.awaitTermination()
             return 0
+    elif cfg.get("scd2_keys"):
+        result = job.run_scd2(spark, cfg["scd2_keys"],
+                              batch_date=cfg.get("scd2_batch_date"))
     elif cfg.get("incremental_keys"):
         result = job.run_incremental(spark, cfg["incremental_keys"])
     else:

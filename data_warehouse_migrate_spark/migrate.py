@@ -529,6 +529,163 @@ class MigrationJob:
         return out
 
     # ------------------------------------------------------------------
+    def run_scd2(self, spark: SparkSession, key_cols: list[str],
+                 tracked_cols: list[str] | None = None,
+                 batch_date: str | None = None,
+                 from_col: str = "valid_from", to_col: str = "valid_to",
+                 cur_col: str = "is_current",
+                 close_deleted: bool = False) -> dict[str, Any]:
+        """Type-2 slowly-changing-dimension sync (beyond-reference): the
+        destination holds a VERSIONED history (``key_cols`` +
+        ``tracked_cols`` + ``valid_from``/``valid_to``/``is_current``),
+        and each run folds the transformed source snapshot into it via
+        ``operators.delta.scd2_apply`` — changed keys close and reopen,
+        new keys insert, identical payloads are no-ops, prior versions
+        are never rewritten.
+
+        First run (destination absent) initializes the history: every
+        source row becomes version 1, valid from ``batch_date``.
+        ``batch_date`` defaults to today (UTC date) — pass it explicitly
+        for reproducible pipelines. ``tracked_cols`` defaults to every
+        non-key source column. ``close_deleted=True`` treats the source
+        as a FULL snapshot (keys gone from it close without successor) —
+        refused under limit/partition pruning, where the source is a
+        subset and every unseen key would be wrongly closed.
+
+        Apply strategy: history versions are uniquely keyed by
+        (business key, ``valid_from``), so the next history diffs
+        against the current one on that compound key — the changed
+        subset is only closed versions (updates) + new versions
+        (inserts), never deletes. File sinks rewrite the snapshot
+        (localCheckpointed first to break the read-then-overwrite
+        cycle); JDBC destinations apply IN PLACE through the same
+        staged server-side MERGE as :meth:`run_incremental`
+        (``operators.delta.apply_delta_jdbc``) — delta-sized traffic,
+        no history rewrite, no rows through the driver.
+        """
+        from data_warehouse_migrate_spark.operators.delta import (
+            apply_delta_jdbc,
+            scd2_apply,
+            snapshot_delta,
+        )
+        from pyspark.errors import AnalysisException
+
+        if close_deleted and (self.limit or self.partition_columns):
+            raise ConfigurationError(
+                "run_scd2(close_deleted=True) needs the FULL source "
+                "snapshot: with limit/partition_columns every key "
+                "outside the pruned subset would be closed as deleted; "
+                "drop those options or use close_deleted=False")
+        if batch_date is None:
+            import datetime as _dt
+
+            batch_date = _dt.datetime.now(_dt.timezone.utc).date().isoformat()
+
+        src = self.build_plan(spark)
+        scd_cols = (from_col, to_col, cur_col)
+        clash = [c for c in src.columns if c in scd_cols]
+        if clash:
+            raise ConfigurationError(
+                f"source columns {clash} collide with SCD2 bookkeeping "
+                f"columns {list(scd_cols)}; rename them in the mapping")
+        tracked = tracked_cols or [c for c in src.columns
+                                   if c not in set(key_cols)]
+
+        def initial_history() -> DataFrame:
+            return (src
+                    .withColumn(from_col,
+                                F.lit(batch_date).cast("date"))
+                    .withColumn(to_col, F.lit(None).cast("date"))
+                    .withColumn(cur_col, F.lit(True)))
+
+        hist = None
+        if self.destination_format == "jdbc":
+            from data_warehouse_migrate_spark.sources.readers import (
+                introspect_jdbc_schema_generic,
+            )
+
+            try:
+                # zero-row probe; ONLY table-not-found means first run
+                # (see run_incremental — same append-duplication hazard)
+                introspect_jdbc_schema_generic(
+                    spark, self.destination_jdbc or {},
+                    self.destination_path)
+                hist = read_table(spark, self.destination_path,
+                                  fmt="jdbc",
+                                  jdbc_options=self.destination_jdbc)
+            except Exception as e:
+                if not _jdbc_table_missing(e, spark,
+                                           self.destination_jdbc or {},
+                                           self.destination_path):
+                    raise
+        else:
+            try:
+                hist = read_table(spark, self.destination_path,
+                                  fmt=self.destination_format)
+                if not hist.columns:
+                    raise AnalysisException("empty destination")
+            except AnalysisException:
+                hist = None  # genuine first run; anything else raised
+
+        if hist is None:
+            h0 = initial_history()
+            n = h0.count()
+            write_table(h0, self.destination_path,
+                        fmt=self.destination_format,
+                        mode=MigrationMode.OVERWRITE,
+                        jdbc_options=self.destination_jdbc,
+                        partition_by=self.write_partition_by or None)
+            return {"status": "success", "scd2": True, "first_run": True,
+                    "destination": self.destination_path,
+                    "batch_date": batch_date,
+                    "history_rows": n, "versions_opened": n,
+                    "versions_closed": 0}
+
+        nxt = scd2_apply(hist, src, key_cols, tracked, batch_date,
+                         from_col=from_col, to_col=to_col,
+                         cur_col=cur_col, close_deleted=close_deleted)
+        # versions are uniquely keyed by (business key, valid_from):
+        # diff next vs current history on that compound key — changes
+        # are closed versions (update) + new versions (insert) only
+        from pyspark import StorageLevel
+
+        version_keys = [*key_cols, from_col]
+        delta = snapshot_delta(nxt, hist, version_keys).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        counts = {r.change_type: int(r.n_rows) for r in
+                  (delta.groupBy("change_type").agg(
+                      F.count("*").alias("n_rows")).collect())}
+        opened = counts.get("insert", 0)
+        closed = counts.get("update", 0)
+        out: dict[str, Any] = {
+            "status": "success", "scd2": True, "first_run": False,
+            "destination": self.destination_path,
+            "batch_date": batch_date,
+            "versions_opened": opened, "versions_closed": closed,
+            "history_rows": sum(counts.values()),
+        }
+        try:
+            if opened or closed:
+                if self.destination_format == "jdbc":
+                    changed = delta.filter(
+                        F.col("change_type").isin("insert", "update"))
+                    out["jdbc_apply"] = apply_delta_jdbc(
+                        changed, version_keys,
+                        self.destination_jdbc or {},
+                        self.destination_path,
+                        n_changed=opened + closed)
+                else:
+                    write_table(nxt.localCheckpoint(),
+                                self.destination_path,
+                                fmt=self.destination_format,
+                                mode=MigrationMode.OVERWRITE,
+                                partition_by=self.write_partition_by
+                                or None)
+        finally:
+            delta.unpersist()
+        return out
+
+    # ------------------------------------------------------------------
     def run_stream(self, spark: SparkSession, checkpoint_dir: str,
                    available_now: bool = True,
                    processing_time: str | None = None) -> dict[str, Any]:

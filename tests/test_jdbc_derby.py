@@ -345,3 +345,41 @@ def test_stage_dropped_after_failed_merge(spark, derby_opts, tmp_path):
     # the apply failed (target never existed) but the stage was dropped
     with pytest.raises(Exception, match="(?i)not exist|not found|42"):
         _read(spark, derby_opts, "t_stage_gone_dwms_stage").schema
+
+
+def test_scd2_jdbc_end_to_end(spark, derby_opts, tmp_path):
+    """run_scd2 with a JDBC destination: first run initializes the
+    history, second run closes + reopens the changed key and inserts the
+    new one IN PLACE via the staged MERGE keyed on (k, valid_from)."""
+    src = str(tmp_path / "scd_src.parquet")
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)],
+        "k long, status string, price double").write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path="t_scd2",
+                       destination_format="jdbc",
+                       destination_jdbc=derby_opts, mode="append")
+    out1 = job.run_scd2(spark, key_cols=["k"], batch_date="2026-01-01")
+    assert out1["first_run"] is True and out1["history_rows"] == 2
+
+    import shutil
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B2", 21.0), (3, "C", 30.0)],
+        "k long, status string, price double").write.parquet(src)
+    out2 = job.run_scd2(spark, key_cols=["k"], batch_date="2026-06-01")
+    assert out2["first_run"] is False
+    assert out2["versions_closed"] == 1   # k=2 v1 closes
+    assert out2["versions_opened"] == 2   # k=2 v2 + k=3 v1
+    rows = {(r.k, r.status, str(r.valid_from), str(r.valid_to),
+             bool(r.is_current))
+            for r in _read(spark, derby_opts, "t_scd2").collect()}
+    assert rows == {
+        (1, "A", "2026-01-01", "None", True),
+        (2, "B", "2026-01-01", "2026-06-01", False),
+        (2, "B2", "2026-06-01", "None", True),
+        (3, "C", "2026-06-01", "None", True),
+    }
+    # idempotent: same snapshot again, later date → no new versions
+    out3 = job.run_scd2(spark, key_cols=["k"], batch_date="2026-07-01")
+    assert (out3["versions_opened"], out3["versions_closed"]) == (0, 0)
+    assert _read(spark, derby_opts, "t_scd2").count() == 4

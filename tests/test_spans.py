@@ -257,3 +257,55 @@ def test_fuzzy_join_validates_and_nulls(spark):
     assert fuzzy_join(left, right, "lkey", "rkey").count() == 0
     with _pytest.raises(ValueError):
         fuzzy_join(left, right, "lkey", "rkey", max_distance=2)
+
+
+def test_run_scd2_parquet_end_to_end(spark, tmp_path):
+    from data_warehouse_migrate_spark.migrate import MigrationJob
+
+    src = str(tmp_path / "s.parquet")
+    dst = str(tmp_path / "hist.parquet")
+    spark.createDataFrame([(1, "A"), (2, "B")],
+                          "k long, v string").write.parquet(src)
+    job = MigrationJob(source_path=src, destination_path=dst,
+                       mode="append")
+    out1 = job.run_scd2(spark, ["k"], batch_date="2026-01-01")
+    assert out1["first_run"] and out1["history_rows"] == 2
+
+    import shutil
+    shutil.rmtree(src)
+    spark.createDataFrame([(1, "A2"), (2, "B")],
+                          "k long, v string").write.parquet(src)
+    out2 = job.run_scd2(spark, ["k"], batch_date="2026-02-01")
+    assert (out2["versions_opened"], out2["versions_closed"]) == (1, 1)
+    rows = {(r.k, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in spark.read.parquet(dst).collect()}
+    assert rows == {
+        (1, "A", "2026-01-01", "2026-02-01", False),
+        (1, "A2", "2026-02-01", "None", True),
+        (2, "B", "2026-01-01", "None", True),
+    }
+
+
+def test_run_scd2_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_warehouse_migrate_spark.exceptions import ConfigurationError
+    from data_warehouse_migrate_spark.migrate import MigrationJob
+
+    src = str(tmp_path / "g.parquet")
+    spark.createDataFrame([(1, "x")], "k long, v string").write.parquet(src)
+    job = MigrationJob(source_path=src,
+                       destination_path=str(tmp_path / "h.parquet"),
+                       limit=1, mode="append")
+    with _pytest.raises(ConfigurationError):
+        job.run_scd2(spark, ["k"], close_deleted=True,
+                     batch_date="2026-01-01")
+    # a source column colliding with the bookkeeping columns is refused
+    src2 = str(tmp_path / "g2.parquet")
+    spark.createDataFrame([(1, "x")],
+                          "k long, valid_from string").write.parquet(src2)
+    job2 = MigrationJob(source_path=src2,
+                        destination_path=str(tmp_path / "h2.parquet"),
+                        mode="append")
+    with _pytest.raises(ConfigurationError):
+        job2.run_scd2(spark, ["k"], batch_date="2026-01-01")
