@@ -191,6 +191,8 @@ EXTENDED = [
     "corpus_stats",
     "fuzzy_match_customers",
     "fluency_band",
+    "funnel_events",
+    "cohort_retention",
 ]
 
 

@@ -3617,6 +3617,66 @@ FROM ranked WHERE q_rank >= 0.5
 """
 
 
+def q_funnel_events(spark, sf_dir):
+    """Strict-order product funnel (operators/analytics.py
+    funnel_counts): users progressing view → click → purchase, each
+    step strictly after the previous step's first qualifying time —
+    iterated conditional MIN aggregates, all user-keyed (no per-user
+    event arrays, whale-user safe)."""
+    from data_warehouse_migrate_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+O_FUNNEL_EVENTS = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id)
+SELECT 'view' AS step, CAST(1 AS INT) AS step_order,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 'click', CAST(2 AS INT), (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 'purchase', CAST(3 AS INT), (SELECT count(*) FROM s3)
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/analytics.py
+    cohort_retention): users bucketed by Monday-truncated first-event
+    week, counted per weeks-since-cohort offset."""
+    from data_warehouse_migrate_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+O_COHORT_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id),
+weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, w.wk) / 7 AS INT) AS week_offset,
+       count(DISTINCT w.user_id) AS active_users
+FROM weekly w JOIN first_seen f USING (user_id)
+GROUP BY f.cohort, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3652,12 +3712,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 12 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 68 slots for 50; the resolutions are
+    # leads + 14 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 70 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-15:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-17:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3666,33 +3726,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         tfidf_top_terms (keyword extraction), corpus_stats
     #         (dataset-card rollup), fuzzy_match_customers (SymSpell
     #         deletion-neighborhood entity resolution), fluency_band
-    #         (CCNet LM-score selection) — all beyond-reference
+    #         (CCNet LM-score selection), funnel_events + cohort_retention
+    #         (event-sequence analytics) — all beyond-reference
     #         additions.
-    # 16-18:  pinned by rule 2 — code on their path changed this round
+    # 18-20:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 19-24:  the stale rows-only residents (r6 verdict item 5 — last
+    # 21-26:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 29).
-    # 25-50:  26 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 18 that don't fit —
+    #         in-window at 31).
+    # 27-50:  24 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 20 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
     #         sampling.py untouched), plus csv/json/orc_roundtrip,
     #         migration_checksum, profile_orders, metadata_probes,
     #         cast_source_schema, events_hourly, quality_score,
-    #         doc_fingerprints (stable plumbing/expression paths,
-    #         displaced when the twelve new r07 queries entered — rule
-    #         2 outranks rule 1; all twelve also pytest-verified
-    #         live) — are all r05-green with NO code on
+    #         doc_fingerprints, sessionize (its streaming twin stays
+    #         pinned in-window), salted_event_totals (equivalence-
+    #         contract query; salted_event_join stays in-window) —
+    #         stable plumbing/expression paths, displaced when the
+    #         fourteen new r07 queries entered (rule 2 outranks rule
+    #         1; all fourteen also pytest-verified live) — all
+    #         r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
@@ -3718,11 +3782,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "fuzzy_match_customers": q_fuzzy_match_customers,
     "fluency_band": q_fluency_band,
-    # --- 16-18: pinned, execution-path code changed this round (rule 2) ---
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
+    # --- 18-20: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 19-24: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 21-26: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3730,7 +3796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 25-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 27-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3739,11 +3805,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_sigs": q_minhash_sigs,
     "simhash": q_simhash,
     "scrub_pii": q_scrub_pii,
-    "salted_event_totals": q_salted_event_totals,
     "contamination_check": q_contamination_check,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
-    "sessionize": q_sessionize,
     "asof_order_price": q_asof_order_price,
     "range_join_clicks": q_range_join_clicks,
     "event_zscore": q_event_zscore,
@@ -3760,7 +3824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-69: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-71: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -3773,6 +3837,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "quality_score": q_quality_score,
     "doc_fingerprints": q_doc_fingerprints,
+    "sessionize": q_sessionize,
+    "salted_event_totals": q_salted_event_totals,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3867,6 +3933,8 @@ ORACLES: dict[str, str] = {
     "corpus_stats": O_CORPUS_STATS,
     "fuzzy_match_customers": O_FUZZY_MATCH_CUSTOMERS,
     "fluency_band": O_FLUENCY_BAND,
+    "funnel_events": O_FUNNEL_EVENTS,
+    "cohort_retention": O_COHORT_RETENTION,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

@@ -309,3 +309,54 @@ def test_run_scd2_guards(spark, tmp_path):
                         mode="append")
     with _pytest.raises(ConfigurationError):
         job2.run_scd2(spark, ["k"], batch_date="2026-01-01")
+
+
+def test_funnel_strict_order(spark):
+    from data_warehouse_migrate_spark.operators.analytics import (
+        funnel_counts,
+        funnel_times,
+    )
+
+    ev = spark.createDataFrame([
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "buy"),
+        # u2: click BEFORE first view — doesn't count; no click after
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "buy"),
+        # u3 never views
+        (3, "2024-01-01 10:00:00", "click"),
+    ], "user_id int, ts string, event_type string")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    t = {r.user_id: (str(r.t_1), str(r.t_2), str(r.t_3))
+         for r in funnel_times(ev, "user_id", "ts", "event_type",
+                               ["view", "click", "buy"]).collect()}
+    assert set(t) == {1, 2}  # u3 never enters the funnel
+    assert t[1] == ("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+                    "2024-01-01 12:00:00")
+    assert t[2][1] == "None" and t[2][2] == "None"
+    counts = {r.step: r.users
+              for r in funnel_counts(ev, "user_id", "ts", "event_type",
+                                     ["view", "click", "buy"]).collect()}
+    assert counts == {"view": 2, "click": 1, "buy": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from data_warehouse_migrate_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = spark.createDataFrame([
+        (1, "2024-01-01 10:00:00"),  # Monday, week 0
+        (1, "2024-01-09 10:00:00"),  # next week → offset 1
+        (2, "2024-01-03 10:00:00"),  # same cohort week
+        (2, "2024-01-17 10:00:00"),  # offset 2
+        (3, "2024-01-10 10:00:00"),  # cohort = week of Jan 8
+    ], "user_id int, ts string")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(str(r.cohort)[:10], r.week_offset): r.active_users
+           for r in cohort_retention(ev, "user_id", "ts").collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
