@@ -193,6 +193,7 @@ EXTENDED = [
     "fluency_band",
     "funnel_events",
     "cohort_retention",
+    "entity_clusters",
 ]
 
 

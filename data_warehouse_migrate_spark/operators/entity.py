@@ -84,3 +84,35 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             .withColumn("edit_distance",
                         F.levenshtein(F.col(left_key), F.col(right_key)))
             .filter(F.col("edit_distance") <= max_distance))
+
+
+def entity_clusters(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Canonical entity resolution: cluster records whose keys sit
+    within edit distance 1 of each other (transitively) and label each
+    record with its cluster's MIN record id — the master-data step after
+    a migration lands several systems' dimension rows in one table.
+
+    Composition of the engine's existing parts: :func:`fuzzy_join` on
+    the table against itself (deletion-neighborhood candidates, exact
+    levenshtein verify, id_a < id_b halves the pairs) feeds
+    ``operators.dedup.connected_components`` (scale-adaptive: measured
+    edge volume picks driver union-find vs checkpointed label
+    propagation). Returns (``id_col``, ``cluster_id``). Transitivity is
+    deliberate — A~B and B~C cluster together even when lev(A, C) = 2,
+    the standard entity-resolution semantics; records with NULL keys
+    form singleton clusters (they match nothing, including each other).
+    """
+    from data_warehouse_migrate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(key_col).alias("__ka"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(key_col).alias("__kb"))
+    edges = (fuzzy_join(a, b, "__ka", "__kb")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    nodes = df.select(F.col(id_col).alias("id"))
+    return (connected_components(nodes, edges)
+            .withColumnRenamed("id", id_col))

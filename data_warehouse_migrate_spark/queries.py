@@ -3677,6 +3677,62 @@ GROUP BY f.cohort, week_offset
 """
 
 
+def q_entity_clusters(spark, sf_dir):
+    """Canonical entity resolution (operators/entity.py
+    entity_clusters): clean customer records + their typo'd twins
+    (same derivation as fuzzy_match_customers) clustered transitively
+    at edit distance ≤ 1 on the name‖segment composite key — the
+    master-data step after several systems' dimension rows land in one
+    table. fuzzy_join candidates → connected components → min-id
+    cluster labels."""
+    from data_warehouse_migrate_spark.operators.entity import (
+        entity_clusters,
+    )
+
+    # c_custkey <= 400 bounds the ORACLE's brute-force cross join (the
+    # Spark side is linear and doesn't need the cap — the operator's
+    # scale behavior is pinned by fuzzy_match_customers over the full
+    # table plus the 10x bench stress, not by this correctness slice)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    k = F.col("c_custkey")
+    pos = (k % 5 + 10).cast("int")
+    key = F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment"))
+    recs = (c.select(k.alias("rec_id"), key.alias("name"))
+            .unionByName(
+                c.filter(k % 3 == 0)
+                .select((k + 5000000).alias("rec_id"),
+                        F.concat(key.substr(F.lit(1), pos - 1),
+                                 key.substr(pos + 1, F.length(key)))
+                        .alias("name"))))
+    return entity_clusters(recs, "rec_id", "name")
+
+
+O_ENTITY_CLUSTERS = """
+WITH RECURSIVE
+recs AS (
+  SELECT c_custkey AS rid,
+         concat(c_name, '-', c_mktsegment) AS name
+  FROM customer WHERE c_custkey <= 400
+  UNION ALL
+  SELECT c_custkey + 5000000,
+         concat(substr(concat(c_name, '-', c_mktsegment),
+                       1, 9 + (c_custkey % 5)),
+                substr(concat(c_name, '-', c_mktsegment),
+                       11 + (c_custkey % 5)))
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey <= 400),
+edges AS (
+  SELECT a.rid AS s, b.rid AS d
+  FROM recs a JOIN recs b
+    ON a.rid <> b.rid AND levenshtein(a.name, b.name) <= 1),
+reach(node, lab) AS (
+  SELECT rid, rid FROM recs
+  UNION
+  SELECT e.d, reach.lab FROM reach JOIN edges e ON e.s = reach.node)
+SELECT node AS rec_id, min(lab) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3712,12 +3768,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 14 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 70 slots for 50; the resolutions are
+    # leads + 15 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 71 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-17:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-18:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3727,23 +3783,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         (dataset-card rollup), fuzzy_match_customers (SymSpell
     #         deletion-neighborhood entity resolution), fluency_band
     #         (CCNet LM-score selection), funnel_events + cohort_retention
-    #         (event-sequence analytics) — all beyond-reference
-    #         additions.
-    # 18-20:  pinned by rule 2 — code on their path changed this round
+    #         (event-sequence analytics), entity_clusters (transitive
+    #         entity resolution) — all beyond-reference additions.
+    # 19-21:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 21-26:  the stale rows-only residents (r6 verdict item 5 — last
+    # 22-27:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 31).
-    # 27-50:  24 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 20 that don't fit —
+    #         in-window at 32).
+    # 28-50:  23 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 21 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
@@ -3752,10 +3808,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         cast_source_schema, events_hourly, quality_score,
     #         doc_fingerprints, sessionize (its streaming twin stays
     #         pinned in-window), salted_event_totals (equivalence-
-    #         contract query; salted_event_join stays in-window) —
-    #         stable plumbing/expression paths, displaced when the
-    #         fourteen new r07 queries entered (rule 2 outranks rule
-    #         1; all fourteen also pytest-verified live) — all
+    #         contract query; salted_event_join stays in-window),
+    #         scrub_pii (regex chains fully pytest-pinned) — stable
+    #         plumbing/expression paths, displaced when the fifteen
+    #         new r07 queries entered (rule 2 outranks rule 1; all
+    #         fifteen also pytest-verified live) — all
     #         r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
@@ -3784,11 +3841,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fluency_band": q_fluency_band,
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
-    # --- 18-20: pinned, execution-path code changed this round (rule 2) ---
+    "entity_clusters": q_entity_clusters,
+    # --- 19-21: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 21-26: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 22-27: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3796,7 +3854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 27-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 28-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3804,7 +3862,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "minhash_sigs": q_minhash_sigs,
     "simhash": q_simhash,
-    "scrub_pii": q_scrub_pii,
     "contamination_check": q_contamination_check,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -3824,7 +3881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-71: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-72: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -3839,6 +3896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
+    "scrub_pii": q_scrub_pii,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3935,6 +3993,7 @@ ORACLES: dict[str, str] = {
     "fluency_band": O_FLUENCY_BAND,
     "funnel_events": O_FUNNEL_EVENTS,
     "cohort_retention": O_COHORT_RETENTION,
+    "entity_clusters": O_ENTITY_CLUSTERS,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

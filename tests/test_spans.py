@@ -360,3 +360,20 @@ def test_cohort_retention_offsets(spark):
            for r in cohort_retention(ev, "user_id", "ts").collect()}
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
+
+
+def test_entity_clusters_transitive(spark):
+    from data_warehouse_migrate_spark.operators.entity import (
+        entity_clusters,
+    )
+
+    recs = spark.createDataFrame([
+        (1, "anne"), (2, "ann"),    # lev 1 — cluster
+        (3, "anns"),                # lev(ann, anns)=1 → bridges to 1/2
+        (4, "robert"),              # singleton
+        (5, None),                  # NULL key → singleton
+    ], "rec_id int, name string")
+    out = {r.rec_id: r.cluster_id
+           for r in entity_clusters(recs, "rec_id", "name").collect()}
+    # transitivity: anne~ann~anns one cluster even though lev(anne,anns)=2
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
