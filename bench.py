@@ -194,6 +194,7 @@ EXTENDED = [
     "funnel_events",
     "cohort_retention",
     "entity_clusters",
+    "bigram_logprob",
 ]
 
 

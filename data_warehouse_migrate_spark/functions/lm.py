@@ -181,3 +181,72 @@ def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)
             .select("id", "token", "tf", "tfidf", "rank"))
+
+
+def _bigrams(text_col) -> F.Column:
+    """Adjacent-token bigram structs (w1, w2) — the PMI construction,
+    shared so model and scorer tokenize identically."""
+    toks = _tokens(text_col)
+    return F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+
+
+def bigram_model(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n, logp): adjacent-bigram counts and CONDITIONAL log10
+    probability p(w2 | w1) = c(w1,w2) / Σ_b c(w1,b) — the next-token
+    fluency model one step up from ``unigram_model``. ``logp`` rounded
+    6dp (the cross-engine contract convention).
+
+    One explode + two hash aggregates; the context totals Σ_b c(w1,b)
+    come from a window-free second aggregate joined back on w1 —
+    distinct-bigram volume throughout, map-side combined.
+    """
+    bi = (docs.select(F.explode(_bigrams(F.col(text_col))).alias("p"))
+          .select("p.w1", "p.w2"))
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    ctx = counts.groupBy("w1").agg(F.sum("n").alias("__ca"))
+    return (counts.join(ctx, "w1")
+            .select("w1", "w2", "n",
+                    F.round(F.log10(F.col("n") / F.col("__ca")), 6)
+                    .alias("logp")))
+
+
+def doc_bigram_logprob(docs: DataFrame, text_col: str, id_col: str,
+                       model: DataFrame | None = None,
+                       oov_logp: float | None = None) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): per-document mean conditional
+    bigram log-probability — the fluency signal that catches
+    scrambled/templated text a unigram model scores as normal (same
+    token multiset, broken transitions).
+
+    Self-scoring by default (no OOV possible); with an external
+    ``model``, unseen bigrams take ``oov_logp`` when given, else drop
+    from the mean (disclosed, same convention as
+    ``doc_unigram_logprob``). Documents with fewer than 2 tokens
+    survive with n_bigrams=0 and NULL score. The mean uses the
+    engine's order-independent micro-integer summation.
+    """
+    if model is None:
+        model = bigram_model(docs, text_col)
+    dbi = (docs.select(F.col(id_col).alias("id"),
+                       F.explode(_bigrams(F.col(text_col))).alias("p"))
+           .select("id", "p.w1", "p.w2"))
+    how = "left" if oov_logp is not None else "inner"
+    scored = dbi.join(model.select("w1", "w2", "logp"), ["w1", "w2"], how)
+    if oov_logp is not None:
+        scored = scored.withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(oov_logp))))
+    micro = F.round(F.col("logp") * 1e6).cast("long")
+    per_doc = (scored.groupBy("id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.round(F.sum(micro)
+                            / (F.count("*") * F.lit(1_000_000.0)), 6)
+                    .alias("avg_logprob")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    "avg_logprob"))

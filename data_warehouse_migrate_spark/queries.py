@@ -3733,6 +3733,50 @@ FROM reach GROUP BY node
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Per-doc mean CONDITIONAL bigram log-probability (functions/lm.py
+    doc_bigram_logprob): the next-token fluency signal that catches
+    scrambled text a unigram model scores as normal. Self-scored on the
+    corpus model; micro-integer mean (order-independent)."""
+    from data_warehouse_migrate_spark.functions.lm import (
+        doc_bigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (doc_bigram_logprob(docs, "text", "doc_id")
+            .select(F.col("id").alias("doc_id"), "n_bigrams",
+                    "avg_logprob"))
+
+
+O_BIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+                            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+counts AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n) AS ca FROM counts GROUP BY w1),
+model AS (
+  SELECT c.w1, c.w2, round(log10(c.n / ca), 6) AS logp
+  FROM counts c JOIN ctx USING (w1)),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(sum(CAST(round(m.logp * 1000000.0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS avg_logprob
+  FROM bi b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3768,12 +3812,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 15 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 71 slots for 50; the resolutions are
+    # leads + 16 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 72 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-18:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-19:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3784,22 +3828,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         deletion-neighborhood entity resolution), fluency_band
     #         (CCNet LM-score selection), funnel_events + cohort_retention
     #         (event-sequence analytics), entity_clusters (transitive
-    #         entity resolution) — all beyond-reference additions.
-    # 19-21:  pinned by rule 2 — code on their path changed this round
+    #         entity resolution), bigram_logprob (conditional next-token
+    #         fluency) — all beyond-reference additions.
+    # 20-22:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 22-27:  the stale rows-only residents (r6 verdict item 5 — last
+    # 23-28:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 32).
-    # 28-50:  23 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 21 that don't fit —
+    #         in-window at 33).
+    # 29-50:  22 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 22 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
@@ -3809,10 +3854,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         doc_fingerprints, sessionize (its streaming twin stays
     #         pinned in-window), salted_event_totals (equivalence-
     #         contract query; salted_event_join stays in-window),
-    #         scrub_pii (regex chains fully pytest-pinned) — stable
-    #         plumbing/expression paths, displaced when the fifteen
+    #         scrub_pii (regex chains fully pytest-pinned),
+    #         chunk_documents (packing.py untouched; its siblings
+    #         pack_sequences/packing_stats were r6-green) — stable
+    #         plumbing/expression paths, displaced when the sixteen
     #         new r07 queries entered (rule 2 outranks rule 1; all
-    #         fifteen also pytest-verified live) — all
+    #         sixteen also pytest-verified live) — all
     #         r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
@@ -3842,11 +3889,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
     "entity_clusters": q_entity_clusters,
-    # --- 19-21: pinned, execution-path code changed this round (rule 2) ---
+    "bigram_logprob": q_bigram_logprob,
+    # --- 20-22: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 22-27: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 23-28: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3854,7 +3902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 28-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 29-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3875,13 +3923,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
     "cross_corpus_dedup": q_cross_corpus_dedup,
-    "chunk_documents": q_chunk_documents,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-72: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-73: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -3897,6 +3944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
+    "chunk_documents": q_chunk_documents,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3994,6 +4042,7 @@ ORACLES: dict[str, str] = {
     "funnel_events": O_FUNNEL_EVENTS,
     "cohort_retention": O_COHORT_RETENTION,
     "entity_clusters": O_ENTITY_CLUSTERS,
+    "bigram_logprob": O_BIGRAM_LOGPROB,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

@@ -377,3 +377,33 @@ def test_entity_clusters_transitive(spark):
            for r in entity_clusters(recs, "rec_id", "name").collect()}
     # transitivity: anne~ann~anns one cluster even though lev(anne,anns)=2
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_bigram_model_conditional_probs(spark):
+    import math
+
+    from data_warehouse_migrate_spark.functions.lm import (
+        bigram_model,
+        doc_bigram_logprob,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "a b a b"), (2, "a b a c"),
+    ], "doc_id int, text string")
+    m = {(r.w1, r.w2): (r.n, r.logp)
+         for r in bigram_model(docs, "text").collect()}
+    # contexts: a→{b:3 of 3}, b→{a:2 of 2}... wait doc1: a b, b a, a b;
+    # doc2: a b, b a, a c → c(a,b)=3, c(a,c)=1 (ctx a=4); c(b,a)=2 (ctx b=2)
+    assert m[("a", "b")] == (3, round(math.log10(3 / 4), 6))
+    assert m[("a", "c")] == (1, round(math.log10(1 / 4), 6))
+    assert m[("b", "a")] == (2, 0.0)  # log10(1)
+    scored = {r.id: (r.n_bigrams, r.avg_logprob)
+              for r in doc_bigram_logprob(docs, "text",
+                                          "doc_id").collect()}
+    assert scored[1][0] == 3 and scored[2][0] == 3
+    # doc2 contains the rare (a,c) transition → lower mean than doc1
+    assert scored[2][1] < scored[1][1]
+    # short doc: no bigrams, NULL score
+    short = spark.createDataFrame([(9, "word")], "doc_id int, text string")
+    s9 = doc_bigram_logprob(short, "text", "doc_id").collect()[0]
+    assert s9.n_bigrams == 0 and s9.avg_logprob is None
