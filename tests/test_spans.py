@@ -407,3 +407,62 @@ def test_bigram_model_conditional_probs(spark):
     short = spark.createDataFrame([(9, "word")], "doc_id int, text string")
     s9 = doc_bigram_logprob(short, "text", "doc_id").collect()[0]
     assert s9.n_bigrams == 0 and s9.avg_logprob is None
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_migrate_spark.sources.sinks import (
+        write_clustered,
+        write_zordered,
+    )
+
+    df = (spark.range(4096)
+          .select((F.col("id") % 64).alias("x"),
+                  (F.col("id") / 64).cast("long").alias("y"),
+                  F.col("id").alias("payload")))
+    xdir, zdir = str(tmp_path / "xonly"), str(tmp_path / "zord")
+    write_clustered(df, xdir, ["x"], n_files=16)
+    write_zordered(df, zdir, ["x", "y"], n_files=16, bits_per_col=6)
+
+    def ranges(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        mn = (c.statistics.min if mn is None
+                              else min(mn, c.statistics.min))
+                        mx = (c.statistics.max if mx is None
+                              else max(mx, c.statistics.max))
+            if mn is not None:
+                out.append((mn, mx))
+        return out
+
+    def skipped(rngs, lo, hi):
+        return sum(1 for mn, mx in rngs if mx < lo or mn > hi)
+
+    # x-only clustering: perfect skipping on x, NONE on y
+    assert skipped(ranges(xdir, "x"), 10, 12) >= 12
+    assert skipped(ranges(xdir, "y"), 10, 12) == 0
+    # z-order: a narrow predicate on EITHER column skips most files
+    # (boundary files straddling a z-curve bit flip stay wide — expected)
+    assert skipped(ranges(zdir, "x"), 10, 12) >= 8
+    assert skipped(ranges(zdir, "y"), 10, 12) >= 8
+
+
+def test_write_zordered_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_warehouse_migrate_spark.sources.sinks import write_zordered
+
+    df = spark.range(10).select(F.col("id").alias("x"))
+    with _pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z1"), ["x"], bits_per_col=0)
+    with _pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z2"), [])
