@@ -195,6 +195,8 @@ EXTENDED = [
     "cohort_retention",
     "entity_clusters",
     "bigram_logprob",
+    "winsorize_events",
+    "mad_outliers_events",
 ]
 
 

@@ -3777,6 +3777,64 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_winsorize_events(spark, sf_dir):
+    """Per-type exact-percentile winsorization (operators/outliers.py
+    winsorize): event values clipped into their [p05, p95] band — the
+    robust pre-scaling clean for migrated metric columns."""
+    from data_warehouse_migrate_spark.operators.outliers import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    return (winsorize(e, "value", "event_type",
+                      lower=0.05, upper=0.95)
+            .select("event_id", "event_type", "value",
+                    F.round(F.col("value_w"), 6).alias("value_w")))
+
+
+O_WINSORIZE_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+
+def q_mad_outliers_events(spark, sf_dir):
+    """Iglewicz–Hoaglin robust outlier flags (operators/outliers.py
+    mad_outliers): modified z-score 0.6745·(x−median)/MAD per event
+    type, |z| > 3.5 flagged — 50% breakdown point, so the flags
+    survive corrupt-magnitude floods that drag mean/stddev clipping."""
+    from data_warehouse_migrate_spark.operators.outliers import (
+        mad_outliers,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return (mad_outliers(e, "value", "event_type")
+            .select("event_id", "event_type", "value", "robust_z",
+                    "is_outlier"))
+
+
+O_MAD_OUTLIERS_EVENTS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN mad.d > 0
+            THEN round(0.6745 * (e.value - med.m) / mad.d, 6) END
+         AS robust_z,
+       coalesce(abs(CASE WHEN mad.d > 0
+                         THEN round(0.6745 * (e.value - med.m) / mad.d, 6)
+                    END) > 3.5, FALSE) AS is_outlier
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3812,12 +3870,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 16 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 72 slots for 50; the resolutions are
+    # leads + 18 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 74 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-19:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-21:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3829,22 +3887,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         (CCNet LM-score selection), funnel_events + cohort_retention
     #         (event-sequence analytics), entity_clusters (transitive
     #         entity resolution), bigram_logprob (conditional next-token
-    #         fluency) — all beyond-reference additions.
-    # 20-22:  pinned by rule 2 — code on their path changed this round
+    #         fluency), winsorize_events + mad_outliers_events (robust
+    #         numeric cleaning) — all beyond-reference additions.
+    # 22-24:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 23-28:  the stale rows-only residents (r6 verdict item 5 — last
+    # 25-30:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 33).
-    # 29-50:  22 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 22 that don't fit —
+    #         in-window at 35).
+    # 31-50:  20 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 24 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
@@ -3856,11 +3915,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         contract query; salted_event_join stays in-window),
     #         scrub_pii (regex chains fully pytest-pinned),
     #         chunk_documents (packing.py untouched; its siblings
-    #         pack_sequences/packing_stats were r6-green) — stable
-    #         plumbing/expression paths, displaced when the sixteen
-    #         new r07 queries entered (rule 2 outranks rule 1; all
-    #         sixteen also pytest-verified live) — all
-    #         r05-green with NO code on
+    #         pack_sequences/packing_stats were r6-green),
+    #         click_purchase_interval (its streaming interval-join twin
+    #         is pytest-pinned), curriculum_buckets (quota.py additions
+    #         never touch its path) — stable plumbing/expression paths,
+    #         displaced when the eighteen new r07 queries entered (rule
+    #         2 outranks rule 1; all eighteen also pytest-verified
+    #         live) — all r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
@@ -3890,11 +3951,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "entity_clusters": q_entity_clusters,
     "bigram_logprob": q_bigram_logprob,
-    # --- 20-22: pinned, execution-path code changed this round (rule 2) ---
+    "winsorize_events": q_winsorize_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    # --- 22-24: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 23-28: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 25-30: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3902,7 +3965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 29-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 31-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3923,12 +3986,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
     "cross_corpus_dedup": q_cross_corpus_dedup,
-    "click_purchase_interval": q_click_purchase_interval,
-    "curriculum_buckets": q_curriculum_buckets,
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-73: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-75: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -3945,6 +4006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
     "chunk_documents": q_chunk_documents,
+    "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4043,6 +4106,8 @@ ORACLES: dict[str, str] = {
     "cohort_retention": O_COHORT_RETENTION,
     "entity_clusters": O_ENTITY_CLUSTERS,
     "bigram_logprob": O_BIGRAM_LOGPROB,
+    "winsorize_events": O_WINSORIZE_EVENTS,
+    "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,

@@ -466,3 +466,30 @@ def test_write_zordered_validates(spark, tmp_path):
         write_zordered(df, str(tmp_path / "z1"), ["x"], bits_per_col=0)
     with _pytest.raises(ValueError):
         write_zordered(df, str(tmp_path / "z2"), [])
+
+
+def test_winsorize_and_mad(spark):
+    from data_warehouse_migrate_spark.operators.outliers import (
+        mad_outliers,
+        winsorize,
+    )
+
+    vals = [float(v) for v in range(1, 20)] + [1000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "rid int, v double")
+    w = winsorize(df, "v", lower=0.05, upper=0.95)
+    out = {r.rid: r.v_w for r in w.collect()}
+    assert max(out.values()) < 1000.0   # spike clipped to p95
+    assert out[0] > 1.0                 # low tail clipped to p05
+    assert w.count() == 20
+
+    m = mad_outliers(df, "v")
+    flags = {r.rid: (r.is_outlier, r.robust_z) for r in m.collect()}
+    assert flags[19][0] is True         # the 1000.0 spike flagged
+    assert sum(1 for f, _ in flags.values() if f) == 1
+    # zero-MAD group: score NULL, flag false (not everything-unequal)
+    same = spark.createDataFrame([(i, 5.0) for i in range(4)] + [(9, 6.0)],
+                                 "rid int, v double")
+    z = {r.rid: (r.robust_z, r.is_outlier)
+         for r in mad_outliers(same, "v").collect()}
+    assert z[9] == (None, False)
