@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
-_FORMAT_READERS = ("parquet", "csv", "json", "orc")
+_FORMAT_READERS = ("parquet", "csv", "json", "orc", "text")
 
 # the reference auto-adds LIMIT 100000 when no prunable partition exists
 # (maxcompute_client.py:192-195,207-210)
@@ -34,7 +34,12 @@ def read_table(spark: SparkSession, path_or_table: str,
                fmt: str = "parquet",
                jdbc_options: dict[str, str] | None = None,
                schema=None, **options) -> DataFrame:
-    """Unified reader (S1). ``fmt`` ∈ parquet/csv/json/orc/jdbc/table."""
+    """Unified reader (S1). ``fmt`` ∈ parquet/csv/json/orc/text/jdbc/
+    table. ``text`` reads raw corpora — one row per LINE by default, or
+    one row per FILE with ``wholetext=True`` (the document-ingestion
+    shape; Spark's text source parallelizes line mode by split and
+    wholetext by file). See ``read_text_corpus`` for the id-stamped
+    convenience wrapper."""
     if fmt == "table":
         return spark.table(path_or_table)
     if fmt == "jdbc":
@@ -278,3 +283,38 @@ def parquet_footer_stats(path: str,
             acc["null_count"] = None
     return {"n_files": len(files), "n_rows": n_rows,
             "total_bytes": total_bytes, "columns": col_stats}
+
+
+def read_text_corpus(spark: SparkSession, path: str,
+                     wholetext: bool = False,
+                     id_from: str = "hash") -> DataFrame:
+    """Raw-text corpus ingestion: (doc_id, text[, source_file]) from a
+    directory/glob of plain-text files — the front door for corpora
+    that arrive as flat files rather than parquet.
+
+    ``wholetext=False`` (default) yields one document per LINE (the
+    jsonl-adjacent shape; splittable, parallel at any file size);
+    ``wholetext=True`` yields one document per FILE (parallel per file
+    — a single 100 GB text file would be one task, so shard first).
+
+    ``id_from``: 'hash' stamps ``doc_id`` as the 64-bit xxhash of
+    (source file, line text) — deterministic across runs and
+    partitionings, collision odds ~n²/2⁶⁵; 'file' keeps only the
+    source-file column and no id (caller assigns). A
+    monotonically-increasing id is deliberately NOT offered: it is
+    partitioning-dependent, which would break the engine's
+    deterministic-id conventions (sampling draws, dedup tie-breaks).
+    """
+    reader = spark.read
+    if wholetext:
+        reader = reader.option("wholetext", "true")
+    df = (reader.format("text").load(path)
+          .select(F.input_file_name().alias("source_file"),
+                  F.col("value").alias("text")))
+    if id_from == "hash":
+        return df.select(
+            F.xxhash64(F.col("source_file"), F.col("text")).alias("doc_id"),
+            "text", "source_file")
+    if id_from == "file":
+        return df
+    raise ValueError(f"id_from must be 'hash' or 'file' (got {id_from!r})")

@@ -493,3 +493,36 @@ def test_winsorize_and_mad(spark):
     z = {r.rid: (r.robust_z, r.is_outlier)
          for r in mad_outliers(same, "v").collect()}
     assert z[9] == (None, False)
+
+
+def test_read_text_corpus(spark, tmp_path):
+    from data_warehouse_migrate_spark.sources.readers import (
+        read_table,
+        read_text_corpus,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line\nsecond doc line\n")
+    (d / "b.txt").write_text("whole file body\nwith two lines\n")
+
+    lines = read_text_corpus(spark, str(d))
+    assert lines.count() == 4
+    assert set(lines.columns) == {"doc_id", "text", "source_file"}
+    # ids deterministic across re-reads and partitionings
+    ids1 = {r.doc_id for r in lines.collect()}
+    ids2 = {r.doc_id
+            for r in read_text_corpus(spark, str(d)).repartition(7).collect()}
+    assert ids1 == ids2 and len(ids1) == 4
+
+    whole = read_text_corpus(spark, str(d), wholetext=True)
+    texts = {r.source_file.rsplit("/", 1)[-1]: r.text
+             for r in whole.collect()}
+    assert texts["b.txt"] == "whole file body\nwith two lines\n".rstrip("\n") \
+        or "with two lines" in texts["b.txt"]
+
+    # plain read_table text format
+    assert read_table(spark, str(d), fmt="text").count() == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_text_corpus(spark, str(d), id_from="nope")
