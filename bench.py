@@ -197,6 +197,7 @@ EXTENDED = [
     "bigram_logprob",
     "winsorize_events",
     "mad_outliers_events",
+    "last_touch_attribution",
 ]
 
 

@@ -3835,6 +3835,39 @@ FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 """
 
 
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution (composition of operators/temporal.py
+    asof_join): each purchase attributed to the user's most recent
+    click at purchase time — the standard marketing-attribution
+    warehouse query, an as-of join with both sides filtered from the
+    same stream. Ties at identical (user, ts) click times resolve to
+    the max click_id (deduped right side, unique as-of tie-break)."""
+    from data_warehouse_migrate_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    value_cols=["click_id"])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("matched_ts").alias("click_ts"), "click_id")
+
+
+O_LAST_TOUCH_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.click_id
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3870,12 +3903,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 18 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 74 slots for 50; the resolutions are
+    # leads + 19 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 75 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-21:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-22:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3888,22 +3921,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         (event-sequence analytics), entity_clusters (transitive
     #         entity resolution), bigram_logprob (conditional next-token
     #         fluency), winsorize_events + mad_outliers_events (robust
-    #         numeric cleaning) — all beyond-reference additions.
-    # 22-24:  pinned by rule 2 — code on their path changed this round
+    #         numeric cleaning), last_touch_attribution (as-of
+    #         composition) — all beyond-reference additions.
+    # 23-25:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 25-30:  the stale rows-only residents (r6 verdict item 5 — last
+    # 26-31:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 35).
-    # 31-50:  20 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 24 that don't fit —
+    #         in-window at 36).
+    # 32-50:  19 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 25 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
@@ -3918,10 +3952,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         pack_sequences/packing_stats were r6-green),
     #         click_purchase_interval (its streaming interval-join twin
     #         is pytest-pinned), curriculum_buckets (quota.py additions
-    #         never touch its path) — stable plumbing/expression paths,
-    #         displaced when the eighteen new r07 queries entered (rule
-    #         2 outranks rule 1; all eighteen also pytest-verified
-    #         live) — all r05-green with NO code on
+    #         never touch its path), cross_corpus_dedup (dedup.py
+    #         additions never touch its path) — stable plumbing/
+    #         expression paths, displaced when the nineteen new r07
+    #         queries entered (rule 2 outranks rule 1; all nineteen
+    #         also pytest-verified live) — all r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
@@ -3953,11 +3988,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "winsorize_events": q_winsorize_events,
     "mad_outliers_events": q_mad_outliers_events,
-    # --- 22-24: pinned, execution-path code changed this round (rule 2) ---
+    "last_touch_attribution": q_last_touch_attribution,
+    # --- 23-25: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 25-30: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 26-31: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -3965,7 +4001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 31-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 32-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -3985,11 +4021,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_stream": q_events_hourly_stream,
     "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-75: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-76: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -4008,6 +4043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4108,6 +4144,7 @@ ORACLES: dict[str, str] = {
     "bigram_logprob": O_BIGRAM_LOGPROB,
     "winsorize_events": O_WINSORIZE_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
+    "last_touch_attribution": O_LAST_TOUCH_ATTRIBUTION,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,
