@@ -126,7 +126,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report, indent=2, default=str))
         print(plan)
         return 0
-    if stream:
+    if stream and cfg.get("scd2_keys"):
+        result = job.run_scd2_stream(spark, cfg["checkpoint"],
+                                     cfg["scd2_keys"],
+                                     batch_date=cfg.get("scd2_batch_date"))
+    elif stream:
         pt = cfg.get("processing_time")
         result = job.run_stream(spark, cfg["checkpoint"],
                                 available_now=not pt, processing_time=pt)

@@ -563,13 +563,6 @@ class MigrationJob:
         (``operators.delta.apply_delta_jdbc``) — delta-sized traffic,
         no history rewrite, no rows through the driver.
         """
-        from data_warehouse_migrate_spark.operators.delta import (
-            apply_delta_jdbc,
-            scd2_apply,
-            snapshot_delta,
-        )
-        from pyspark.errors import AnalysisException
-
         if close_deleted and (self.limit or self.partition_columns):
             raise ConfigurationError(
                 "run_scd2(close_deleted=True) needs the FULL source "
@@ -582,6 +575,26 @@ class MigrationJob:
             batch_date = _dt.datetime.now(_dt.timezone.utc).date().isoformat()
 
         src = self.build_plan(spark)
+        return self._scd2_sync(spark, src, key_cols, tracked_cols,
+                               batch_date, from_col, to_col, cur_col,
+                               close_deleted)
+
+    def _scd2_sync(self, spark: SparkSession, src: DataFrame,
+                   key_cols: list[str], tracked_cols: list[str] | None,
+                   batch_date: str, from_col: str, to_col: str,
+                   cur_col: str, close_deleted: bool) -> dict[str, Any]:
+        """The SCD2 fold core shared by :meth:`run_scd2` (batch) and
+        :meth:`run_scd2_stream` (per micro-batch): read the destination
+        history (absent → first-run initialize), fold ``src`` in via
+        ``scd2_apply``, diff on (key, valid_from), apply delta-sized
+        changes."""
+        from data_warehouse_migrate_spark.operators.delta import (
+            apply_delta_jdbc,
+            scd2_apply,
+            snapshot_delta,
+        )
+        from pyspark.errors import AnalysisException
+
         scd_cols = (from_col, to_col, cur_col)
         clash = [c for c in src.columns if c in scd_cols]
         if clash:
@@ -684,6 +697,78 @@ class MigrationJob:
         finally:
             delta.unpersist()
         return out
+
+    # ------------------------------------------------------------------
+    def run_scd2_stream(self, spark: SparkSession, checkpoint_dir: str,
+                        key_cols: list[str],
+                        tracked_cols: list[str] | None = None,
+                        batch_date: str | None = None,
+                        available_now: bool = True) -> dict[str, Any]:
+        """CONTINUOUS type-2 history maintenance: the source directory
+        becomes a file stream and every micro-batch folds its rows into
+        the destination history via the same SCD2 core as
+        :meth:`run_scd2` — arriving dimension updates version the
+        history as they land, with the checkpoint guaranteeing each
+        source file folds exactly once.
+
+        Each micro-batch is by construction a PARTIAL snapshot, so
+        deletes are never inferred (``close_deleted`` has no streaming
+        analogue — a full-snapshot reconciliation belongs to a batch
+        :meth:`run_scd2` run). ``batch_date=None`` stamps each batch
+        with its processing UTC date (the usual always-on semantics);
+        an explicit date pins every folded batch to one version date
+        (reproducible catch-up runs). foreachBatch serializes batches,
+        so history read-fold-write cycles never interleave;
+        at-least-once on crash between write and checkpoint commit, as
+        with :meth:`run_stream` (an identical-payload replay is a
+        no-op by SCD2 semantics — replays cannot duplicate versions
+        unless the batch date ALSO changed across the retry).
+        """
+        import os
+
+        batch_src = read_table(spark, self.source_path,
+                               fmt=self.source_format)
+        reader = (spark.readStream.format(self.source_format)
+                  .schema(batch_src.schema)
+                  .options(**({"header": "true"}
+                              if self.source_format == "csv" else {})))
+        if os.path.isdir(self.source_path) or "://" in self.source_path:
+            stream = reader.load(self.source_path)
+        else:
+            base, fname = os.path.split(self.source_path.rstrip("/"))
+            stream = reader.option("pathGlobFilter", fname).load(base)
+
+        totals = {"batches": 0, "versions_opened": 0,
+                  "versions_closed": 0}
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            import datetime as _dt
+
+            if batch_df.isEmpty():
+                return
+            bd = batch_date or _dt.datetime.now(
+                _dt.timezone.utc).date().isoformat()
+            out = self._scd2_sync(spark, self._transform(batch_df),
+                                  key_cols, tracked_cols, bd,
+                                  "valid_from", "valid_to", "is_current",
+                                  close_deleted=False)
+            totals["batches"] += 1
+            totals["versions_opened"] += out["versions_opened"]
+            totals["versions_closed"] += out["versions_closed"]
+
+        writer = (stream.writeStream.foreachBatch(handle)
+                  .option("checkpointLocation", checkpoint_dir))
+        q = writer.trigger(availableNow=True).start() if available_now \
+            else writer.start()
+        if available_now:
+            q.awaitTermination()
+            return {"status": "success", "scd2": True,
+                    "destination": self.destination_path,
+                    "checkpoint": checkpoint_dir, **totals}
+        return {"status": "running", "scd2": True,
+                "destination": self.destination_path,
+                "checkpoint": checkpoint_dir,
+                "totals": totals, "query": q}
 
     # ------------------------------------------------------------------
     def run_stream(self, spark: SparkSession, checkpoint_dir: str,

@@ -526,3 +526,39 @@ def test_read_text_corpus(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_text_corpus(spark, str(d), id_from="nope")
+
+
+def test_run_scd2_stream_folds_arrivals(spark, tmp_path):
+    from data_warehouse_migrate_spark.migrate import MigrationJob
+
+    import shutil
+
+    src = str(tmp_path / "scd_stream_src")
+    dst = str(tmp_path / "scd_hist.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "A"), (2, "B")],
+                          "k long, v string").coalesce(1).write.parquet(src)
+    shutil.rmtree(f"{src}/_spark_metadata", ignore_errors=True)
+    job = MigrationJob(source_path=src, destination_path=dst,
+                       mode="append")
+    out1 = job.run_scd2_stream(spark, ckpt, ["k"],
+                               batch_date="2026-01-01")
+    assert out1["status"] == "success" and out1["versions_opened"] == 2
+
+    # second file arrives: k=1 changes, k=3 is new; k=2 not re-sent
+    spark.createDataFrame([(1, "A2"), (3, "C")],
+                          "k long, v string").coalesce(1).write.mode(
+        "append").parquet(src)
+    out2 = job.run_scd2_stream(spark, ckpt, ["k"],
+                               batch_date="2026-02-01")
+    # checkpoint scopes this run to the NEW file only
+    assert out2["batches"] == 1
+    assert (out2["versions_opened"], out2["versions_closed"]) == (2, 1)
+    rows = {(r.k, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in spark.read.parquet(dst).collect()}
+    assert rows == {
+        (1, "A", "2026-01-01", "2026-02-01", False),
+        (1, "A2", "2026-02-01", "None", True),
+        (2, "B", "2026-01-01", "None", True),
+        (3, "C", "2026-02-01", "None", True),
+    }
