@@ -198,6 +198,7 @@ EXTENDED = [
     "winsorize_events",
     "mad_outliers_events",
     "last_touch_attribution",
+    "local_supplier_volume",
 ]
 
 

@@ -3868,6 +3868,57 @@ FROM p ASOF LEFT JOIN c
 """
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation from orders where customer
+    and supplier share the nation, one region + one order-date year.
+    Six-table join — region/nation/supplier/customer broadcast, the
+    lineitem-orders fact spine shuffles once on the join key; the
+    same-nation predicate rides the supplier join condition. Revenue
+    uses the engine's decimal-money idiom (pricing_summary): per-row
+    products rounded to scale 4 BEFORE the decimal sum, so the result
+    is partition-order independent and engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast(DEC)  # noqa: E731
+    rev = F.round((dec("l_extendedprice")
+                   * (F.lit(1).cast(DEC) - dec("l_discount")))
+                  .cast("decimal(38,8)"), 4).cast("decimal(28,4)")
+    out = (li.join(o.filter(F.year("o_orderdate") == 1996),
+                   li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(s),
+                 (li.l_suppkey == s.s_suppkey)
+                 & (c.c_nationkey == s.s_nationkey))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                 n.n_regionkey == r.r_regionkey)
+           .groupBy("n_name")
+           .agg(F.sum(rev).cast("double").alias("revenue"))
+           .orderBy(F.desc("revenue"), "n_name"))
+    return out
+
+
+O_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,8)), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3903,12 +3954,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # r07 window composition (the rules above are over-constrained this
     # round: 44 rule-1 oracle-backed tail queries + 3 never-driver-checked
-    # leads + 19 new queries + 3 code-change pins + the r6 verdict's item
-    # 5 (rows-only refresh) demand 75 slots for 50; the resolutions are
+    # leads + 20 new queries + 3 code-change pins + the r6 verdict's item
+    # 5 (rows-only refresh) demand 76 slots for 50; the resolutions are
     # documented per block):
     #   1-3:  the three r06 post-freeze registrations — the only entries
     #         that have NEVER had an external check (r6 verdict item 1).
-    #  4-22:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
+    #  4-23:  NEW in r07 (rule 2): mixture_upsample (r6 verdict item 7),
     #         semantic_dedup (SemDeDup), repeated_spans + strip_spans +
     #         span_decontaminate (ExactSubstr span dedup and span-level
     #         decontamination, Lee et al. 2021), hard_negatives
@@ -3922,22 +3973,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         entity resolution), bigram_logprob (conditional next-token
     #         fluency), winsorize_events + mad_outliers_events (robust
     #         numeric cleaning), last_touch_attribution (as-of
-    #         composition) — all beyond-reference additions.
-    # 23-25:  pinned by rule 2 — code on their path changed this round
+    #         composition), local_supplier_volume (TPC-H Q5 shape) —
+    #         all beyond-reference additions.
+    # 24-26:  pinned by rule 2 — code on their path changed this round
     #         (mixture_sample: the upsample rework in quota.py;
     #         incremental_migrate: SQLState first-run classification in
     #         migrate.py + staging-cleanup fixes in delta.py;
     #         sessionize_stream: drain tuning in streaming/windows.py).
-    # 26-31:  the stale rows-only residents (r6 verdict item 5 — last
+    # 27-32:  the stale rows-only residents (r6 verdict item 5 — last
     #         driver rows r3/r4; rule 4 amended: rows-only entries now
     #         rotate in at least every 3rd round so even their
     #         rows/err checks can't drift) — embedding_lsh_ann and
     #         embedding_ivf are ALSO rule-2 pins (the salted top-k +
     #         hot-bucket/kmeans guards in similarity.py are on their
     #         paths; their oracle-backed twin embedding_topk is
-    #         in-window at 36).
-    # 32-50:  19 of the 44 r06-tail oracle-backed queries (rule 1 — their
-    #         newest driver rows are r05). The 25 that don't fit —
+    #         in-window at 37).
+    # 33-50:  18 of the 44 r06-tail oracle-backed queries (rule 1 — their
+    #         newest driver rows are r05). The 26 that don't fit —
     #         hash_sample_orders, train_eval_split, stratified_sample,
     #         weighted_sample_orders, reservoir_sample, doc_repetition,
     #         shuffle_corpus, pmi_collocations (the sampling/LM family,
@@ -3953,10 +4005,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         click_purchase_interval (its streaming interval-join twin
     #         is pytest-pinned), curriculum_buckets (quota.py additions
     #         never touch its path), cross_corpus_dedup (dedup.py
-    #         additions never touch its path) — stable plumbing/
-    #         expression paths, displaced when the nineteen new r07
-    #         queries entered (rule 2 outranks rule 1; all nineteen
-    #         also pytest-verified live) — all r05-green with NO code on
+    #         additions never touch its path), hypertable_rollup
+    #         (grouping-sets pass, streaming/windows.py function
+    #         untouched) — stable plumbing/expression paths, displaced
+    #         when the twenty new r07 queries entered (rule 2 outranks
+    #         rule 1; all twenty also pytest-verified live) — all
+    #         r05-green with NO code on
     #         their paths touched since: the lowest-risk overflow; they
     #         stay tail-resident at r05 rows and LEAD the r08 window.
     # Tail: approx_value_percentiles (rows-only, twin value_percentiles
@@ -3989,11 +4043,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_events": q_winsorize_events,
     "mad_outliers_events": q_mad_outliers_events,
     "last_touch_attribution": q_last_touch_attribution,
-    # --- 23-25: pinned, execution-path code changed this round (rule 2) ---
+    "local_supplier_volume": q_local_supplier_volume,
+    # --- 24-26: pinned, execution-path code changed this round (rule 2) ---
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
     "sessionize_stream": q_sessionize_stream,
-    # --- 26-31: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
+    # --- 27-32: rows-only refresh (r6 verdict item 5; lsh_ann/ivf also
     #           rule-2 pins via similarity.py) --------------------------
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -4001,7 +4056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    # --- 32-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
+    # --- 33-50: r06 tail, oracle-backed, rotating back in (rule 1) -------
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
@@ -4019,12 +4074,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "events_hourly_stream": q_events_hourly_stream,
-    "hypertable_rollup": q_hypertable_rollup,
     "salted_event_join": q_salted_event_join,
     # --- 51: rows-only permanent resident (rule 4; exact twin
     #         value_percentiles was r6-green and rotates out below) ------
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 52-76: rule-1 overflow (r05-green, paths untouched; lead r08).
+    # --- 52-77: rule-1 overflow (r05-green, paths untouched; lead r08).
     #     csv/json/orc_roundtrip, migration_checksum, profile_orders,
     #     metadata_probes, cast_source_schema, events_hourly displaced
     #     mid-round to make window room for the eight NEW r07 queries
@@ -4044,6 +4098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
+    "hypertable_rollup": q_hypertable_rollup,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4145,6 +4200,7 @@ ORACLES: dict[str, str] = {
     "winsorize_events": O_WINSORIZE_EVENTS,
     "mad_outliers_events": O_MAD_OUTLIERS_EVENTS,
     "last_touch_attribution": O_LAST_TOUCH_ATTRIBUTION,
+    "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
     "pricing_summary": O_PRICING_SUMMARY,
     "top_customers": O_TOP_CUSTOMERS,
     "order_priority_counts": O_ORDER_PRIORITY_COUNTS,
