@@ -495,6 +495,62 @@ def test_winsorize_and_mad(spark):
     assert z[9] == (None, False)
 
 
+def test_outliers_null_group_rows_survive(spark):
+    """NULL group keys form their own group — never silently dropped
+    by the bounds join (r7 advisor finding: name-equi-join was
+    null-unsafe)."""
+    from data_warehouse_migrate_spark.operators.outliers import (
+        mad_outliers,
+        winsorize,
+    )
+
+    rows = ([(i, "a", float(v)) for i, v in enumerate(range(1, 21))]
+            + [(100 + i, None, float(v) * 10)
+               for i, v in enumerate(range(1, 21))])
+    df = spark.createDataFrame(rows, "rid int, g string, v double")
+    w = winsorize(df, "v", group_col="g", lower=0.05, upper=0.95)
+    assert w.count() == 40                       # NULL-g rows kept
+    null_rows = {r.rid: r.v_w for r in w.filter("g IS NULL").collect()}
+    assert len(null_rows) == 20
+    # clipped against the NULL group's OWN bounds (values are 10x)
+    assert max(null_rows.values()) > 100.0
+
+    m = mad_outliers(df, "v", group_col="g")
+    assert m.count() == 40
+    assert m.filter("g IS NULL AND robust_z IS NOT NULL").count() == 20
+
+
+def test_outliers_approx_parity(spark):
+    """approx=True routes through percentile_approx; at default
+    accuracy on small groups the bounds coincide with the exact path,
+    so outputs match cell-for-cell (the documented contract: approx is
+    the extreme-scale route, exact is the oracle)."""
+    from data_warehouse_migrate_spark.operators.outliers import (
+        mad_outliers,
+        winsorize,
+    )
+
+    # dense uniform values: percentile_approx returns an actual data
+    # value (no interpolation), so with unit spacing the approx bound
+    # sits within 1.0 of the exact interpolated bound
+    vals = [float(v) for v in range(1, 1001)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "rid int, v double")
+    exact = {r.rid: r.v_w
+             for r in winsorize(df, "v", lower=0.1, upper=0.9).collect()}
+    approx = {r.rid: r.v_w
+              for r in winsorize(df, "v", lower=0.1, upper=0.9,
+                                 approx=True).collect()}
+    assert all(abs(exact[k] - approx[k]) <= 1.0 for k in exact)
+
+    spiked = df.union(spark.createDataFrame([(2000, 100000.0)],
+                                            "rid int, v double"))
+    me = {r.rid: r.is_outlier for r in mad_outliers(spiked, "v").collect()}
+    ma = {r.rid: r.is_outlier
+          for r in mad_outliers(spiked, "v", approx=True).collect()}
+    assert me == ma and me[2000] is True         # same flags, spike caught
+
+
 def test_read_text_corpus(spark, tmp_path):
     from data_warehouse_migrate_spark.sources.readers import (
         read_table,
