@@ -298,13 +298,26 @@ def read_text_corpus(spark: SparkSession, path: str,
     — a single 100 GB text file would be one task, so shard first).
 
     ``id_from``: 'hash' stamps ``doc_id`` as the 64-bit xxhash of
-    (source file, line text) — deterministic across runs and
-    partitionings, collision odds ~n²/2⁶⁵; 'file' keeps only the
+    (source file, text, occurrence ordinal) — deterministic across runs
+    and partitionings AND unique per physical line: identical repeated
+    lines within one file (blank lines, boilerplate — common in
+    line-mode corpora) are ranked 1..k within their (file, text) group,
+    so each copy gets a distinct id instead of k certain collisions
+    (which would break dedup tie-breaks, sampling draws, and id-keyed
+    joins downstream). The rank assignment among byte-identical rows is
+    arbitrary but the resulting id MULTISET is deterministic — any
+    assignment yields the same ids. Residual collision odds are the
+    hash's ~n²/2⁶⁵. Cost: line mode pays one exchange keyed
+    (source_file, text) for the occurrence window — the same key an
+    exact line-dedup shuffles on; wholetext mode skips it (file paths
+    are unique, ordinal is literally 1). 'file' keeps only the
     source-file column and no id (caller assigns). A
     monotonically-increasing id is deliberately NOT offered: it is
     partitioning-dependent, which would break the engine's
     deterministic-id conventions (sampling draws, dedup tie-breaks).
     """
+    from pyspark.sql import Window as W
+
     reader = spark.read
     if wholetext:
         reader = reader.option("wholetext", "true")
@@ -312,8 +325,12 @@ def read_text_corpus(spark: SparkSession, path: str,
           .select(F.input_file_name().alias("source_file"),
                   F.col("value").alias("text")))
     if id_from == "hash":
+        occ = (F.lit(1) if wholetext
+               else F.row_number().over(
+                   W.partitionBy("source_file", "text").orderBy(F.lit(1))))
         return df.select(
-            F.xxhash64(F.col("source_file"), F.col("text")).alias("doc_id"),
+            F.xxhash64(F.col("source_file"), F.col("text"),
+                       occ.cast("long")).alias("doc_id"),
             "text", "source_file")
     if id_from == "file":
         return df

@@ -584,6 +584,31 @@ def test_read_text_corpus(spark, tmp_path):
         read_text_corpus(spark, str(d), id_from="nope")
 
 
+def test_read_text_corpus_duplicate_lines_unique_ids(spark, tmp_path):
+    """Identical repeated lines within one file get DISTINCT doc_ids
+    (r7 advisor finding: hash(file, text) collided with probability 1
+    on duplicate lines), and the id multiset stays deterministic
+    across re-reads and partitionings."""
+    from data_warehouse_migrate_spark.sources.readers import (
+        read_text_corpus,
+    )
+
+    d = tmp_path / "dupcorpus"
+    d.mkdir()
+    (d / "a.txt").write_text("boilerplate\n\nbody A\n\nboilerplate\n")
+    (d / "b.txt").write_text("boilerplate\nbody B\n")
+
+    lines = read_text_corpus(spark, str(d))
+    rows = lines.collect()
+    assert len(rows) == 7
+    ids1 = sorted(r.doc_id for r in rows)
+    assert len(set(ids1)) == 7          # all unique, incl. 2x blank + 3x boilerplate
+    ids2 = sorted(
+        r.doc_id
+        for r in read_text_corpus(spark, str(d)).repartition(5).collect())
+    assert ids1 == ids2                 # deterministic multiset
+
+
 def test_run_scd2_stream_folds_arrivals(spark, tmp_path):
     from data_warehouse_migrate_spark.migrate import MigrationJob
 
