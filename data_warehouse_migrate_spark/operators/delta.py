@@ -287,6 +287,14 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
     existing type, so one operator serves date- and timestamp-grained
     histories.
 
+    UNTRACKED payload columns (history columns beyond ``key_cols`` ∪
+    ``tracked_cols`` ∪ bookkeeping) are carried onto new versions from
+    ``updates`` when ``updates`` has them (standard SCD2 — type-1-style
+    attributes ride along without participating in change detection);
+    if ``updates`` lacks such a column, the call fails UP FRONT with a
+    :class:`ConfigurationError` naming it, instead of the opaque
+    union-time AnalysisException the r7 advisor flagged.
+
     Beyond-reference surface: the reference ships whole tables
     (``migrator.py:210-224``, append or overwrite) — history tracking is
     the warehouse-side feature its users hand-roll downstream. Built on
@@ -296,11 +304,29 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
     bucketed on the key both exchanges vanish. History rows stay one
     pass; only delta-sized data moves twice.
     """
+    # untracked payload columns ride along on new versions (sourced from
+    # updates); change detection stays on tracked_cols only
+    bookkeeping = {from_col, to_col, cur_col}
+    extra = [c for c in history.columns
+             if c not in set(key_cols) | set(tracked_cols) | bookkeeping]
+    missing = [c for c in extra if c not in updates.columns]
+    if missing:
+        from data_warehouse_migrate_spark.exceptions import (
+            ConfigurationError,
+        )
+
+        raise ConfigurationError(
+            f"history carries untracked payload columns {missing} that "
+            f"updates lacks — new versions would have no value for them. "
+            f"Either include them in updates (they are carried through, "
+            f"not compared), list them in tracked_cols, or drop them "
+            f"from history.")
+
     cur = history.filter(F.col(cur_col))
     delta = snapshot_delta(
-        updates.select(*key_cols, *tracked_cols),
+        updates.select(*key_cols, *tracked_cols, *extra),
         cur.select(*key_cols, *tracked_cols),
-        key_cols, tracked_cols)
+        key_cols, compare_cols=tracked_cols)
 
     close_types = ["update"] + (["delete"] if close_deleted else [])
     to_close = (delta.filter(F.col("change_type").isin(close_types))
@@ -322,7 +348,7 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
                     .otherwise(F.col(f"h.{cur_col}")).alias(cur_col)))
 
     opened = (delta.filter(F.col("change_type").isin("insert", "update"))
-              .select(*key_cols, *tracked_cols)
+              .select(*key_cols, *tracked_cols, *extra)
               .withColumn(from_col, batch)
               .withColumn(to_col, F.lit(None).cast(dict(history.dtypes)[to_col]))
               .withColumn(cur_col, F.lit(True)))

@@ -171,6 +171,38 @@ def test_scd2_apply_idempotent_on_unchanged(scd2_world):
     assert again.filter(F.col("valid_from") == "2026-06-01").count() == 0
 
 
+def test_scd2_apply_untracked_columns_carried(spark):
+    """History columns outside key ∪ tracked ∪ bookkeeping are carried
+    onto new versions from updates (type-1-style ride-along, not
+    compared); if updates lacks them the call fails up front with a
+    descriptive ConfigurationError, not a union-time AnalysisException
+    (r7 advisor finding)."""
+    import pytest as _pytest
+
+    from data_warehouse_migrate_spark.exceptions import ConfigurationError
+
+    hist = spark.createDataFrame(
+        [(1, 10.0, "east", "2020-01-01", None, True),
+         (2, 20.0, "west", "2020-01-01", None, True)],
+        "k int, val double, region string, valid_from string, "
+        "valid_to string, is_current boolean")
+    upd = spark.createDataFrame(
+        [(1, 11.0, "north"),   # val changed → close+reopen, region rides
+         (2, 20.0, "south")],  # val unchanged → no-op (region NOT compared)
+        "k int, val double, region string")
+    out = scd2_apply(hist, upd, ["k"], ["val"], "2026-01-01")
+    rows = {(r.k, r.val, r.region, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, 10.0, "east", False),    # closed version keeps its region
+        (1, 11.0, "north", True),    # new version carries updates' region
+        (2, 20.0, "west", True),     # unchanged tracked → untouched
+    }
+
+    upd_missing = upd.drop("region")
+    with _pytest.raises(ConfigurationError, match="region"):
+        scd2_apply(hist, upd_missing, ["k"], ["val"], "2026-01-01")
+
+
 def test_cross_corpus_spans_finds_leak(spark):
     leak = "the exact benchmark question text appears here verbatim today"
     train = spark.createDataFrame([
