@@ -194,8 +194,11 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     binary-search-free bounded ``filter`` over the bound array, the
     Morton code interleaves their bits, and the frame is
     range-partitioned + sorted on that code before writing. One sample
-    pass + one range exchange — same write-time cost class as
-    single-column clustering. Numeric/timestamp columns only (quantiles
+    pass (a single multi-column ``approxQuantile``) + one range
+    exchange — same write-time cost class as single-column clustering.
+    ``bits_per_col × len(zorder_cols)`` must stay ≤ 63: the Morton code
+    lives in a signed long, and a bit at position 63 flips the sign and
+    inverts the range order. Numeric/timestamp columns only (quantiles
     need an order); NULLs rank 0, documented. Returns the file target
     count (range partitions).
     """
@@ -206,11 +209,22 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
                          f"(got {bits_per_col})")
     if not zorder_cols or len(zorder_cols) > 4:
         raise ValueError("zorder_cols must name 1-4 columns")
+    if bits_per_col * len(zorder_cols) > 63:
+        # bit 63 of a signed long is the sign: a Morton code reaching it
+        # sorts the HIGHEST codes first under repartitionByRange, silently
+        # destroying clustering quality at exactly the max configuration
+        raise ValueError(
+            f"bits_per_col * len(zorder_cols) must be <= 63 to keep the "
+            f"Morton code out of the long's sign bit "
+            f"(got {bits_per_col} * {len(zorder_cols)} = "
+            f"{bits_per_col * len(zorder_cols)}); lower bits_per_col")
     n_bins = 1 << bits_per_col
     n = n_files or df.rdd.getNumPartitions()
 
     # quantile bounds per column (sampled; 2^bits floats each on the
     # driver — KBs). Timestamps quantile through their epoch seconds.
+    # ONE multi-column approxQuantile call = one scan for all columns
+    # (the per-column loop paid a full pass each).
     work = df
     probe_cols = {}
     for c in zorder_cols:
@@ -220,8 +234,9 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
             else F.unix_timestamp(F.col(c)).cast("double")
         work = work.withColumn(probe_cols[c], expr)
     qs = [i / n_bins for i in range(1, n_bins)]
-    bounds = {c: work.approxQuantile(probe_cols[c], qs, 0.001)
-              for c in zorder_cols}
+    all_bounds = work.approxQuantile(
+        [probe_cols[c] for c in zorder_cols], qs, 0.001)
+    bounds = dict(zip(zorder_cols, all_bounds))
 
     # per-row rank: how many bounds lie at or below the value (bounded
     # JVM filter over the literal bound array — no UDF, no join)

@@ -498,6 +498,12 @@ def test_write_zordered_validates(spark, tmp_path):
         write_zordered(df, str(tmp_path / "z1"), ["x"], bits_per_col=0)
     with _pytest.raises(ValueError):
         write_zordered(df, str(tmp_path / "z2"), [])
+    # sign-bit guard: 16 bits x 4 cols puts a Morton bit at position 63
+    df4 = df.select("x", F.col("x").alias("y"), F.col("x").alias("z"),
+                    F.col("x").alias("w"))
+    with _pytest.raises(ValueError, match="sign"):
+        write_zordered(df4, str(tmp_path / "z3"), ["x", "y", "z", "w"],
+                       bits_per_col=16)
 
 
 def test_winsorize_and_mad(spark):
