@@ -345,8 +345,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     by the shingle join. ``max_shingle_freq`` drops shingles occurring in
     more than F docs (skew cap; see module docstring). ``diag`` (optional
     dict, bench-only) eagerly records docs / distinct_shingles /
-    prefix_rows / candidate_pairs — the volumes that pin whether a bench
-    drift is a plan regression or host noise.
+    prefix_rows / candidate_pairs / output_pairs /
+    candidates_per_output — the volumes that pin whether a bench drift
+    is a plan regression or host noise.
+
+    Duplicate-density sensitivity (measured, r7 10× stress): candidate
+    volume scales with the number of TRUE near-duplicate pairs, which is
+    itself superlinear when duplicate CLUSTERS grow with the corpus —
+    10× docs on the synthetic bench corpus produced 103× candidates
+    (68.7k → 7.09M) because output pairs grew to 250.6k; the
+    candidates-per-OUTPUT ratio stayed ~28×. Prefix filtering bounds
+    candidates relative to true results, not corpus size — on a real
+    mixed corpus (duplicate rate flat in corpus size) candidates grow
+    ~linearly, but monitor ``candidates_per_output`` in production: a
+    blow-up there means the threshold/shingle choice, not the data
+    volume, is the problem.
     """
     from pyspark.sql import Window as W
 
@@ -446,6 +459,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if diag is not None:
+        out = _materialize(out)
+        n_out = out.count()
+        diag.update(
+            output_pairs=n_out,
+            candidates_per_output=round(
+                diag["candidate_pairs"] / max(n_out, 1), 2))
     return out
 
 
