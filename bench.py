@@ -199,6 +199,8 @@ EXTENDED = [
     "mad_outliers_events",
     "last_touch_attribution",
     "local_supplier_volume",
+    # round-8 addition (the only r8 registry entry — consolidation round)
+    "fuzzy_match_d2",
 ]
 
 

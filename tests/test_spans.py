@@ -287,8 +287,60 @@ def test_fuzzy_join_validates_and_nulls(spark):
     left = spark.createDataFrame([(1, None)], "lid int, lkey string")
     right = spark.createDataFrame([(2, "x")], "rid int, rkey string")
     assert fuzzy_join(left, right, "lkey", "rkey").count() == 0
+    assert fuzzy_join(left, right, "lkey", "rkey",
+                      max_distance=2).count() == 0   # NULL drops at d=2 too
     with _pytest.raises(ValueError):
-        fuzzy_join(left, right, "lkey", "rkey", max_distance=2)
+        fuzzy_join(left, right, "lkey", "rkey", max_distance=3)
+
+
+def test_fuzzy_join_d2_complete_vs_bruteforce(spark):
+    """d=2 completeness contract: the depth-2 deletion-neighborhood
+    join returns EXACTLY the brute-force levenshtein <= 2 pairs, on
+    keys adversarial for it (shared prefixes, short strings, empty
+    neighborhoods, every edit kind incl. two-edit combos)."""
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    keys = ["acme corp", "acme", "acme co", "acme corps inc",
+            "acme crop", "acme dorp co", "a", "ab", "", "zz",
+            "key-0001", "key-0010", "key-1000", "key0001"]
+    left = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "lid int, lkey string")
+    right = spark.createDataFrame(
+        [(100 + i, k) for i, k in enumerate(keys)], "rid int, rkey string")
+    got = {(r.lid, r.rid, r.edit_distance)
+           for r in fuzzy_join(left, right, "lkey", "rkey",
+                               max_distance=2).collect()}
+    from pyspark.sql import functions as F
+    brute = {(r.lid, r.rid, r.d)
+             for r in left.crossJoin(right)
+             .withColumn("d", F.levenshtein("lkey", "rkey"))
+             .filter("d <= 2").collect()}
+    assert got == brute and len(brute) > len(keys)  # off-diagonal hits exist
+
+
+def test_normalize_keys(spark):
+    from data_warehouse_migrate_spark.operators.entity import (
+        fuzzy_join,
+        normalize_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Cust-0042"), (2, "cust 42"), (3, "CUST#042!"),
+         (4, None), (5, "a001b002"), (6, "000"), (7, "cust-43")],
+        "id int, k string")
+    out = {r.id: r.k_norm for r in normalize_keys(df, "k").collect()}
+    assert out[1] == out[2] == out[3] == "cust42"   # 2-edit drift collapsed
+    assert out[4] is None
+    assert out[5] == "a1b2" and out[6] == "0"
+    # the documented recipe: normalize both sides, then d=1 covers typos
+    l = normalize_keys(
+        spark.createDataFrame([(1, "Cust-0042")], "lid int, lk string"),
+        "lk", "lkn")
+    r = normalize_keys(
+        spark.createDataFrame([(9, "cusst 42")], "rid int, rk string"),
+        "rk", "rkn")   # one genuine typo on top of case/punct/pad drift
+    m = fuzzy_join(l, r, "lkn", "rkn").collect()
+    assert [(x.lid, x.rid, x.edit_distance) for x in m] == [(1, 9, 1)]
 
 
 def test_run_scd2_parquet_end_to_end(spark, tmp_path):
@@ -504,6 +556,20 @@ def test_write_zordered_validates(spark, tmp_path):
     with _pytest.raises(ValueError, match="sign"):
         write_zordered(df4, str(tmp_path / "z3"), ["x", "y", "z", "w"],
                        bits_per_col=16)
+
+
+def test_registry_size_comment_matches():
+    """The registry-size number in the QUERIES rotation comment must
+    equal len(QUERIES) — the r7 verdict caught it stale at '104' while
+    the registry held 124; this pins it mechanically."""
+    import re
+
+    import data_warehouse_migrate_spark.queries as qmod
+
+    src = open(qmod.__file__.replace(".pyc", ".py")).read()
+    m = re.search(r"registry holds (\d+) queries", src)
+    assert m, "rotation comment must state the registry size"
+    assert int(m.group(1)) == len(qmod.QUERIES)
 
 
 def test_winsorize_and_mad(spark):
