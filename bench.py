@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -406,8 +407,10 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
             if len(runs) == min_draws + 1:
                 break
+        all_runs[name] = runs
         return round(min(runs), 3)
 
+    all_runs: dict[str, list[float]] = {}
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = timed_best(
@@ -527,10 +530,22 @@ def main() -> int:
                 "otherwise; at production scale this fixed cost "
                 "amortizes over a long-running stream"),
             "flagship_protocol": (
-                "migrate_pipeline timed min-of-5 (other queries "
+                "migrate_pipeline timed over 5 draws (other queries "
                 "min-of-2-3): its single number carries the binding "
                 "2x-baseline contract and r6 sealed a 2.256x breach on "
-                "an untouched code path amid +20-60% host-wide drift"),
+                "an untouched code path amid +20-60% host-wide drift. "
+                "BOTH order statistics recorded since r8 (verdict item "
+                "4): min is the headline (fixed scheduling floor on a "
+                "noisy host), median sits next to it so the contract "
+                "ratio is protocol-insensitive"),
+            "sessionize_stream_lifecycle": (
+                "decomposed since r8 (r7 verdict item 5): stream_state "
+                "carries start_ms (plan + state-store init), drain_ms "
+                "(micro-batch execution + poll), batch_exec_ms (the "
+                "query's own triggerExecution), and stop_ms (shutdown). "
+                "start+stop are the fixed one-shot lifecycle cost a "
+                "long-running production stream amortizes away; only "
+                "drain/batch_exec scale with data"),
         },
         "extended_queries": ext_times,
         "stream_state": stream_state,
@@ -554,9 +569,17 @@ def main() -> int:
                             "migrator.py:297 architecture)",
                 "value": ref_loop,
                 "spark_sec": times.get("migrate_pipeline"),
+                "spark_sec_median": (
+                    round(statistics.median(all_runs["migrate_pipeline"]), 3)
+                    if "migrate_pipeline" in all_runs else None),
                 "ratio_spark_vs_reference": (
                     round(times["migrate_pipeline"] / ref_loop, 3)
                     if ref_loop and "migrate_pipeline" in times else None),
+                "ratio_median_vs_reference": (
+                    round(statistics.median(all_runs["migrate_pipeline"])
+                          / ref_loop, 3)
+                    if ref_loop and "migrate_pipeline" in all_runs
+                    else None),
             },
             "duckdb_single_node": {
                 "engine": "duckdb (oracle SQL, same parquet, same sf); "

@@ -4021,7 +4021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         approx_value_percentiles, the rows-only permanent
     #         resident whose rule-4 3-round refresh is due exactly now
     #         (last row r05).
-    # 28-34:  rule-2 pins — code on their execution path changed this
+    # 28-35:  rule-2 pins — code on their execution path changed this
     #         round: winsorize_events + mad_outliers_events (outliers.py
     #         null-safe bounds join + approx flag), scd2_customers
     #         (delta.py scd2_apply untracked-column carry),
@@ -4029,20 +4029,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         fuzzy_match_customers + entity_clusters (entity.py
     #         fuzzy_join d=2 dispatch on their path), fuzzy_match_d2
     #         (NEW r8 — depth-2 deletion neighborhood, brute-force
-    #         levenshtein oracle; the round's only registry addition).
-    # 35-50:  16 of the 47 r06-stale queries (rule 1 — newest rows r06).
+    #         levenshtein oracle; the round's only registry addition),
+    #         sessionize_stream (streaming/windows.py
+    #         run_sessionize_stream lifecycle decomposition, r7 verdict
+    #         item 5).
+    # 36-50:  15 of the 47 r06-stale queries (rule 1 — newest rows r06).
     #         Chosen to re-anchor the highest-leverage contracts first:
     #         migrate_pipeline (the flagship carrying the binding 2x
     #         baseline ratio), the reference-surface scan/partition/
     #         null/default paths, the oracle-backed exact twins that
     #         underwrite the rows-only residents refreshed r7
     #         (dedup_exact/keep_rows/simhash, embedding_near_dup_exact,
-    #         value_percentiles), and the multimodal + packing +
-    #         streaming-dedup pairs. The 31 r06-stale that don't fit
-    #         stay tail-resident at r06 rows and LEAD the r09 window
-    #         (listed first in the tail below, in order).
-    # Tail 51-81: the 31 remaining r06-stale (r09 leads).
-    # Tail 82-125: the 44 r07-green window queries rotating out
+    #         value_percentiles), multimodal_decode, the packing +
+    #         streaming-dedup pairs. The 32 r06-stale that don't fit
+    #         (incl. frame_sample, swapped out for the
+    #         sessionize_stream pin; its decode plumbing is covered by
+    #         multimodal_decode in-window) stay tail-resident at r06
+    #         rows and LEAD the r09 window (listed first in the tail
+    #         below, in order).
+    # Tail 51-82: the 32 remaining r06-stale (r09 leads).
+    # Tail 83-125: the 43 r07-green window queries rotating out
     #         (rule 3 — driver-green last round; no code on their paths
     #         changed this round: the outliers/delta/entity/dedup diffs
     #         pin their callers IN-window above, and the readers.py
@@ -4077,7 +4083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_corpus": q_shuffle_corpus,
     "pmi_collocations": q_pmi_collocations,
     "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 28-34: rule-2 pins (r8 code changes on their paths) -------------
+    # --- 28-35: rule-2 pins (r8 code changes on their paths) -------------
     "winsorize_events": q_winsorize_events,
     "mad_outliers_events": q_mad_outliers_events,
     "scd2_customers": q_scd2_customers,
@@ -4085,7 +4091,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_customers": q_fuzzy_match_customers,
     "entity_clusters": q_entity_clusters,
     "fuzzy_match_d2": q_fuzzy_match_d2,
-    # --- 35-50: r06-stale, rotating back in (rule 1; 16 of 47) -----------
+    "sessionize_stream": q_sessionize_stream,
+    # --- 36-50: r06-stale, rotating back in (rule 1; 15 of 47) -----------
     "migrate_pipeline": q_migrate_pipeline,
     "scan_project_filter": q_scan_project_filter,
     "latest_partition_scan": q_latest_partition_scan,
@@ -4098,11 +4105,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": q_value_percentiles,
     "line_dedup": q_line_dedup,
     "multimodal_decode": q_multimodal_decode,
-    "frame_sample": q_frame_sample,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
     "dedup_exact_stream": q_dedup_exact_stream,
-    # --- 51-81: r06-stale overflow — LEAD the r09 window (rule 1) --------
+    # --- 51-82: r06-stale overflow — LEAD the r09 window (rule 1) --------
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_near_keep": q_dedup_near_keep,
@@ -4111,6 +4117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_truncate": q_embedding_truncate,
     "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
     "inf_cleanup": q_inf_cleanup,
     "late_ship_orders": q_late_ship_orders,
     "latest_partition_multi": q_latest_partition_multi,
@@ -4134,7 +4141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "unigram_logprob": q_unigram_logprob,
     "vocab_topk": q_vocab_topk,
-    # --- 82-125: r07-green window queries rotating out (rule 3) ----------
+    # --- 83-125: r07-green window queries rotating out (rule 3) ----------
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
@@ -4155,7 +4162,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "mixture_sample": q_mixture_sample,
     "incremental_migrate": q_incremental_migrate,
-    "sessionize_stream": q_sessionize_stream,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "dedup_minhash": q_dedup_minhash,

@@ -350,11 +350,19 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # lifecycle decomposition (r7 verdict item 5): the one-shot drain's
+    # wall time = start (plan + state-store init) + drain (micro-batch
+    # execution + poll latency) + stop (query shutdown). Recorded into
+    # LAST_STREAM_STATE so BENCH_DETAIL can show which part is the fixed
+    # per-query floor that a long-running stream amortizes away.
+    t0 = _time.time()
     try:
         q = writer.start()
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    t_started = _time.time()
+    t_drained = None
     try:
         deadline = _time.time() + wait_sec
         processed = 0
@@ -398,12 +406,17 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
         # bench records to BENCH_DETAIL: state rows/bytes are the
         # quantities that grow with key cardinality at 100 TB, not with
         # event volume)
+        t_drained = _time.time()
         try:
             import json as _json
 
             ops = []
+            batch_ms = 0
             for p in (q.recentProgress or []):
-                ops.extend(_json.loads(p.json).get("stateOperators") or [])
+                pj = _json.loads(p.json)
+                ops.extend(pj.get("stateOperators") or [])
+                batch_ms += int((pj.get("durationMs") or {})
+                                .get("triggerExecution", 0))
             LAST_STREAM_STATE.clear()
             if ops:
                 LAST_STREAM_STATE.update({
@@ -413,11 +426,18 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
                                        for o in ops),
                     "rows_updated": sum(int(o.get("numRowsUpdated", 0))
                                         for o in ops),
+                    "batch_exec_ms": batch_ms,
                 })
         except Exception:  # metrics are best-effort, never fail the query
             LAST_STREAM_STATE.clear()
         q.stop()
         q.awaitTermination(60)
+        t_stopped = _time.time()
+        LAST_STREAM_STATE.update({
+            "start_ms": int((t_started - t0) * 1000),
+            "drain_ms": int((t_drained - t_started) * 1000),
+            "stop_ms": int((t_stopped - t_drained) * 1000),
+        })
     finally:
         if ckpt_dir:
             import shutil
