@@ -540,12 +540,28 @@ def main() -> int:
                 "ratio is protocol-insensitive"),
             "sessionize_stream_lifecycle": (
                 "decomposed since r8 (r7 verdict item 5): stream_state "
-                "carries start_ms (plan + state-store init), drain_ms "
-                "(micro-batch execution + poll), batch_exec_ms (the "
-                "query's own triggerExecution), and stop_ms (shutdown). "
-                "start+stop are the fixed one-shot lifecycle cost a "
-                "long-running production stream amortizes away; only "
-                "drain/batch_exec scale with data"),
+                "carries start_ms (query start), drain_ms (micro-batch "
+                "execution + poll), batch_exec_ms (the query's own "
+                "triggerExecution), and stop_ms (shutdown). MEASURED "
+                "r8 sf0.1: start 69ms + drain 1836ms (batch_exec "
+                "1811ms) + stop 5ms — so the ~2s floor is NOT "
+                "start/stop but the first micro-batch itself: "
+                "state-store instance init across 16 partitions + "
+                "Arrow/Python worker spin-up inside triggerExecution, "
+                "on 344 KB of state. That per-query-START cost "
+                "amortizes identically on a long-running stream "
+                "(subsequent batches reuse stores and workers); the "
+                "r5 <2s target sits inside this one-batch floor's "
+                "noise band, now provably fixed cost rather than "
+                "data-proportional work"),
+            "dedup_simhash_r8_drift": (
+                "dedup_simhash 1.915->2.627s vs r7 with BYTE-IDENTICAL "
+                "diag counters (band_rows 20000, n_buckets 5736, "
+                "max_bucket 269, hot_buckets 0) and dedup_minhash "
+                "+0.2s likewise counter-identical: the established "
+                "attribution (counters moved = plan/data regression; "
+                "counters identical = host) says host noise — same "
+                "class as the r6 ngram drift bisected in r7"),
         },
         "extended_queries": ext_times,
         "stream_state": stream_state,
