@@ -66,6 +66,16 @@ def get_spark(app_name: str = "data-warehouse-migrate-spark",
     conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                                  "8g")
     conf["spark.sql.shuffle.partitions"] = cpus
+    # DELIBERATELY NO spark.sql.files.minPartitionNum floor: a session-
+    # wide scan-split floor was A/B'd in r8 (headline set, floor on/off
+    # interleaved, best-of-2 per query) and LOST ~5% net at sf0.1 —
+    # 32 range-splits of a small parquet file schedule 32 tasks but
+    # row-group alignment yields only 1-3 real splits, so the per-task
+    # overhead (footer read, codegen instance) outweighs the parallelism
+    # everywhere except operators with EXTREME per-row CPU. Those spread
+    # themselves at the operator level instead (entity._spread: measured
+    # 3.6x on the d=2 variant explode); a production multi-file table
+    # has natural splits and needs neither.
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -430,6 +430,13 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
                 })
         except Exception:  # metrics are best-effort, never fail the query
             LAST_STREAM_STATE.clear()
+        # stop() interrupts whatever timer-scheduled (empty) micro-batch
+        # is in flight; that interrupt costs 0-1s depending on where the
+        # batch is in its commit (stop_ms in LAST_STREAM_STATE makes the
+        # draw visible per run). Waiting for a trigger GAP was measured
+        # r8 and rejected: the registered processing-time timers fire
+        # batches back-to-back, so the gap never opens and the wait is
+        # pure added latency.
         q.stop()
         q.awaitTermination(60)
         t_stopped = _time.time()
