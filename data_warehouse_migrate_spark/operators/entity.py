@@ -41,17 +41,28 @@ def normalize_keys(df: DataFrame, key_col: str,
     wider edit-distance neighborhood pays O(|s|²) variants per row.
 
     Three deterministic, JVM-only rewrites, in order: casefold
-    (lower), strip every non-alphanumeric (punctuation, whitespace),
-    strip leading zeros from each digit run ("0042" → "42", zero-pad
-    drift gone without choosing a pad width). Writes ``out_col``
-    (default ``<key_col>_norm``); NULL stays NULL. Normalize BOTH
-    sides, then :func:`fuzzy_join` at d=1 on the normalized column
-    covers the residual genuine typo.
+    (lower), strip leading zeros from each digit run ("0042" → "42",
+    zero-pad drift gone without choosing a pad width), THEN strip
+    every non-alphanumeric (punctuation, whitespace). The zero-strip
+    runs while delimiters are still present — stripping punctuation
+    first would merge adjacent digit runs and turn a run-leading pad
+    into interior zeros no rule can safely remove ("4-007" must
+    normalize like "4-7", i.e. to "47", not to "4007"). The zero-strip
+    then runs once more AFTER the punctuation-strip, because removing
+    delimiters can itself merge runs into a new leading zero
+    ("0-0" → "00" needs to settle to "0" for idempotence). Both edge
+    orders were caught by the r8 property test
+    (test_normalize_keys_idempotent_and_drift_invariant). Writes
+    ``out_col`` (default ``<key_col>_norm``); NULL stays NULL.
+    Normalize BOTH sides, then :func:`fuzzy_join` at d=1 on the
+    normalized column covers the residual genuine typo.
     """
     out_col = out_col or f"{key_col}_norm"
+    zstrip = r"(^|(?<=\D))0+(?=\d)"
     c = F.lower(F.col(key_col))
+    c = F.regexp_replace(c, zstrip, "")
     c = F.regexp_replace(c, "[^a-z0-9]", "")
-    c = F.regexp_replace(c, r"(^|(?<=\D))0+(?=\d)", "")
+    c = F.regexp_replace(c, zstrip, "")
     return df.withColumn(out_col, c)
 
 

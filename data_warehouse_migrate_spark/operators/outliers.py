@@ -85,11 +85,15 @@ def winsorize(df: DataFrame, value_col: str,
                approx, accuracy)
     bounds = (work.groupBy(g)
               .agg(pct[0].alias("__lo"), pct[1].alias("__hi")))
+    # the NULL guard is load-bearing: least/greatest SKIP nulls, so a
+    # bare least(greatest(NULL, lo), hi) silently clips NULL to lo —
+    # caught by the r8 property test, violating the stay-NULL contract
     clipped = (_join_bounds(work, bounds, g)
                .withColumn(out_col,
-                           F.least(F.greatest(F.col(value_col),
-                                              F.col("__lo")),
-                                   F.col("__hi")))
+                           F.when(F.col(value_col).isNotNull(),
+                                  F.least(F.greatest(F.col(value_col),
+                                                     F.col("__lo")),
+                                          F.col("__hi"))))
                .drop("__lo", "__hi"))
     return clipped.drop("__g") if group_col is None else clipped
 

@@ -211,3 +211,136 @@ def test_group_checksum_permutation_invariant(spark, rows, rnd):
     df2 = spark.createDataFrame(shuffled, "k int, v string").repartition(5)
     again = group_checksum(df2, [], ["k", "v"]).first()
     assert (base.n_rows, base.checksum) == (again.n_rows, again.checksum)
+
+
+# --- r8 additions: properties for the round's touched operators ----------
+
+_KEY = st.text(alphabet="ab1", max_size=5)  # tiny alphabet → dense neighborhoods
+
+
+@settings(**dict(_SETTINGS, max_examples=10))
+@given(st.lists(_KEY, min_size=1, max_size=6, unique=True),
+       st.lists(_KEY, min_size=1, max_size=6, unique=True),
+       st.sampled_from([1, 2]))
+def test_fuzzy_join_equals_bruteforce_levenshtein(spark, lk, rk, d):
+    """fuzzy_join at d ∈ {1, 2} returns EXACTLY the brute-force
+    levenshtein ≤ d pairs — completeness (pigeonhole) AND soundness
+    (verify filter) on arbitrary short strings over a dense alphabet,
+    where deletion neighborhoods collide the hardest."""
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    left = spark.createDataFrame([(i, k) for i, k in enumerate(lk)],
+                                 "lid int, lkey string")
+    right = spark.createDataFrame([(100 + i, k) for i, k in enumerate(rk)],
+                                  "rid int, rkey string")
+    got = {(r.lid, r.rid, r.edit_distance)
+           for r in fuzzy_join(left, right, "lkey", "rkey",
+                               max_distance=d).collect()}
+    brute = {(r.lid, r.rid, r.d)
+             for r in left.crossJoin(right)
+             .withColumn("d", F.levenshtein("lkey", "rkey"))
+             .filter(F.col("d") <= d).collect()}
+    assert got == brute
+
+
+@settings(**dict(_SETTINGS, max_examples=10))
+@given(st.lists(st.text(alphabet="aB 4-0#", max_size=8), min_size=1,
+                max_size=6),
+       st.randoms())
+def test_normalize_keys_idempotent_and_drift_invariant(spark, keys, rnd):
+    """normalize_keys is idempotent, and invariant under exactly the
+    drift it exists to kill: case flips, injected punctuation, and
+    zero-padding of digit runs."""
+    from data_warehouse_migrate_spark.operators.entity import normalize_keys
+
+    def perturb(k):
+        out = []
+        prev_digit = False
+        for ch in k:
+            if ch.isdigit() and not prev_digit and rnd.random() < 0.5:
+                out.append("0" * rnd.randint(1, 3))  # zero-pad a run's START
+            if ch.isalpha():
+                out.append(ch.upper() if rnd.random() < 0.5 else ch.lower())
+            else:
+                out.append(ch)
+            prev_digit = ch.isdigit()
+            if not ch.isdigit() and rnd.random() < 0.3:
+                out.append(rnd.choice("-_ .#!"))     # punctuation noise
+        return "".join(out)
+
+    rows = [(i, k, perturb(k)) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id int, k string, p string")
+    out = normalize_keys(normalize_keys(df, "k", "nk"), "p", "np")
+    twice = normalize_keys(out, "nk", "nk2")
+    for r in twice.collect():
+        assert r.np == r.nk          # drift-invariant
+        assert r.nk2 == r.nk         # idempotent
+
+
+@settings(**dict(_SETTINGS, max_examples=10))
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", None]),
+                          st.one_of(st.none(),
+                                    st.floats(min_value=-1e6, max_value=1e6,
+                                              allow_nan=False))),
+                min_size=4, max_size=20))
+def test_winsorize_structural_invariants(spark, rows):
+    """Row count (incl. NULL groups and NULL values) is preserved, NULL
+    values stay NULL, and every clipped value lies within its group's
+    observed [min, max] while preserving within-group order."""
+    from data_warehouse_migrate_spark.operators.outliers import winsorize
+
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)],
+                               "rid int, g string, v double")
+    out = winsorize(df, "v", group_col="g").collect()
+    assert len(out) == len(rows)
+    by_group = {}
+    for r in out:
+        if r.v is None:
+            assert r.v_w is None
+            continue
+        by_group.setdefault(r.g, []).append((r.v, r.v_w))
+    for g, pairs in by_group.items():
+        vs = [v for v, _ in pairs]
+        for v, w in pairs:
+            assert min(vs) <= w <= max(vs)
+        pairs.sort()
+        ws = [w for _, w in pairs]
+        assert ws == sorted(ws)      # clipping is monotone
+
+
+@settings(**dict(_SETTINGS, max_examples=8))
+@given(st.dictionaries(st.integers(min_value=0, max_value=6),
+                       st.integers(min_value=0, max_value=3),
+                       min_size=1, max_size=7),
+       st.dictionaries(st.integers(min_value=0, max_value=6),
+                       st.integers(min_value=0, max_value=3),
+                       min_size=0, max_size=7))
+def test_scd2_apply_invariants(spark, initial, update):
+    """For any initial snapshot and any update snapshot: exactly one
+    current version per live key, closed versions are never lost, and
+    re-applying the same snapshot is a no-op."""
+    from data_warehouse_migrate_spark.operators.delta import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(k, float(v), "2020-01-01", None, True)
+         for k, v in initial.items()],
+        "k int, v double, valid_from string, valid_to string, "
+        "is_current boolean")
+    upd = spark.createDataFrame(
+        [(k, float(v)) for k, v in update.items()] or [(None, None)],
+        "k int, v double").filter("k IS NOT NULL")
+    out = scd2_apply(hist, upd, ["k"], ["v"], "2026-01-01")
+    rows = out.collect()
+    # every key that ever existed appears; exactly one current row per key
+    keys = set(initial) | set(update)
+    cur = [r for r in rows if r.is_current]
+    assert {r.k for r in rows} == keys
+    assert sorted(r.k for r in cur) == sorted(keys)
+    # version count: one per initial key + one per genuinely-changed/new key
+    changed = {k for k, v in update.items()
+               if k not in initial or float(initial[k]) != float(v)}
+    assert len(rows) == len(initial) + len(changed)
+    # idempotence
+    again = scd2_apply(out, upd, ["k"], ["v"], "2026-06-01")
+    assert again.count() == len(rows)
+    assert again.filter("valid_from = '2026-06-01'").count() == 0
