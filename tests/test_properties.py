@@ -344,3 +344,70 @@ def test_scd2_apply_invariants(spark, initial, update):
     again = scd2_apply(out, upd, ["k"], ["v"], "2026-06-01")
     assert again.count() == len(rows)
     assert again.filter("valid_from = '2026-06-01'").count() == 0
+
+
+_WORDS = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                  min_size=3, max_size=10)
+
+
+@settings(**dict(_SETTINGS, max_examples=8))
+@given(st.lists(_WORDS, min_size=2, max_size=6),
+       st.sampled_from([0.3, 0.5, 0.8]))
+def test_ngram_jaccard_pairs_equals_bruteforce(spark, docs, threshold):
+    """The PPJoin prefix + positional + length filters are COMPLETE:
+    ngram_jaccard_pairs returns exactly the pairs whose engine-computed
+    shingle sets have (6dp-rounded) Jaccard >= threshold — checked
+    against a driver-side brute force over all pairs on adversarial
+    tiny-vocabulary docs (max overlap pressure on the filters)."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        _shingle_sets,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                        threshold=threshold).collect()}
+    sets = {r.id: set(r.shingles)
+            for r in _shingle_sets(df, "text", "doc_id", 2).collect()}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a | b:
+                continue
+            j = round(len(a & b) / len(a | b), 6)
+            if j >= threshold:
+                want[(ids[x], ids[y])] = j
+    assert got == want
+
+
+@settings(**dict(_SETTINGS, max_examples=8))
+@given(st.lists(_WORDS, min_size=2, max_size=8),
+       st.sampled_from([1, 3]))
+def test_simhash_near_pairs_equals_bruteforce(spark, docs, max_hamming):
+    """Banded simhash blocking is COMPLETE for hamming <= bands-1
+    (pigeonhole): pair output equals a driver-side brute force over the
+    engine's own fingerprints."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_pairs(df, "text", "doc_id",
+                                       max_hamming=max_hamming).collect()}
+    fp = {r.id: r.simhash
+          for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    ids = sorted(fp)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(fp[ids[x]] ^ fp[ids[y]]).count("1")
+            if h <= max_hamming:
+                want.add((ids[x], ids[y], h))
+    assert got == want
