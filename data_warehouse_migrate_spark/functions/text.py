@@ -156,10 +156,20 @@ def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
 # ---------------------------------------------------------------------------
 
 def text_stats_exprs(col: Column) -> dict[str, Column]:
-    """Standard quality-signal columns for a text column."""
+    """Standard quality-signal columns for a text column.
+
+    NULL text propagates NULL through every stat (the module's uniform
+    convention, same as :func:`gopher_quality_flags`). The explicit
+    NULL gates are load-bearing: bare ``F.size(NULL array)`` is -1 in
+    Spark, so an ungated ``n_words`` reported -1 for NULL text and the
+    ``otherwise(0.0)`` fallbacks turned NULL comparisons into zeros —
+    silently wrong stats instead of honest NULLs (r8 audit)."""
+    notnull = col.isNotNull()
     n_chars = F.length(col)
     toks = tokens(col)
-    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks))
+    n_words = (F.when(~notnull, F.lit(None))
+               .when(F.trim(col) == "", F.lit(0))
+               .otherwise(F.size(toks)))
     n_alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", ""))
     n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
     n_punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
@@ -168,26 +178,34 @@ def text_stats_exprs(col: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_words": n_words.cast("bigint"),
-        "n_tokens": token_count(col).cast("bigint"),
+        "n_tokens": F.when(notnull, token_count(col)).cast("bigint"),
         "avg_word_len": F.round(
-            F.when(n_words > 0, (n_alpha + n_digit) / n_words).otherwise(F.lit(0.0)), 6),
+            F.when(n_words > 0, (n_alpha + n_digit) / n_words)
+            .when(notnull, F.lit(0.0)), 6),
         "punct_ratio": F.round(
-            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6),
+            F.when(n_chars > 0, n_punct / n_chars)
+            .when(notnull, F.lit(0.0)), 6),
         "digit_ratio": F.round(
-            F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)), 6),
+            F.when(n_chars > 0, n_digit / n_chars)
+            .when(notnull, F.lit(0.0)), 6),
         "stopword_ratio": F.round(
-            F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 6),
+            F.when(n_words > 0, n_stop / n_words)
+            .when(notnull, F.lit(0.0)), 6),
     }
 
 
 def quality_score(col: Column) -> Column:
     """Composite quality score in [0,1]: rewards mid-length docs with low
-    punctuation/digit noise and some stopword mass (heuristic, deterministic)."""
+    punctuation/digit noise and some stopword mass (heuristic,
+    deterministic). NULL text scores NULL (module convention) — without
+    the gate, NULL-skipping ``least`` silently scored missing text 0.29.
+    """
     s = text_stats_exprs(col)
     length_term = F.least(s["n_words"] / F.lit(50.0), F.lit(1.0))
     clean_term = F.lit(1.0) - F.least(s["punct_ratio"] * 4 + s["digit_ratio"] * 2, F.lit(1.0))
     stop_term = F.least(s["stopword_ratio"] * 5, F.lit(1.0))
-    return F.round(0.5 * length_term + 0.3 * clean_term + 0.2 * stop_term, 6)
+    return F.when(col.isNotNull(), F.round(
+        0.5 * length_term + 0.3 * clean_term + 0.2 * stop_term, 6))
 
 
 def lang_id(col: Column) -> Column:

@@ -4054,6 +4054,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         pin their callers IN-window above, and the readers.py
     #         read_text_corpus + sinks.py write_zordered changes have
     #         no registry query on their paths, pytest-pinned only).
+    #         Rule-2 precedent exception (same class the r7 window used
+    #         for the exception rebasing): the r8 NULL-text contract fix
+    #         in functions/text.py (text_stats_exprs / quality_score now
+    #         propagate NULL) changes behavior ONLY for NULL text, which
+    #         no testdata table contains — every green path is
+    #         expression-identical, so text_stats / lang_id /
+    #         clean_corpus / quality_band_filter stay tail-resident
+    #         (quality_score + curriculum_buckets, the two in-window
+    #         callers, get fresh r8 rows); the NULL branch itself is
+    #         pinned by tests/test_text.py
+    #         test_null_text_propagates_null_stats.
     # --- 1-27: r05-stale leads (rule 1; approx_value_percentiles also
     #           rule 4, refresh due) --------------------------------------
     "metadata_probes": q_metadata_probes,

@@ -70,6 +70,27 @@ def test_quality_score_bounded(docs):
     assert 0.0 <= row[0] and row[1] <= 1.0
 
 
+def test_null_text_propagates_null_stats(spark):
+    """Module convention (same as gopher flags): NULL text → NULL for
+    every stat, NULL quality, NULL lang. Before the r8 audit, bare
+    size(NULL) = -1 reported n_words=-1 and NULL-skipping least() gave
+    missing text a 0.29 quality score; empty text keeps real zeros."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "the cat")],
+                               "id int, text string")
+    stats = X.text_stats_exprs(F.col("text"))
+    out = {r.id: r for r in df.select(
+        "id", *[v.alias(k) for k, v in stats.items()],
+        X.quality_score(F.col("text")).alias("q"),
+        X.lang_id(F.col("text")).alias("lang")).collect()}
+    for field in ("n_chars", "n_words", "n_tokens", "avg_word_len",
+                  "punct_ratio", "digit_ratio", "stopword_ratio"):
+        assert getattr(out[1], field) is None, field
+    assert out[1].q is None and out[1].lang is None
+    assert out[2].n_words == 0 and out[2].n_chars == 0    # empty ≠ NULL
+    assert out[2].q is not None
+    assert out[3].n_words == 2 and out[3].lang == "en"
+
+
 def test_lang_id_deterministic(spark):
     df = spark.createDataFrame(
         [("the cat and the dog in a house",),
