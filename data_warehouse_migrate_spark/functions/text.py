@@ -160,10 +160,11 @@ def text_stats_exprs(col: Column) -> dict[str, Column]:
 
     NULL text propagates NULL through every stat (the module's uniform
     convention, same as :func:`gopher_quality_flags`). The explicit
-    NULL gates are load-bearing: bare ``F.size(NULL array)`` is -1 in
-    Spark, so an ungated ``n_words`` reported -1 for NULL text and the
-    ``otherwise(0.0)`` fallbacks turned NULL comparisons into zeros —
-    silently wrong stats instead of honest NULLs (r8 audit)."""
+    NULL gates are load-bearing: without them the ``otherwise(0.0)``
+    fallbacks fire on NULL comparisons (NULL > 0 is false, not NULL),
+    so a missing document reported the same zero ratios as a real empty
+    one — silently indistinguishable instead of honestly NULL (r8
+    audit)."""
     notnull = col.isNotNull()
     n_chars = F.length(col)
     toks = tokens(col)
@@ -198,7 +199,8 @@ def quality_score(col: Column) -> Column:
     """Composite quality score in [0,1]: rewards mid-length docs with low
     punctuation/digit noise and some stopword mass (heuristic,
     deterministic). NULL text scores NULL (module convention) — without
-    the gate, NULL-skipping ``least`` silently scored missing text 0.29.
+    the gate, NULL-skipping ``least``/``when``-fallback arithmetic
+    silently produced a non-NULL score for missing text.
     """
     s = text_stats_exprs(col)
     length_term = F.least(s["n_words"] / F.lit(50.0), F.lit(1.0))

@@ -52,9 +52,13 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
     id spaces), independent of input partitioning. Pass ``group_expr``
     (any long Column) to override sharding — e.g. ``pmod(id, n)`` when a
     cross-engine-reproducible assignment matters more than hash balance
-    (the oracle-checked registry query does). Empty/whitespace documents
-    count 0 tokens and occupy a slot of zero width (kept — dropping is a
-    quality-filter decision, not a packing one).
+    (the oracle-checked registry query does). Empty/whitespace AND NULL
+    documents count 0 tokens and occupy a slot of zero width (kept —
+    dropping is a quality-filter decision, not a packing one). The NULL
+    coalesce is load-bearing: an ungated NULL token count turns the
+    cumulative-offset window NULL for the rest of the group, which then
+    trips the chunk-overflow guard with a misleading "exceeds 1e9
+    chunks" error (r8 audit).
     """
     if budget < 1 or n_groups < 1:
         raise ValueError(
@@ -65,7 +69,8 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     base = df.select(
         F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
         group_expr.cast("long").alias("pack_group"))
     cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
     chunk = F.floor(F.col("__before") / budget)
@@ -116,7 +121,10 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     start + overlap < n) — a document at most one chunk long yields
     exactly ONE chunk, and a document with zero tokens yields one EMPTY
     chunk: corpus rows never vanish silently, and no chunk is a strict
-    suffix of its predecessor.
+    suffix of its predecessor. A NULL document yields one NULL chunk
+    (``n_tokens`` and ``chunk_text`` both NULL, the module's
+    NULL-propagation convention) — still one output row, still never
+    silently vanishing, but distinguishable from a genuinely empty doc.
 
     Tokenization is the engine's shared regex (``functions.text.
     TOKEN_REGEX``) and ``chunk_text`` is the SINGLE-SPACE join of its

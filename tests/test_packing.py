@@ -102,3 +102,31 @@ def test_chunk_documents_plan_is_narrow(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_plan(chunk_documents(docs, "text", "doc_id"))
     assert "Exchange" not in plan
+
+
+def test_packing_null_docs(spark):
+    """NULL documents: pack_sequences counts them 0 tokens (zero-width
+    slot — before the r8 audit the NULL token count turned the
+    cumulative window NULL and tripped the 1e9-chunk guard with a
+    misleading error); chunk_documents yields one NULL chunk (module
+    NULL-propagation convention), distinguishable from the empty doc's
+    empty chunk."""
+    from data_warehouse_migrate_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, "w w w"), (2, None), (3, "")],
+                               "id long, text string")
+    packed = {r.id: r for r in pack_sequences(df, "text", "id", budget=4,
+                                              n_groups=1).collect()}
+    assert len(packed) == 3
+    assert packed[2].n_tokens == 0 and packed[3].n_tokens == 0
+    assert packed[1].n_tokens == 3
+
+    chunks = {r.id: r for r in chunk_documents(df, "text", "id",
+                                               chunk_tokens=4,
+                                               overlap=0).collect()}
+    assert len(chunks) == 3                       # rows never vanish
+    assert chunks[2].n_tokens is None and chunks[2].chunk_text is None
+    assert chunks[3].n_tokens == 0 and chunks[3].chunk_text == ""

@@ -72,9 +72,11 @@ def test_quality_score_bounded(docs):
 
 def test_null_text_propagates_null_stats(spark):
     """Module convention (same as gopher flags): NULL text → NULL for
-    every stat, NULL quality, NULL lang. Before the r8 audit, bare
-    size(NULL) = -1 reported n_words=-1 and NULL-skipping least() gave
-    missing text a 0.29 quality score; empty text keeps real zeros."""
+    every stat, NULL quality, NULL lang. Before the r8 audit, the
+    otherwise(0.0) fallbacks fired on NULL comparisons and NULL-skipping
+    least() arithmetic gave missing text non-NULL stats and a non-NULL
+    quality score — indistinguishable from a real empty document, which
+    keeps its honest zeros."""
     df = spark.createDataFrame([(1, None), (2, ""), (3, "the cat")],
                                "id int, text string")
     stats = X.text_stats_exprs(F.col("text"))
