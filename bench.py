@@ -554,6 +554,15 @@ def main() -> int:
                 "r5 <2s target sits inside this one-batch floor's "
                 "noise band, now provably fixed cost rather than "
                 "data-proportional work"),
+            "r8_host_drift_series": (
+                "three full sf0.1 seals in one r8 session measured "
+                "headline 14.25 -> 14.57 -> 15.78s with BYTE-IDENTICAL "
+                "dedup/LSH diag counters and no plan changes between "
+                "runs — monotonic host degradation over ~2h, the same "
+                "attribution class as the r6/r7 drifts. The committed "
+                "artifact is the LAST run (matches final code exactly); "
+                "read absolute times against this band, the counters "
+                "and ratios against their contracts"),
             "dedup_simhash_r8_drift": (
                 "dedup_simhash 1.915->2.627s vs r7 with BYTE-IDENTICAL "
                 "diag counters (band_rows 20000, n_buckets 5736, "
