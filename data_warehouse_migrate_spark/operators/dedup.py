@@ -1036,6 +1036,16 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     else:
         cents = centroids
 
+    if not cents:
+        # lowid centroid seeding found zero rows — the corpus is empty.
+        # Empty in, empty out WITH the assigned schema (cell included):
+        # the bare argmax over an empty centroid array is a VOID-typed
+        # expression that fails analysis with an opaque extract error
+        # (r8 empty-corpus sweep). kmeans seeding raises its own typed
+        # error for this case; the default path should compose instead.
+        return df.withColumn("cell", F.lit(None).cast("int")) \
+                 .filter(F.lit(False))
+
     assigned = df.withColumn("cell", _argmax_cell(vec_col, cents))
     band_rows = assigned.select(
         F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("__nv"),

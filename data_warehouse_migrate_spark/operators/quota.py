@@ -83,7 +83,13 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
         base = int(r)
         plan[stratum] = (base, int((r - base) * HASH_SPACE))
     if not plan:
-        return df.filter(F.lit(False))
+        # no weighted stratum has any rows (e.g. an empty corpus): empty
+        # OUT, but with the upsample path's schema — the bare filter(false)
+        # lacked copy_col and made downstream selects fail with an
+        # unresolved-column error instead of returning zero rows (r8
+        # empty-corpus sweep)
+        out = df.filter(F.lit(False))
+        return out.withColumn(copy_col, F.lit(0)) if upsample else out
 
     draw = _draw(id_col)
     if not upsample:

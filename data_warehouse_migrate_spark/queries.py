@@ -1380,7 +1380,8 @@ def q_dedup_exact_stream(spark, sf_dir):
     path = f"{sf_dir}/documents.parquet"
     lo, hi = spark.read.parquet(path).agg(
         F.min("doc_id"), F.max("doc_id")).first()
-    horizon_sec = int(hi) - int(lo) + 2
+    # empty corpus: min/max are NULL; any horizon covers zero rows
+    horizon_sec = (int(hi) - int(lo) + 2) if hi is not None else 2
     out = run_dedup_exact_stream(
         spark, path,
         text_col="text", ts_col="ts", watermark=f"{horizon_sec} seconds",
@@ -4064,7 +4065,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         (quality_score + curriculum_buckets, the two in-window
     #         callers, get fresh r8 rows); the NULL branch itself is
     #         pinned by tests/test_text.py
-    #         test_null_text_propagates_null_stats.
+    #         test_null_text_propagates_null_stats. The same precedent
+    #         covers the r8 EMPTY-CORPUS fixes (quota.mixture_sample's
+    #         empty-plan schema, semantic_dedup's zero-centroid guard,
+    #         packing's NULL token count): each fires only on
+    #         empty/NULL inputs no testdata table contains, every green
+    #         path is expression-identical, and the branches are pinned
+    #         by tests/test_empty_corpus.py (ALL 125 queries swept
+    #         against a zero-row corpus every round) + test_packing.
     # --- 1-27: r05-stale leads (rule 1; approx_value_percentiles also
     #           rule 4, refresh due) --------------------------------------
     "metadata_probes": q_metadata_probes,
