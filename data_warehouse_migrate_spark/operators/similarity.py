@@ -695,6 +695,13 @@ def label_principal_direction(df: DataFrame, vec_col: str = "embedding",
                     st[0] += len(g)
                     st[1] += M.sum(axis=0)
                     st[2] += M.T @ M
+        # yield ONLY when this worker saw rows: an empty pd.DataFrame's
+        # columns default to float64 ndarrays, which Arrow cannot convert
+        # to the declared array<double> fields (ArrowNotImplementedError)
+        # — hit whenever the spread leaves some partitions empty, i.e.
+        # corpora smaller than the core count (r8 tiny-corpus sweep)
+        if not acc:
+            return
         out = {"label": [], "n": [], "s": [], "p": []}
         for label, (n, s, P) in acc.items():
             out["label"].append(int(label))

@@ -25,25 +25,24 @@ EXPECTED_TYPED_ERRORS = {
 }
 
 
-@pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory):
+def _tiny_sf_dir(spark, tmp_path_factory, n_rows: int) -> str:
     src = "/root/testdata/sf0.001"
-    d = str(tmp_path_factory.mktemp("sf_empty"))
+    d = str(tmp_path_factory.mktemp(f"sf_{n_rows}row"))
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         (spark.read.parquet(f"{src}/{t}.parquet")
-         .limit(0).coalesce(1).write.parquet(f"{d}/{t}.parquet"))
+         .limit(n_rows).coalesce(1).write.parquet(f"{d}/{t}.parquet"))
     return d
 
 
-def test_every_query_survives_an_empty_corpus(spark, empty_sf_dir):
+def _sweep(spark, sf_dir, typed_errors):
     from data_warehouse_migrate_spark.queries import QUERIES
 
     failures = {}
     for name, fn in QUERIES.items():
-        expected = EXPECTED_TYPED_ERRORS.get(name)
+        expected = typed_errors.get(name)
         try:
-            n = fn(spark, empty_sf_dir).count()
+            n = fn(spark, sf_dir).count()
         except Exception as ex:  # noqa: BLE001 — classifying failures
             if expected and isinstance(ex, expected[0]) \
                     and expected[1] in str(ex):
@@ -53,4 +52,17 @@ def test_every_query_survives_an_empty_corpus(spark, empty_sf_dir):
             if expected:
                 failures[name] = ("expected the documented typed error, "
                                   f"got {n} rows")
-    assert not failures, failures
+    return failures
+
+
+def test_every_query_survives_an_empty_corpus(spark, tmp_path_factory):
+    d = _tiny_sf_dir(spark, tmp_path_factory, 0)
+    assert not (f := _sweep(spark, d, EXPECTED_TYPED_ERRORS)), f
+
+
+def test_every_query_survives_a_one_row_corpus(spark, tmp_path_factory):
+    """One row per table: degenerate windows, splits of 1, top-k with
+    k > n, and — the r8 catch — spread partitions that are mostly EMPTY
+    feeding Arrow workers (embedding_pca's empty moment partial)."""
+    d = _tiny_sf_dir(spark, tmp_path_factory, 1)
+    assert not (f := _sweep(spark, d, {})), f
