@@ -16,13 +16,19 @@ distance 1, two strings s, t with lev(s, t) ≤ 1 ALWAYS share a member
 of their deletion neighborhoods {s} ∪ {s minus one char} — a pigeonhole
 fact, independent of how similar the corpus' keys are to each other.
 
-Plan shape: each side explodes into |s|+1 variant hashes (JVM
-``transform``/``posexplode``, no UDF), the equi-join on the 64-bit
-variant hash produces candidates (distance-≤2 sharers at worst), a
-DISTINCT collapses multi-variant hits, and ``F.levenshtein`` verifies
-exactly. Linear in corpus × key length, one well-keyed shuffle, robust
-to common prefixes. Verification cost is per CANDIDATE, never per
-pair of the cross product.
+Plan shape (keys-first since r9): candidate generation runs over the
+DISTINCT KEYS of each side only — dedup the key column, explode it
+into variant hashes (JVM ``transform``, no UDF), equi-join on the
+64-bit hash, DISTINCT the (left key, right key) pairs, and verify
+each candidate key pair once with ``F.levenshtein``. Payload columns
+re-attach afterwards via two equi-joins on the (small, verified) pair
+set. The r8 shape carried full payload rows through the variant
+explode and a full-row DISTINCT; keys-first shuffles two slim columns
+instead — at d=2 (several× more candidates per true pair) the
+difference is the explode and distinct shuffling bytes proportional
+to |keys| rather than |rows × payload|. Linear in corpus × key
+length, robust to common prefixes; verification cost is per DISTINCT
+CANDIDATE KEY PAIR, never per pair of the cross product.
 """
 
 from __future__ import annotations
@@ -47,7 +53,16 @@ def normalize_keys(df: DataFrame, key_col: str,
     runs while delimiters are still present — stripping punctuation
     first would merge adjacent digit runs and turn a run-leading pad
     into interior zeros no rule can safely remove ("4-007" must
-    normalize like "4-7", i.e. to "47", not to "4007"). The zero-strip
+    normalize like "4-7", i.e. to "47", not to "4007").
+
+    ASCII-ONLY CONTRACT: the alphanumeric class is ``[a-z0-9]``, so
+    non-ASCII letters and digits are STRIPPED like punctuation —
+    'Müller' normalizes to 'mller' and would falsely merge with a
+    genuinely distinct key 'Mller'. This matches the operator's target
+    domain (warehouse business keys: ASCII codes, order numbers,
+    ``Customer#000…``); do NOT point it at international natural-name
+    keys — fold those with a proper Unicode casefold/transliteration
+    upstream and fuzzy-join on the folded column instead. The zero-strip
     then runs once more AFTER the punctuation-strip, because removing
     delimiters can itself merge runs into a new leading zero
     ("0-0" → "00" needs to settle to "0" for idempotence). Both edge
@@ -77,21 +92,6 @@ def _deletion_variants(col: F.Column) -> F.Column:
             F.when(i == F.lit(0), col)
             .otherwise(F.concat(col.substr(F.lit(1), i - 1),
                                 col.substr(i + 1, F.length(col))))))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin an UNDERPARALLELIZED input across the cluster before
-    the variant explode. The deletion neighborhood multiplies per-row
-    CPU by ~|s| (d=1) to ~|s|²/2 (d=2); a dimension table that scans as
-    one or two partitions (a single small parquet file — exactly the
-    dirty-dimension case this operator exists for) would otherwise run
-    that entire expression tree on one core (measured sf0.1: 3.2s → 0.5s
-    on 32 cores). A well-partitioned input passes through untouched, so
-    wide production scans pay no extra exchange."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _del1(col: F.Column, i: F.Column) -> F.Column:
@@ -125,22 +125,47 @@ def _deletion_variants2(col: F.Column) -> F.Column:
 
 def fuzzy_join(left: DataFrame, right: DataFrame,
                left_key: str, right_key: str,
-               max_distance: int = 1) -> DataFrame:
+               max_distance: int = 1,
+               diag: dict | None = None) -> DataFrame:
     """All (left row, right row) pairs with
-    ``levenshtein(left_key, right_key) <= max_distance``, exactly.
+    ``levenshtein(left_key, right_key) <= max_distance``, exactly —
+    with multiplicity: duplicate input rows produce duplicate pairs,
+    the same contract as the brute-force cross join with a distance
+    predicate (the r8 shape incidentally collapsed fully-duplicate
+    rows through its full-row DISTINCT; keys-first does not).
 
     Returns the left columns + right columns (caller ensures disjoint
     names) + ``edit_distance``. ``max_distance`` ∈ {1, 2}. d=1 is the
-    default and the cheap path (|s|+1 variants per row). d=2 is an
-    EXPLICIT opt-in with its cost on the label: the depth-2 deletion
-    neighborhood is 1 + |s| + |s|(|s|−1)/2 variants per row (~172 for
-    an 18-char key, vs 19 at d=1), and the hash join admits candidate
-    pairs up to distance 4 before the verify prunes them — typically
-    several times more candidates per true pair than d=1. Before
-    reaching for it, run :func:`normalize_keys` on both sides: case /
-    punctuation / zero-pad drift — most real-world two-edit keys — dies
-    there for free, and d=1 on normalized keys covers the residual
-    typo. Exact-match pairs (distance 0) are included.
+    default and the cheap path (|s|+1 variants per distinct key). d=2
+    is an EXPLICIT opt-in with its cost on the label: the depth-2
+    deletion neighborhood is 1 + |s| + |s|(|s|−1)/2 variants per key
+    (~172 for an 18-char key, vs 19 at d=1), and the hash join admits
+    candidate pairs up to distance 4 before the verify prunes them —
+    typically several times more candidates per true pair than d=1.
+    Before reaching for it, run :func:`normalize_keys` on both sides:
+    case / punctuation / zero-pad drift — most real-world two-edit
+    keys — dies there for free, and d=1 on normalized keys covers the
+    residual typo. Exact-match pairs (distance 0) are included.
+
+    Plan: variant explode + hash join + pair-DISTINCT + levenshtein
+    verify all run over the DISTINCT KEYS of each side (two slim
+    columns through every shuffle — the candidate volume never touches
+    payload bytes); the verified key pairs (typically output-sized,
+    AQE-broadcastable) then re-attach payloads via two equi-joins.
+    The key-dedup exchange hash-partitions on the key at the session's
+    default parallelism with an EXPLICIT width, which both collapses
+    repeated keys before the explode and spreads the |s|..|s|²/2
+    per-key variant CPU across the cluster even when the input scans
+    as one partition (a single small parquet dimension file — measured
+    3.2s → 0.5s on 32 cores in r8; an explicit repartition width is
+    exempt from AQE partition coalescing, which would otherwise fold
+    a small dimension's explode back onto one core).
+
+    ``diag`` (optional dict) receives candidate_pairs (distinct key
+    pairs admitted by the variant-hash join, pre-verify), output_pairs
+    (verified key pairs) and candidates_per_output — the volumes that
+    pin whether a bench drift is host noise or a real candidate
+    blow-up. Costs extra actions + a persist; leave None in production.
 
     Completeness (SymSpell pigeonhole, both depths): an optimal
     alignment for lev(s,t) = d ≤ 2 leaves a common subsequence
@@ -148,7 +173,8 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     ≠ ∅ and the variant-hash join finds the pair; the ``levenshtein``
     verify removes the farther pairs the neighborhood admits and any
     64-bit hash-collision strays. NULL keys never match (their
-    neighborhoods are empty by construction).
+    neighborhoods are empty by construction, and the re-attach
+    equi-joins drop NULL-key rows the same way).
     """
     if max_distance not in (1, 2):
         raise ValueError(
@@ -158,19 +184,35 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     variants = (_deletion_variants if max_distance == 1
                 else _deletion_variants2)
-    lv = (_spread(left)
-          .withColumn("__vh", F.explode(
-              variants(F.col(left_key)))))
-    rv = (_spread(right)
-          .withColumn("__vh", F.explode(
-              variants(F.col(right_key)))))
-    cand = (lv.join(rv, "__vh")
-            .drop("__vh")
+    target = left.sparkSession.sparkContext.defaultParallelism
+
+    def key_variants(df: DataFrame, key: str) -> DataFrame:
+        return (df.select(key)
+                .repartition(target, F.col(key))
+                .dropDuplicates([key])
+                .withColumn("__vh", F.explode(variants(F.col(key)))))
+
+    cand = (key_variants(left, left_key)
+            .join(key_variants(right, right_key), "__vh")
+            .select(left_key, right_key)
             .distinct())
-    return (cand
-            .withColumn("edit_distance",
-                        F.levenshtein(F.col(left_key), F.col(right_key)))
-            .filter(F.col("edit_distance") <= max_distance))
+    if diag is not None:
+        cand = cand.persist()
+        diag["candidate_pairs"] = cand.count()
+    pairs = (cand
+             .withColumn("edit_distance",
+                         F.levenshtein(F.col(left_key), F.col(right_key)))
+             .filter(F.col("edit_distance") <= max_distance))
+    if diag is not None:
+        pairs = pairs.persist()
+        n_out = pairs.count()
+        diag.update(
+            output_pairs=n_out,
+            candidates_per_output=round(
+                diag["candidate_pairs"] / max(n_out, 1), 2))
+    return (left.join(pairs, left_key)
+            .join(right, right_key)
+            .select(*left.columns, *right.columns, "edit_distance"))
 
 
 def entity_clusters(df: DataFrame, id_col: str, key_col: str) -> DataFrame:

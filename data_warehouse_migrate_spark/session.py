@@ -73,7 +73,8 @@ def get_spark(app_name: str = "data-warehouse-migrate-spark",
     # row-group alignment yields only 1-3 real splits, so the per-task
     # overhead (footer read, codegen instance) outweighs the parallelism
     # everywhere except operators with EXTREME per-row CPU. Those spread
-    # themselves at the operator level instead (entity._spread: measured
+    # themselves at the operator level instead (entity.fuzzy_join's
+    # explicit-width key-dedup exchange, skew.spread_input: measured
     # 3.6x on the d=2 variant explode); a production multi-file table
     # has natural splits and needs neither.
     if extra_conf:
