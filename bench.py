@@ -104,7 +104,8 @@ def build_stress_tables(sf_dir: str, factor: int) -> str:
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out_dir = f"/tmp/dwms_stress_{tag}_x{factor}"
-    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                      ("customer", "c_custkey")):
         path = f"{out_dir}/{name}.parquet"
         if os.path.exists(path):
             continue
@@ -299,6 +300,51 @@ def bench_index_contract(spark, sf_dir: str, factor: int | None) -> dict:
     return out
 
 
+def bench_two_batch_stream(spark, sf_dir: str) -> dict:
+    """Empirical amortization evidence for the streaming-lifecycle claim
+    (r8 verdict item 6): ONE sessionize query over the events table
+    split into two time-ordered files with maxFilesPerTrigger=1 — two
+    micro-batches in one query lifetime, so batch 1 pays the state-store
+    instance init + Arrow-worker spin-up and batch 2 shows the
+    steady-state cost a long-running stream actually pays per batch."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_migrate_spark.streaming.windows import (
+        LAST_STREAM_STATE,
+        run_sessionize_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/dwms_stream2b_{tag}"
+    if not os.path.exists(f"{out_dir}/part1.parquet"):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), f"{out_dir}/part0.parquet")
+        # distinct mtimes: FileStreamSource schedules oldest-first, so
+        # batch 1 = early half, batch 2 = late half (event-time order)
+        time.sleep(1.1)
+        pq.write_table(t.slice(half), f"{out_dir}/part1.parquet")
+    run_sessionize_stream(spark, out_dir, max_files_per_trigger=1).count()
+    series = LAST_STREAM_STATE.get("batch_exec_ms_series") or []
+    return {
+        "workload": "sessionize_stream, events split into two "
+                    "time-ordered files, maxFilesPerTrigger=1 -> two "
+                    "micro-batches in one query: batch 1 carries the "
+                    "fixed init, batch 2 is the amortized steady state",
+        "batch_exec_ms_series": series,
+        "batch1_exec_ms": series[0] if series else None,
+        "batch2_exec_ms": series[1] if len(series) > 1 else None,
+        # state_rows/state_bytes deliberately omitted here: the capture
+        # sums stateOperators over ALL progress entries, which
+        # double-counts numRowsTotal across this run's two batches —
+        # the single-batch sessionize_stream block carries the real
+        # state footprint
+        **{k: v for k, v in LAST_STREAM_STATE.items()
+           if k in ("start_ms", "drain_ms", "stop_ms")},
+    }
+
+
 def run_stress(spark, sf_dir: str, factor: int) -> dict:
     """Machine-readable 10× dedup/embedding stress (the round-3 PLANS.md
     tables, now regress-checked per round): each operator runs ONCE on
@@ -358,6 +404,39 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     # embedding_near_dup diagnostic (t=0.4, r=6).
     timed("embedding_near_dups_auto",
           lambda d: embedding_near_dups(emb, "embedding", "vec_id", diag=d))
+    # fuzzy_join at both depths on the factor-scaled customer table
+    # (every c_name gains `factor` exact copies — duplicate-heavy key
+    # space, the candidate-blow-up stress for the deletion-neighborhood
+    # join; d=2's disclosed risk is exactly candidate volume, so it
+    # carries the same measured bound as the dedup family). Same dirty
+    # construction as the fuzzy_match_customers / fuzzy_match_d2
+    # registry queries.
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    cust = spark.read.parquet(f"{sdir}/customer.parquet")
+    k = F.col("c_custkey")
+    p1 = (k % 5 + 10).cast("int")
+    n1 = F.concat(F.col("c_name").substr(F.lit(1), p1 - 1),
+                  F.col("c_name").substr(p1 + 1, F.length("c_name")))
+    p2 = (k % 3 + 11).cast("int")
+    n2 = F.concat(n1.substr(F.lit(1), p2 - 1),
+                  n1.substr(p2 + 1, F.length(n1)))
+    clean = cust.select("c_custkey", "c_name")
+    d1_dirty = (cust.filter(k % 3 == 0)
+                .select((k + 500_000_000).alias("dirty_id"),
+                        n1.alias("dirty_name")))
+    d2_dirty = (cust.filter(k % 7 == 0)
+                .select((k + 500_000_000).alias("dirty_id"),
+                        n2.alias("dirty_name")))
+    out["customer_rows"] = cust.count()
+    timed("fuzzy_join_d1",
+          lambda d: fuzzy_join(d1_dirty, clean, "dirty_name", "c_name",
+                               max_distance=1, diag=d))
+    timed("fuzzy_join_d2",
+          lambda d: fuzzy_join(d2_dirty, clean, "dirty_name", "c_name",
+                               max_distance=2, diag=d))
     return out
 
 
@@ -434,6 +513,13 @@ def main() -> int:
 
             if LAST_STREAM_STATE:
                 stream_state[name] = dict(LAST_STREAM_STATE)
+
+    # two-batch amortization measurement (r8 verdict item 6) — after the
+    # timed loop so its extra stream run can't pollute the timings
+    stream_state["sessionize_stream_2batch"] = bench_two_batch_stream(
+        spark, sf_dir)
+    print(f"  2batch: {stream_state['sessionize_stream_2batch']}",
+          file=sys.stderr)
 
     # Volume counters for the dedup/LSH family (AFTER all timing — the
     # eager counts inside the diag path persist intermediates and would
@@ -541,28 +627,42 @@ def main() -> int:
             "sessionize_stream_lifecycle": (
                 "decomposed since r8 (r7 verdict item 5): stream_state "
                 "carries start_ms (query start), drain_ms (micro-batch "
-                "execution + poll), batch_exec_ms (the query's own "
-                "triggerExecution), and stop_ms (shutdown). MEASURED "
-                "r8 sf0.1: start 69ms + drain 1836ms (batch_exec "
-                "1811ms) + stop 5ms — so the ~2s floor is NOT "
-                "start/stop but the first micro-batch itself: "
-                "state-store instance init across 16 partitions + "
-                "Arrow/Python worker spin-up inside triggerExecution, "
-                "on 344 KB of state. That per-query-START cost "
-                "amortizes identically on a long-running stream "
-                "(subsequent batches reuse stores and workers); the "
-                "r5 <2s target sits inside this one-batch floor's "
-                "noise band, now provably fixed cost rather than "
-                "data-proportional work"),
+                "execution + poll), batch_exec_ms + batch_exec_ms_series "
+                "(the query's own per-batch triggerExecution), and "
+                "stop_ms (shutdown). All four components come from the "
+                "SAME run — the one this artifact's stream_state block "
+                "records (the r8 artifact's prose quoted stop from a "
+                "different run than its stop_ms field; reconciled r9). "
+                "stop_ms draws 0-1s depending on where the interrupt "
+                "lands in the timer-scheduled empty batch's commit. The "
+                "~2s floor is NOT start/stop but the FIRST micro-batch: "
+                "state-store instance init + Arrow/Python worker "
+                "spin-up inside triggerExecution, on KB-scale state. "
+                "Since r9 that amortization claim is MEASURED, not "
+                "argued: stream_state.sessionize_stream_2batch runs one "
+                "query over a two-file source (maxFilesPerTrigger=1) "
+                "and records batch-2 triggerExecution ≪ batch-1 on "
+                "reused stores and workers"),
             "r8_host_drift_series": (
                 "three full sf0.1 seals in one r8 session measured "
                 "headline 14.25 -> 14.57 -> 15.78s with BYTE-IDENTICAL "
                 "dedup/LSH diag counters and no plan changes between "
                 "runs — monotonic host degradation over ~2h, the same "
-                "attribution class as the r6/r7 drifts. The committed "
-                "artifact is the LAST run (matches final code exactly); "
-                "read absolute times against this band, the counters "
+                "attribution class as the r6/r7 drifts. The sealed r8 "
+                "artifact was a FOURTH, fresh quiet-host run (12.377s) "
+                "made after the final r8 commits — the series above is "
+                "the drift evidence, not the artifact's own numbers. "
+                "Read absolute times against this band, the counters "
                 "and ratios against their contracts"),
+            "suite_time_budget": (
+                "pytest wall time includes two fixed non-bench costs "
+                "that must not be misread as engine regressions: the "
+                "empty/1-row degenerate sweep (~5 min — one pass of all "
+                "125 registry queries over zero-row inputs, "
+                "test_empty_corpus.py, permanent since r8) and the "
+                "cell-exact DuckDB replay of all 125 oracle pairs "
+                "(~4 min, test_oracle_parity.py). Suite growth tracks "
+                "registry size, not operator cost"),
             "dedup_simhash_r8_drift": (
                 "dedup_simhash 1.915->2.627s vs r7 with BYTE-IDENTICAL "
                 "diag counters (band_rows 20000, n_buckets 5736, "

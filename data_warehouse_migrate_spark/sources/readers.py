@@ -315,6 +315,14 @@ def read_text_corpus(spark: SparkSession, path: str,
     monotonically-increasing id is deliberately NOT offered: it is
     partitioning-dependent, which would break the engine's
     deterministic-id conventions (sampling draws, dedup tie-breaks).
+
+    ID-COMPATIBILITY BREAK (r8): adding the occurrence ordinal to the
+    hash input changed EVERY doc_id relative to corpora materialized by
+    pre-r8 builds — including corpora with no duplicate lines at all
+    (their ordinal is 1, but it is now part of the hashed bytes).
+    Re-derive id-keyed artifacts (dedup decisions, sample draws,
+    similarity indexes) from re-ingested corpora; never join new ids
+    against a pre-r8 materialization.
     """
     from pyspark.sql import Window as W
 
