@@ -4010,124 +4010,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r08 window composition (CONSOLIDATION round — the r7 verdict's
-    # items 1-2: registry growth frozen at 125 (the single budgeted
-    # exception is fuzzy_match_d2, the r7 verdict's item 7, which
-    # SWAPS against a rule-1 slot rather than expanding the ask), and
-    # the window leads with the entire r05-stale block so the oldest
-    # external evidence in the registry is refreshed first):
-    #  1-27:  ALL 27 r05-stale queries (rule 1 — their newest driver
-    #         rows are r05, the oldest anywhere in the registry; the
-    #         r7 comment committed them to lead r08). Includes
-    #         approx_value_percentiles, the rows-only permanent
-    #         resident whose rule-4 3-round refresh is due exactly now
-    #         (last row r05).
-    # 28-35:  rule-2 pins — code on their execution path changed this
-    #         round: winsorize_events + mad_outliers_events (outliers.py
-    #         null-safe bounds join + approx flag), scd2_customers
-    #         (delta.py scd2_apply untracked-column carry),
-    #         dedup_ngram_jaccard (dedup.py candidate-ratio diag),
-    #         fuzzy_match_customers + entity_clusters (entity.py
-    #         fuzzy_join d=2 dispatch on their path), fuzzy_match_d2
-    #         (NEW r8 — depth-2 deletion neighborhood, brute-force
-    #         levenshtein oracle; the round's only registry addition),
-    #         sessionize_stream (streaming/windows.py
-    #         run_sessionize_stream lifecycle decomposition, r7 verdict
-    #         item 5).
-    # 36-50:  15 of the 47 r06-stale queries (rule 1 — newest rows r06).
-    #         Chosen to re-anchor the highest-leverage contracts first:
-    #         migrate_pipeline (the flagship carrying the binding 2x
-    #         baseline ratio), the reference-surface scan/partition/
-    #         null/default paths, the oracle-backed exact twins that
-    #         underwrite the rows-only residents refreshed r7
-    #         (dedup_exact/keep_rows/simhash, embedding_near_dup_exact,
-    #         value_percentiles), multimodal_decode, the packing +
-    #         streaming-dedup pairs. The 32 r06-stale that don't fit
-    #         (incl. frame_sample, swapped out for the
-    #         sessionize_stream pin; its decode plumbing is covered by
-    #         multimodal_decode in-window) stay tail-resident at r06
-    #         rows and LEAD the r09 window (listed first in the tail
-    #         below, in order).
-    # Tail 51-82: the 32 remaining r06-stale (r09 leads).
-    # Tail 83-125: the 43 r07-green window queries rotating out
-    #         (rule 3 — driver-green last round; no code on their paths
-    #         changed this round: the outliers/delta/entity/dedup diffs
-    #         pin their callers IN-window above, and the readers.py
-    #         read_text_corpus + sinks.py write_zordered changes have
-    #         no registry query on their paths, pytest-pinned only).
-    #         Rule-2 precedent exception (same class the r7 window used
-    #         for the exception rebasing): the r8 NULL-text contract fix
-    #         in functions/text.py (text_stats_exprs / quality_score now
-    #         propagate NULL) changes behavior ONLY for NULL text, which
-    #         no testdata table contains — every green path is
-    #         expression-identical, so text_stats / lang_id /
-    #         clean_corpus / quality_band_filter stay tail-resident
-    #         (quality_score + curriculum_buckets, the two in-window
-    #         callers, get fresh r8 rows); the NULL branch itself is
-    #         pinned by tests/test_text.py
-    #         test_null_text_propagates_null_stats. The same precedent
-    #         covers the r8 EMPTY-CORPUS fixes (quota.mixture_sample's
-    #         empty-plan schema, semantic_dedup's zero-centroid guard,
-    #         packing's NULL token count): each fires only on
-    #         empty/NULL inputs no testdata table contains, every green
-    #         path is expression-identical, and the branches are pinned
-    #         by tests/test_empty_corpus.py (ALL 125 queries swept
-    #         against a zero-row corpus every round) + test_packing.
-    # --- 1-27: r05-stale leads (rule 1; approx_value_percentiles also
-    #           rule 4, refresh due) --------------------------------------
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly": q_events_hourly,
-    "quality_score": q_quality_score,
-    "doc_fingerprints": q_doc_fingerprints,
-    "sessionize": q_sessionize,
-    "salted_event_totals": q_salted_event_totals,
-    "scrub_pii": q_scrub_pii,
-    "chunk_documents": q_chunk_documents,
-    "click_purchase_interval": q_click_purchase_interval,
-    "curriculum_buckets": q_curriculum_buckets,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
-    "hypertable_rollup": q_hypertable_rollup,
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "migration_checksum": q_migration_checksum,
-    "profile_orders": q_profile_orders,
-    "hash_sample_orders": q_hash_sample_orders,
-    "train_eval_split": q_train_eval_split,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample_orders": q_weighted_sample_orders,
-    "reservoir_sample": q_reservoir_sample,
-    "doc_repetition": q_doc_repetition,
-    "shuffle_corpus": q_shuffle_corpus,
-    "pmi_collocations": q_pmi_collocations,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    # --- 28-35: rule-2 pins (r8 code changes on their paths) -------------
-    "winsorize_events": q_winsorize_events,
-    "mad_outliers_events": q_mad_outliers_events,
-    "scd2_customers": q_scd2_customers,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "entity_clusters": q_entity_clusters,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "sessionize_stream": q_sessionize_stream,
-    # --- 36-50: r06-stale, rotating back in (rule 1; 15 of 47) -----------
-    "migrate_pipeline": q_migrate_pipeline,
-    "scan_project_filter": q_scan_project_filter,
-    "latest_partition_scan": q_latest_partition_scan,
-    "null_policy_skip": q_null_policy_skip,
-    "default_backfill": q_default_backfill,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_rows": q_dedup_keep_rows,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    "value_percentiles": q_value_percentiles,
-    "line_dedup": q_line_dedup,
-    "multimodal_decode": q_multimodal_decode,
-    "pack_sequences": q_pack_sequences,
-    "packing_stats": q_packing_stats,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    # --- 51-82: r06-stale overflow — LEAD the r09 window (rule 1) --------
+    # r09 window composition (registry still FROZEN at 125 — zero new
+    # entries this round, per the r8 verdict's item 3; the window
+    # completes the first full 125/50 three-round refresh cycle):
+    #  1-32:  ALL 32 r06-stale tail queries (rule 1 — their newest
+    #         driver rows are r06, the oldest anywhere in the registry;
+    #         the r8 comment committed them, in this order, to lead
+    #         r09). With these green, every registry query's newest
+    #         external row is ≥ r07.
+    # 33-36:  rule-2 pins — code on their execution path changed this
+    #         round: fuzzy_match_customers + fuzzy_match_d2 +
+    #         entity_clusters (entity.py fuzzy_join rewritten
+    #         keys-first: distinct-key candidate generation + payload
+    #         re-attach joins replace the full-row distinct; _spread
+    #         deleted), sessionize_stream (streaming/windows.py
+    #         run_sessionize_stream: per-batch exec series +
+    #         maxFilesPerTrigger + ADVICE batch_exec_ms fix).
+    # 37-50:  14 of the 43 r07-stale queries (rule 1 — newest rows
+    #         r07). Chosen highest-leverage first: the TPC-H-ish
+    #         reference-surface anchors (pricing_summary,
+    #         top_customers, asof_order_price, range_join_clicks), the
+    #         live-Derby jdbc_roundtrip + enrich_stream pair, the
+    #         heavy LLM-pipeline ops (semantic_dedup, mixture_sample,
+    #         incremental_migrate, text_stats, lang_id), and the
+    #         oracle-backed exact twins that underwrite rows-only
+    #         residents (embedding_topk, minhash_sigs,
+    #         distinct_users_exact).
+    # Tail 51-79: the 29 remaining r07-stale — LEAD the r10 window
+    #         (listed first in the tail, in order). Includes the five
+    #         rows-only rule-4 residents refreshed r7 (embedding_lsh_ann,
+    #         embedding_ivf, dedup_minhash, embedding_near_dup,
+    #         approx_distinct_users): their ≤3-round refresh is due
+    #         exactly r10, same timing precedent as
+    #         approx_value_percentiles in r8.
+    # Tail 80-125: the 46 r08-green window queries rotating out
+    #         (rule 3 — driver-green last round; no code on their
+    #         paths changed this round: the entity.py and
+    #         streaming/windows.py diffs pin their callers IN-window
+    #         above, the readers.py read_text_corpus change is
+    #         docstring-only, and bench.py/scripts are not on any
+    #         query path).
+    # --- 1-32: r06-stale leads (rule 1; committed by the r8 ledger) ------
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_near_keep": q_dedup_near_keep,
@@ -4160,12 +4083,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "unigram_logprob": q_unigram_logprob,
     "vocab_topk": q_vocab_topk,
-    # --- 83-125: r07-green window queries rotating out (rule 3) ----------
+    # --- 33-36: rule-2 pins (r9 code changes on their paths) -------------
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    # --- 37-50: r07-stale, rotating back in (rule 1; 14 of 43) -----------
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "semantic_dedup": q_semantic_dedup,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "minhash_sigs": q_minhash_sigs,
+    "distinct_users_exact": q_distinct_users_exact,
+    # --- 51-79: r07-stale overflow — LEAD the r10 window (rule 1; the
+    #            five rows-only rule-4 residents are due exactly r10) -----
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
     "mixture_upsample": q_mixture_upsample,
-    "semantic_dedup": q_semantic_dedup,
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
     "span_decontaminate": q_span_decontaminate,
@@ -4179,31 +4122,65 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "last_touch_attribution": q_last_touch_attribution,
     "local_supplier_volume": q_local_supplier_volume,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "dedup_minhash": q_dedup_minhash,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
     "dedup_clusters": q_dedup_clusters,
-    "embedding_topk": q_embedding_topk,
-    "minhash_sigs": q_minhash_sigs,
     "simhash": q_simhash,
     "contamination_check": q_contamination_check,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
     "event_zscore": q_event_zscore,
-    "distinct_users_exact": q_distinct_users_exact,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
     "events_hourly_stream": q_events_hourly_stream,
     "salted_event_join": q_salted_event_join,
+    # --- 80-125: r08-green window queries rotating out (rule 3) ----------
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "doc_fingerprints": q_doc_fingerprints,
+    "sessionize": q_sessionize,
+    "salted_event_totals": q_salted_event_totals,
+    "scrub_pii": q_scrub_pii,
+    "chunk_documents": q_chunk_documents,
+    "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "hypertable_rollup": q_hypertable_rollup,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "migration_checksum": q_migration_checksum,
+    "profile_orders": q_profile_orders,
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "reservoir_sample": q_reservoir_sample,
+    "doc_repetition": q_doc_repetition,
+    "shuffle_corpus": q_shuffle_corpus,
+    "pmi_collocations": q_pmi_collocations,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "winsorize_events": q_winsorize_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    "scd2_customers": q_scd2_customers,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "migrate_pipeline": q_migrate_pipeline,
+    "scan_project_filter": q_scan_project_filter,
+    "latest_partition_scan": q_latest_partition_scan,
+    "null_policy_skip": q_null_policy_skip,
+    "default_backfill": q_default_backfill,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_rows": q_dedup_keep_rows,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "value_percentiles": q_value_percentiles,
+    "line_dedup": q_line_dedup,
+    "multimodal_decode": q_multimodal_decode,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
+    "dedup_exact_stream": q_dedup_exact_stream,
 }
 
 
