@@ -113,15 +113,10 @@ def pmi_collocations(docs: DataFrame, text_col: str,
     along as broadcast scalars. No UDFs, no sorts beyond the k-row
     TakeOrdered.
     """
-    toks = _tokens(F.col(text_col))
-    bi = (docs.select(F.explode(
-        F.when(F.size(toks) < 2, F.array()).otherwise(
-            F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
-                       F.slice(toks, 2, F.size(toks) - 1),
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-    ).alias("p")).select("p.w1", "p.w2"))
+    bi = (docs.select(F.explode(_bigrams(F.col(text_col)))
+                      .alias("p")).select("p.w1", "p.w2"))
     bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
-    uni = (docs.select(F.explode(toks).alias("w"))
+    uni = (docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count("*").alias("c")))
     tot_bi = bic.agg(F.sum("c_ab").cast("double").alias("__tb"))
     tot_uni = uni.agg(F.sum("c").cast("double").alias("__tu"))
@@ -185,12 +180,21 @@ def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
 
 def _bigrams(text_col) -> F.Column:
     """Adjacent-token bigram structs (w1, w2) — the PMI construction,
-    shared so model and scorer tokenize identically."""
-    toks = _tokens(text_col)
-    return F.when(F.size(toks) < 2, F.array()).otherwise(
-        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
-                   F.slice(toks, 2, F.size(toks) - 1),
-                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    shared so model and scorer tokenize identically (pmi_collocations
+    uses it too since r9).
+
+    The token array is LET-BOUND via a single-element-array transform
+    (the r9 ``word_shingles`` pattern): the r8 shape referenced the
+    ``_tokens`` split tree four times (size + two slices + explode
+    sibling), re-running the full-text regex split per reference — a
+    constant factor, but one a 100 TB bigram pass pays on every row."""
+    return F.transform(
+        F.array(_tokens(text_col)),
+        lambda t: F.when(F.size(t) < 2, F.array()).otherwise(
+            F.zip_with(F.slice(t, 1, F.size(t) - 1),
+                       F.slice(t, 2, F.size(t) - 1),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2")))))[0]
 
 
 def bigram_model(docs: DataFrame, text_col: str) -> DataFrame:

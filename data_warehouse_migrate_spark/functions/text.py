@@ -46,16 +46,29 @@ def token_count(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle strings; texts shorter than n words yield the
-    whole text as a single shingle."""
-    toks = tokens(col)
-    return F.when(
-        F.size(toks) < n, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    whole text as a single shingle.
+
+    The token array is LET-BOUND via a single-element-array transform so
+    the per-shingle lambda references it as a bound lambda variable.
+    Referencing the ``tokens`` expression tree directly inside the
+    lambda (the r8 shape) made Catalyst inline the full-text regex
+    split into the lambda body — re-evaluated PER SHINGLE ELEMENT,
+    O(words²) regex work per document. The binding makes it one split
+    per row: measured 6× on the sf0.1 shingle-explode path (4.27s →
+    0.71s), and it is the difference between the shingle family
+    scaling with corpus size vs corpus size × document length at
+    100 TB. Same construction as the round-7 CollapseProject fix in
+    ``operators/spans.py``, expressed inside a single Column."""
+    return F.transform(
+        F.array(tokens(col)),
+        lambda t: F.when(
+            F.size(t) < n, F.array(F.array_join(t, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ))[0]
 
 
 def polyhash(col: Column) -> Column:

@@ -111,23 +111,39 @@ def decontaminate(train_df: DataFrame, benchmark_df: DataFrame,
     drop list is a tiny fraction of the corpus, so AQE turns the anti
     join into a broadcast and the cleaned corpus never reshuffles.
     Because ``drop_threshold`` > 0, only docs with ≥1 hit can be dropped
-    — the rate join is INNER with the (contaminated-docs-sized) hit
-    counts, so the corpus-wide totals never shuffle at all (they are a
-    narrow projection; see module docstring for the Bloom-pruned hit
-    join). Documents shorter than ``n`` words score on their whole text
-    as a single shingle, matching the check's convention.
+    — so the per-doc total rides the exploded rows themselves
+    (``n_shingles`` is a pre-explode array size, projected onto each
+    shingle row) and the rate needs no join at all: the hit aggregate
+    carries ``first(n_shingles)`` beside the count. One pass over the
+    train corpus, where the r8 shape evaluated the tokenize+md5 shingle
+    chain twice (separate exploded and totals scans) and joined them
+    back (measured at sf0.1, interleaved best-of-3: 1.15s vs 1.31s for
+    the two-scan shape — most of the r9 4.67s → 1.45s gain on this
+    query came from the ``word_shingles`` let-binding fix, this fold
+    removes the remaining duplicate pass). The
+    Generate sits between the array-defining Project and both consumers
+    (its generator input and the size() above it bind to the SAME
+    attribute), so the chain is evaluated once per row — the round-7
+    CollapseProject lesson applied in reverse. Documents shorter than
+    ``n`` words score on their whole text as a single shingle, matching
+    the check's convention.
     """
     if drop_threshold <= 0:
         raise ValueError("drop_threshold must be > 0 — at 0 every "
                          "document (hit or not) would be dropped")
-    tr, sizes = _doc_shingles_with_size(train_df, text_col, id_col, n,
-                                        "train_id")
+    sh = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), n),
+                    lambda s: md5_prefix_int(s)))
+    base = spread_input(train_df).select(F.col(id_col).alias("train_id"),
+                                         sh.alias("__shs"))
+    tr = base.select("train_id", F.size("__shs").alias("n_shingles"),
+                     F.explode("__shs").alias("sh"))
     bench = (_doc_shingle_hashes(benchmark_df, text_col, id_col, n, "__bid")
              .select("sh").distinct())
-    hits = (tr.join(bench, "sh")
-            .groupBy("train_id")
-            .agg(F.count(F.lit(1)).alias("__hits")))
-    drops = (hits.join(sizes, "train_id")
+    drops = (tr.join(bench, "sh")
+             .groupBy("train_id")
+             .agg(F.count(F.lit(1)).alias("__hits"),
+                  F.first("n_shingles").alias("n_shingles"))
              .filter(F.round(F.col("__hits").cast("double")
                              / F.col("n_shingles"), 6) >= drop_threshold)
              .select(F.col("train_id").alias(id_col)))

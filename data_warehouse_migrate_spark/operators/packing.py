@@ -131,9 +131,14 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     tokens — a token-stream contract (deterministic, oracle-twinnable),
     not a byte-offset substring; original whitespace is not preserved.
 
-    Plan: one narrow projection — tokens once per row, then a
-    posexplode over the per-doc start sequence. No shuffle, no UDF;
-    output volume ≈ input tokens × (1 + overlap/stride).
+    Plan: one narrow projection — tokens once per row (the token array
+    is LET-BOUND via a single-element-array transform, same r9 fix as
+    ``functions.text.word_shingles``: the r8 shape referenced the
+    ``regexp_extract_all`` tree inside the starts-filter and chunk
+    lambdas, re-running the full-text regex per start candidate and
+    per chunk — O(chunks²) regex work per document), then a posexplode
+    over the per-doc start sequence. No shuffle, no UDF; output volume
+    ≈ input tokens × (1 + overlap/stride).
     """
     from data_warehouse_migrate_spark.functions.text import TOKEN_REGEX
 
@@ -142,17 +147,22 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
             f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens "
             f"(got {chunk_tokens}, {overlap})")
     stride = chunk_tokens - overlap
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
-    n = F.size(toks)
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
-        lambda s: (s == 0) | (s + overlap < n))
+
+    def per_doc(t: F.Column) -> F.Column:
+        n = F.size(t)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == 0) | (s + overlap < n))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("bigint").alias("chunk_id"),
+                s.cast("bigint").alias("start_token"),
+                F.slice(t, s + 1, chunk_tokens).alias("toks")))
+
     chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("bigint").alias("chunk_id"),
-            s.cast("bigint").alias("start_token"),
-            F.slice(toks, s + 1, chunk_tokens).alias("toks")))
+        F.array(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)),
+        per_doc)[0]
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(chunks).alias("c"))
             .select("id", "c.chunk_id", "c.start_token",

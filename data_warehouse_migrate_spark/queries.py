@@ -4018,38 +4018,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         the r8 comment committed them, in this order, to lead
     #         r09). With these green, every registry query's newest
     #         external row is ≥ r07.
-    # 33-36:  rule-2 pins — code on their execution path changed this
-    #         round: fuzzy_match_customers + fuzzy_match_d2 +
-    #         entity_clusters (entity.py fuzzy_join rewritten
-    #         keys-first: distinct-key candidate generation + payload
-    #         re-attach joins replace the full-row distinct; _spread
-    #         deleted), sessionize_stream (streaming/windows.py
-    #         run_sessionize_stream: per-batch exec series +
-    #         maxFilesPerTrigger + ADVICE batch_exec_ms fix).
-    # 37-50:  14 of the 43 r07-stale queries (rule 1 — newest rows
-    #         r07). Chosen highest-leverage first: the TPC-H-ish
-    #         reference-surface anchors (pricing_summary,
-    #         top_customers, asof_order_price, range_join_clicks), the
-    #         live-Derby jdbc_roundtrip + enrich_stream pair, the
-    #         heavy LLM-pipeline ops (semantic_dedup, mixture_sample,
-    #         incremental_migrate, text_stats, lang_id), and the
-    #         oracle-backed exact twins that underwrite rows-only
-    #         residents (embedding_topk, minhash_sigs,
-    #         distinct_users_exact).
-    # Tail 51-79: the 29 remaining r07-stale — LEAD the r10 window
-    #         (listed first in the tail, in order). Includes the five
+    # 33-44:  rule-2 pins — code on their execution path changed this
+    #         round:
+    #         * entity.py fuzzy_join rewritten keys-first (distinct-key
+    #           candidate generation + payload re-attach joins replace
+    #           the full-row distinct; _spread deleted) →
+    #           fuzzy_match_customers, fuzzy_match_d2, entity_clusters.
+    #         * streaming/windows.py run_sessionize_stream (per-batch
+    #           exec series + maxFilesPerTrigger + ADVICE
+    #           batch_exec_ms fix) → sessionize_stream.
+    #         * functions/text.py word_shingles LET-BINDING (the
+    #           O(words²) per-doc regex re-evaluation fix, measured 6×
+    #           on the shingle-explode path) → every shingle consumer:
+    #           contamination_check, dedup_ngram_jaccard, minhash_sigs,
+    #           dedup_minhash (rows-only rule-4 resident, but rule 2
+    #           takes priority on a changed path — its oracle-checked
+    #           twin minhash_sigs shares the changed prefix and is
+    #           in-window beside it), doc_repetition
+    #           (top_ngram_fraction), plus decontaminate_corpus
+    #           already leading the r06 block above.
+    #         * operators/packing.py chunk_documents let-binding →
+    #           chunk_documents.
+    #         * functions/lm.py _bigrams let-binding (pmi_collocations
+    #           now shares _bigrams) → pmi_collocations,
+    #           bigram_logprob.
+    # 45-50:  6 of the 43 r07-stale queries (rule 1 — newest rows
+    #         r07; 7 planned picks were displaced by the rule-2 pins
+    #         above and lead r10 instead): the TPC-H-ish anchors
+    #         pricing_summary + top_customers, the live-Derby
+    #         jdbc_roundtrip + streaming enrich_stream pair,
+    #         semantic_dedup (heaviest LLM op), and
+    #         distinct_users_exact (exact twin of the rows-only HLL
+    #         resident).
+    # Tail 51-83: the 33 remaining r07-stale — LEAD the r10 window
+    #         (listed first in the tail, in order). Includes the four
     #         rows-only rule-4 residents refreshed r7 (embedding_lsh_ann,
-    #         embedding_ivf, dedup_minhash, embedding_near_dup,
-    #         approx_distinct_users): their ≤3-round refresh is due
-    #         exactly r10, same timing precedent as
-    #         approx_value_percentiles in r8.
-    # Tail 80-125: the 46 r08-green window queries rotating out
+    #         embedding_ivf, embedding_near_dup, approx_distinct_users):
+    #         their ≤3-round refresh is due exactly r10, same timing
+    #         precedent as approx_value_percentiles in r8
+    #         (dedup_minhash, the fifth, is in-window this round per
+    #         rule 2), plus the seven displaced picks (asof_order_price,
+    #         range_join_clicks, mixture_sample, incremental_migrate,
+    #         text_stats, lang_id, embedding_topk).
+    # Tail 84-125: the 42 r08-green window queries rotating out
     #         (rule 3 — driver-green last round; no code on their
-    #         paths changed this round: the entity.py and
-    #         streaming/windows.py diffs pin their callers IN-window
-    #         above, the readers.py read_text_corpus change is
-    #         docstring-only, and bench.py/scripts are not on any
-    #         query path).
+    #         paths changed this round: the entity.py /
+    #         streaming/windows.py / text.py / packing.py / lm.py
+    #         diffs pin their callers IN-window above, the readers.py
+    #         read_text_corpus change is docstring-only, and
+    #         bench.py/scripts are not on any query path).
     # --- 1-32: r06-stale leads (rule 1; committed by the r8 ledger) ------
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
@@ -4083,28 +4100,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "unigram_logprob": q_unigram_logprob,
     "vocab_topk": q_vocab_topk,
-    # --- 33-36: rule-2 pins (r9 code changes on their paths) -------------
+    # --- 33-44: rule-2 pins (r9 code changes on their paths) -------------
     "fuzzy_match_customers": q_fuzzy_match_customers,
     "fuzzy_match_d2": q_fuzzy_match_d2,
     "entity_clusters": q_entity_clusters,
     "sessionize_stream": q_sessionize_stream,
-    # --- 37-50: r07-stale, rotating back in (rule 1; 14 of 43) -----------
+    "contamination_check": q_contamination_check,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_sigs": q_minhash_sigs,
+    "dedup_minhash": q_dedup_minhash,
+    "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
+    "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
+    # --- 45-50: r07-stale, rotating back in (rule 1; 6 of 43) ------------
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "enrich_stream": q_enrich_stream,
     "semantic_dedup": q_semantic_dedup,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "embedding_topk": q_embedding_topk,
-    "minhash_sigs": q_minhash_sigs,
     "distinct_users_exact": q_distinct_users_exact,
-    # --- 51-79: r07-stale overflow — LEAD the r10 window (rule 1; the
-    #            five rows-only rule-4 residents are due exactly r10) -----
+    # --- 51-83: r07-stale overflow — LEAD the r10 window (rule 1; the
+    #            four rows-only rule-4 residents are due exactly r10) -----
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
@@ -4119,22 +4136,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fluency_band": q_fluency_band,
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
-    "bigram_logprob": q_bigram_logprob,
     "last_touch_attribution": q_last_touch_attribution,
     "local_supplier_volume": q_local_supplier_volume,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
-    "dedup_minhash": q_dedup_minhash,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
-    "contamination_check": q_contamination_check,
     "event_zscore": q_event_zscore,
     "events_hourly_stream": q_events_hourly_stream,
     "salted_event_join": q_salted_event_join,
-    # --- 80-125: r08-green window queries rotating out (rule 3) ----------
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    # --- 84-125: r08-green window queries rotating out (rule 3) ----------
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
     "events_hourly": q_events_hourly,
@@ -4143,7 +4164,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
-    "chunk_documents": q_chunk_documents,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -4158,14 +4178,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample_orders": q_weighted_sample_orders,
     "reservoir_sample": q_reservoir_sample,
-    "doc_repetition": q_doc_repetition,
     "shuffle_corpus": q_shuffle_corpus,
-    "pmi_collocations": q_pmi_collocations,
     "approx_value_percentiles": q_approx_value_percentiles,
     "winsorize_events": q_winsorize_events,
     "mad_outliers_events": q_mad_outliers_events,
     "scd2_customers": q_scd2_customers,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "migrate_pipeline": q_migrate_pipeline,
     "scan_project_filter": q_scan_project_filter,
     "latest_partition_scan": q_latest_partition_scan,
