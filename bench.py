@@ -640,9 +640,13 @@ def main() -> int:
                 "spin-up inside triggerExecution, on KB-scale state. "
                 "Since r9 that amortization claim is MEASURED, not "
                 "argued: stream_state.sessionize_stream_2batch runs one "
-                "query over a two-file source (maxFilesPerTrigger=1) "
-                "and records batch-2 triggerExecution ≪ batch-1 on "
-                "reused stores and workers"),
+                "query over a two-file source (maxFilesPerTrigger=1, "
+                "each batch = half the events) and records both "
+                "triggerExecutions — batch 1 carries ~0.7-0.8s of "
+                "store/worker init on top of its data work; batch 2 "
+                "(reused stores and workers) is data-proportional "
+                "only, i.e. the per-batch cost a long-running stream "
+                "actually pays"),
             "r8_host_drift_series": (
                 "three full sf0.1 seals in one r8 session measured "
                 "headline 14.25 -> 14.57 -> 15.78s with BYTE-IDENTICAL "
