@@ -411,3 +411,71 @@ def test_simhash_near_pairs_equals_bruteforce(spark, docs, max_hamming):
             if h <= max_hamming:
                 want.add((ids[x], ids[y], h))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\x00"),
+            max_size=40)),
+    min_size=1, max_size=8),
+    st.sampled_from([2, 3]))
+def test_word_shingles_match_python_reference(spark, texts, n):
+    """The r9 LET-BOUND word_shingles (tokens evaluated once per row via
+    the single-element-array transform) is extensionally identical to
+    the naive Python reference on arbitrary text — including empty
+    strings (tokens yields ['']), runs of mixed whitespace, and NULL
+    (shingle array NULL). Pins the rewrite that fixed the O(words²)
+    per-document regex re-evaluation."""
+    import re
+
+    from data_warehouse_migrate_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.s for r in
+           df.select(word_shingles(F.col("t"), n).alias("s")).collect()]
+
+    def ref(t):
+        # Java semantics, not Python's: Spark trim() strips 0x20 only and
+        # Java \s is [ \t\n\x0B\f\r] (no \x1f etc.)
+        if t is None:
+            return None
+        toks = re.split(r"[ \t\n\x0b\f\r]+", t.strip(" ").lower())
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    assert got == [ref(t) for t in texts]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\x00"),
+            max_size=40)),
+    min_size=1, max_size=8))
+def test_bigrams_match_python_reference(spark, texts):
+    """lm._bigrams (r9 let-bound, now also the pmi_collocations path)
+    equals the naive adjacent-pair Python reference over the engine's
+    BPE-ish TOKEN_REGEX tokenization; <2 tokens yields [], NULL yields
+    NULL."""
+    import re
+
+    from data_warehouse_migrate_spark.functions.lm import _bigrams
+    from data_warehouse_migrate_spark.functions.text import TOKEN_REGEX
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [None if r.b is None else [(p.w1, p.w2) for p in r.b]
+           for r in df.select(_bigrams(F.col("t")).alias("b")).collect()]
+
+    def ref(t):
+        if t is None:
+            return None
+        # re.ASCII: Python's Unicode \s also matches \x1c-\x1f, Java's
+        # (the engine's) does not
+        toks = re.findall(TOKEN_REGEX, t.lower(), flags=re.ASCII)
+        return [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+
+    assert got == [ref(t) for t in texts]
