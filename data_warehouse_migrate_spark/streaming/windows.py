@@ -420,41 +420,7 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
         # event volume)
         t_drained = _time.time()
         try:
-            import json as _json
-
-            ops = []
-            batch_series = []
-            for p in (q.recentProgress or []):
-                pj = _json.loads(p.json)
-                ops.extend(pj.get("stateOperators") or [])
-                # per-batch triggerExecution, in batch order: batch 1
-                # carries the fixed init (state-store instances + Arrow
-                # worker spin-up); later batches are the amortized
-                # steady-state cost a long-running stream actually pays
-                batch_series.append(
-                    (int(pj.get("batchId", len(batch_series))),
-                     int((pj.get("durationMs") or {})
-                         .get("triggerExecution", 0))))
-            batch_series.sort()
-            LAST_STREAM_STATE.clear()
-            if batch_series:
-                # recorded whenever ANY progress exists — a drained run
-                # whose progress lacks stateOperators must still report
-                # the batch-execution component the lifecycle
-                # decomposition exists to capture (ADVICE r8)
-                LAST_STREAM_STATE.update({
-                    "batch_exec_ms": sum(ms for _, ms in batch_series),
-                    "batch_exec_ms_series": [ms for _, ms in batch_series],
-                })
-            if ops:
-                LAST_STREAM_STATE.update({
-                    "state_rows": sum(int(o.get("numRowsTotal", 0))
-                                      for o in ops),
-                    "state_bytes": sum(int(o.get("memoryUsedBytes", 0))
-                                       for o in ops),
-                    "rows_updated": sum(int(o.get("numRowsUpdated", 0))
-                                        for o in ops),
-                })
+            _capture_stream_metrics(q.recentProgress or [])
         except Exception:  # metrics are best-effort, never fail the query
             LAST_STREAM_STATE.clear()
         # stop() interrupts whatever timer-scheduled (empty) micro-batch
@@ -478,6 +444,46 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
 
             shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+def _capture_stream_metrics(progress) -> None:
+    """Fill LAST_STREAM_STATE from a query's recentProgress entries.
+
+    Per-batch ``triggerExecution`` is recorded in batch order whenever ANY
+    progress exists: batch 1 carries the fixed init (state-store instances
+    + Arrow worker spin-up); later batches are the amortized steady-state
+    cost a long-running stream actually pays. A drained run whose progress
+    lacks ``stateOperators`` must still report the batch-execution
+    component the lifecycle decomposition exists to capture (ADVICE r8) —
+    the state block is filled only when state operators are present.
+    """
+    import json as _json
+
+    ops: list = []
+    batch_series: list = []
+    for p in progress:
+        pj = _json.loads(p.json)
+        ops.extend(pj.get("stateOperators") or [])
+        batch_series.append(
+            (int(pj.get("batchId", len(batch_series))),
+             int((pj.get("durationMs") or {})
+                 .get("triggerExecution", 0))))
+    batch_series.sort()
+    LAST_STREAM_STATE.clear()
+    if batch_series:
+        LAST_STREAM_STATE.update({
+            "batch_exec_ms": sum(ms for _, ms in batch_series),
+            "batch_exec_ms_series": [ms for _, ms in batch_series],
+        })
+    if ops:
+        LAST_STREAM_STATE.update({
+            "state_rows": sum(int(o.get("numRowsTotal", 0))
+                              for o in ops),
+            "state_bytes": sum(int(o.get("memoryUsedBytes", 0))
+                               for o in ops),
+            "rows_updated": sum(int(o.get("numRowsUpdated", 0))
+                                for o in ops),
+        })
 
 
 #: state-store metrics of the most recent run_sessionize_stream call in

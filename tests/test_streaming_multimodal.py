@@ -404,3 +404,51 @@ def test_sessionize_stream_very_late_events(spark, tmp_path):
     # session stays open, so NOTHING is emitted for u2
     assert not any(u == "u2" for u, *_ in got)
     assert len(got) == 1
+
+
+# --- lifecycle metrics capture (ADVICE r8: batch_exec recorded sans state) ---
+
+class _FakeProgress:
+    def __init__(self, json_str):
+        self.json = json_str
+
+
+def test_capture_stream_metrics_stateful():
+    from data_warehouse_migrate_spark.streaming import windows as W
+
+    W._capture_stream_metrics([
+        _FakeProgress('{"batchId": 1, "durationMs": {"triggerExecution": 40},'
+                      ' "stateOperators": [{"numRowsTotal": 3,'
+                      ' "memoryUsedBytes": 128, "numRowsUpdated": 2}]}'),
+        _FakeProgress('{"batchId": 0, "durationMs": {"triggerExecution": 100},'
+                      ' "stateOperators": [{"numRowsTotal": 2,'
+                      ' "memoryUsedBytes": 64, "numRowsUpdated": 2}]}'),
+    ])
+    # batch order restored by batchId regardless of progress-list order
+    assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [100, 40]
+    assert W.LAST_STREAM_STATE["batch_exec_ms"] == 140
+    assert W.LAST_STREAM_STATE["state_rows"] == 5
+    assert W.LAST_STREAM_STATE["state_bytes"] == 192
+    assert W.LAST_STREAM_STATE["rows_updated"] == 4
+
+
+def test_capture_stream_metrics_stateless_keeps_batch_exec():
+    """ADVICE r8: progress without stateOperators still records the
+    batch-execution component; only the state block is omitted."""
+    from data_warehouse_migrate_spark.streaming import windows as W
+
+    W._capture_stream_metrics([
+        _FakeProgress('{"batchId": 0, "durationMs": {"triggerExecution": 75},'
+                      ' "stateOperators": []}'),
+    ])
+    assert W.LAST_STREAM_STATE["batch_exec_ms"] == 75
+    assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [75]
+    assert "state_rows" not in W.LAST_STREAM_STATE
+
+
+def test_capture_stream_metrics_empty_progress_clears():
+    from data_warehouse_migrate_spark.streaming import windows as W
+
+    W.LAST_STREAM_STATE["stale"] = 1
+    W._capture_stream_metrics([])
+    assert W.LAST_STREAM_STATE == {}
