@@ -4026,7 +4026,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #           fuzzy_match_customers, fuzzy_match_d2, entity_clusters.
     #         * streaming/windows.py run_sessionize_stream (per-batch
     #           exec series + maxFilesPerTrigger + ADVICE
-    #           batch_exec_ms fix) → sessionize_stream.
+    #           batch_exec_ms fix; late-r9 the metrics fill moved into
+    #           the _capture_stream_metrics helper, behavior-identical
+    #           and unit-pinned) → sessionize_stream.
     #         * functions/text.py word_shingles LET-BINDING (the
     #           O(words²) per-doc regex re-evaluation fix, measured 6×
     #           on the shingle-explode path) → every shingle consumer:
