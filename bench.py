@@ -642,8 +642,11 @@ def main() -> int:
                 "argued: stream_state.sessionize_stream_2batch runs one "
                 "query over a two-file source (maxFilesPerTrigger=1, "
                 "each batch = half the events) and records both "
-                "triggerExecutions — batch 1 carries ~0.7-0.8s of "
-                "store/worker init on top of its data work; batch 2 "
+                "triggerExecutions — batch 1 carries the store/worker "
+                "init on top of its data work (premium measured "
+                "0.4-0.8s across runs; this artifact's own series is "
+                "the current draw, PLANS.md keeps the history); "
+                "batch 2 "
                 "(reused stores and workers) is data-proportional "
                 "only, i.e. the per-batch cost a long-running stream "
                 "actually pays"),
