@@ -44,3 +44,29 @@ def test_no_plan_antipatterns_across_registry(spark, sf_dir):
         f"undocumented broadcast nested-loop join: {bnlj_extra} "
         f"(extend BNLJ_ALLOWED only for broadcast-scalar or disclosed "
         f"brute-force-twin sites)")
+
+
+def test_scan_family_plan_contracts(spark, sf_dir):
+    """Registry-level pins of the properties PLANS.md promises for the
+    scan family: predicate pushdown reaches the parquet scan, projection
+    prunes ReadSchema, and the whole pipeline stays exchange-free."""
+    from data_warehouse_migrate_spark.plans.dryrun import plan_report
+
+    r = plan_report(QUERIES["scan_project_filter"](spark, sf_dir))
+    assert r["num_exchanges"] == 0
+    assert any("l_quantity" in p for p in r["pushed_filters"]), r
+    assert "l_comment" not in "".join(r["read_schema"])
+
+    r = plan_report(QUERIES["latest_partition_scan"](spark, sf_dir))
+    assert any("o_orderdate" in p for p in r["pushed_filters"]), r
+
+    r = plan_report(QUERIES["scan_orderby_limit"](spark, sf_dir))
+    # ORDER BY + LIMIT must be TakeOrdered, not a global sort exchange,
+    # and the scan must read only the two projected columns
+    assert r["num_exchanges"] == 0
+    assert "o_comment" not in "".join(r["read_schema"])
+
+    r = plan_report(QUERIES["migrate_pipeline"](spark, sf_dir))
+    assert r["num_exchanges"] == 0          # flagship: narrow end-to-end
+    assert not r["has_python_udf"]
+    assert r["whole_stage_codegen"]
