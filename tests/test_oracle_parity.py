@@ -52,11 +52,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype kind, PRE-canon — the axis the driver's type-sensitive
+    value hash is sensitive to (int vs float vs Decimal/object), same
+    classifier as scripts/driver_check.py."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    sample = s.dropna()
+    if len(sample) and hasattr(sample.iloc[0], "as_tuple"):
+        return "decimal"
+    if len(sample) and isinstance(sample.iloc[0], (list, np.ndarray)):
+        return "array"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(duck_pdf), \
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), \
         f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    # dtype-kind parity BEFORE canon normalizes it away: a kind mismatch
+    # (int vs float vs Decimal) breaks the driver's type-sensitive value
+    # hash even when the values compare equal. Empty/all-null columns
+    # are skipped — object-dtype placeholders carry no kind signal.
+    for c in spark_pdf.columns:
+        if spark_pdf[c].notna().any() and duck_pdf[c].notna().any():
+            ka, kb = _kind(spark_pdf[c]), _kind(duck_pdf[c])
+            assert ka == kb, \
+                f"{name}: column {c!r} dtype kind: spark {ka} vs oracle {kb}"
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
