@@ -300,13 +300,17 @@ def bench_index_contract(spark, sf_dir: str, factor: int | None) -> dict:
     return out
 
 
-def bench_two_batch_stream(spark, sf_dir: str) -> dict:
+def bench_multi_batch_stream(spark, sf_dir: str, n_batches: int = 4) -> dict:
     """Empirical amortization evidence for the streaming-lifecycle claim
-    (r8 verdict item 6): ONE sessionize query over the events table
-    split into two time-ordered files with maxFilesPerTrigger=1 — two
+    (r8 verdict item 6, extended to >=3 batches per the r9 verdict item
+    5): ONE sessionize query over the events table split into
+    ``n_batches`` time-ordered files with maxFilesPerTrigger=1 — N
     micro-batches in one query lifetime, so batch 1 pays the state-store
-    instance init + Arrow-worker spin-up and batch 2 shows the
-    steady-state cost a long-running stream actually pays per batch."""
+    instance init + Arrow-worker spin-up and batches 2..N show the flat,
+    data-proportional steady-state cost a long-running stream actually
+    pays per batch. State gauges (rows/bytes) report the LAST batch's
+    store footprint — correct for multi-batch runs since the ADVICE-r9
+    _capture_stream_metrics fix (gauges last-batch, deltas summed)."""
     import pyarrow.parquet as pq
 
     from data_warehouse_migrate_spark.streaming.windows import (
@@ -315,33 +319,33 @@ def bench_two_batch_stream(spark, sf_dir: str) -> dict:
     )
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out_dir = f"/tmp/dwms_stream2b_{tag}"
-    if not os.path.exists(f"{out_dir}/part1.parquet"):
+    out_dir = f"/tmp/dwms_stream{n_batches}b_{tag}"
+    if not os.path.exists(f"{out_dir}/part{n_batches - 1}.parquet"):
         os.makedirs(out_dir, exist_ok=True)
         t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
-        half = t.num_rows // 2
-        pq.write_table(t.slice(0, half), f"{out_dir}/part0.parquet")
-        # distinct mtimes: FileStreamSource schedules oldest-first, so
-        # batch 1 = early half, batch 2 = late half (event-time order)
-        time.sleep(1.1)
-        pq.write_table(t.slice(half), f"{out_dir}/part1.parquet")
+        step = t.num_rows // n_batches
+        for i in range(n_batches):
+            n = step if i < n_batches - 1 else t.num_rows - step * i
+            pq.write_table(t.slice(step * i, n),
+                           f"{out_dir}/part{i}.parquet")
+            # distinct mtimes: FileStreamSource schedules oldest-first,
+            # so batch i carries the i-th slice in event-time order
+            if i < n_batches - 1:
+                time.sleep(1.1)
     run_sessionize_stream(spark, out_dir, max_files_per_trigger=1).count()
     series = LAST_STREAM_STATE.get("batch_exec_ms_series") or []
     return {
-        "workload": "sessionize_stream, events split into two "
-                    "time-ordered files, maxFilesPerTrigger=1 -> two "
-                    "micro-batches in one query: batch 1 carries the "
-                    "fixed init, batch 2 is the amortized steady state",
+        "workload": f"sessionize_stream, events split into {n_batches} "
+                    "time-ordered files, maxFilesPerTrigger=1 -> "
+                    f"{n_batches} micro-batches in one query: batch 1 "
+                    "carries the fixed init, batches 2..N are the "
+                    "amortized steady state (flat per-batch exec)",
         "batch_exec_ms_series": series,
         "batch1_exec_ms": series[0] if series else None,
-        "batch2_exec_ms": series[1] if len(series) > 1 else None,
-        # state_rows/state_bytes deliberately omitted here: the capture
-        # sums stateOperators over ALL progress entries, which
-        # double-counts numRowsTotal across this run's two batches —
-        # the single-batch sessionize_stream block carries the real
-        # state footprint
+        "steady_exec_ms_series": series[1:],
         **{k: v for k, v in LAST_STREAM_STATE.items()
-           if k in ("start_ms", "drain_ms", "stop_ms")},
+           if k in ("state_rows", "state_bytes", "rows_updated",
+                    "start_ms", "drain_ms", "stop_ms")},
     }
 
 
@@ -377,6 +381,11 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
         t0 = time.perf_counter()
         n = fn(diag).count()
         sec = round(time.perf_counter() - t0, 3)
+        # release any persist the operator handed back (fuzzy_join's
+        # verified-pairs cache, ADVICE r9) — the result is consumed
+        release = diag.pop("unpersist", None)
+        if release is not None:
+            release()
         out[name] = {"sec": sec, "output_rows": n, **diag}
         print(f"  stress {name}: {out[name]}", file=sys.stderr)
 
@@ -514,11 +523,12 @@ def main() -> int:
             if LAST_STREAM_STATE:
                 stream_state[name] = dict(LAST_STREAM_STATE)
 
-    # two-batch amortization measurement (r8 verdict item 6) — after the
-    # timed loop so its extra stream run can't pollute the timings
-    stream_state["sessionize_stream_2batch"] = bench_two_batch_stream(
-        spark, sf_dir)
-    print(f"  2batch: {stream_state['sessionize_stream_2batch']}",
+    # multi-batch amortization measurement (r8 verdict item 6; extended
+    # to 4 batches per the r9 verdict item 5) — after the timed loop so
+    # its extra stream run can't pollute the timings
+    stream_state["sessionize_stream_4batch"] = bench_multi_batch_stream(
+        spark, sf_dir, n_batches=4)
+    print(f"  4batch: {stream_state['sessionize_stream_4batch']}",
           file=sys.stderr)
 
     # Volume counters for the dedup/LSH family (AFTER all timing — the
@@ -639,17 +649,21 @@ def main() -> int:
                 "state-store instance init + Arrow/Python worker "
                 "spin-up inside triggerExecution, on KB-scale state. "
                 "Since r9 that amortization claim is MEASURED, not "
-                "argued: stream_state.sessionize_stream_2batch runs one "
-                "query over a two-file source (maxFilesPerTrigger=1, "
-                "each batch = half the events) and records both "
-                "triggerExecutions — batch 1 carries the store/worker "
-                "init on top of its data work (premium measured "
-                "0.4-0.8s across runs; this artifact's own series is "
-                "the current draw, PLANS.md keeps the history); "
-                "batch 2 "
-                "(reused stores and workers) is data-proportional "
-                "only, i.e. the per-batch cost a long-running stream "
-                "actually pays"),
+                "argued — and since r10 on a 4-batch series, not a "
+                "single steady-state point: "
+                "stream_state.sessionize_stream_4batch runs one query "
+                "over a four-file source (maxFilesPerTrigger=1, each "
+                "batch = a quarter of the events, event-time order) "
+                "and records every triggerExecution — batch 1 carries "
+                "the store/worker init on top of its data work "
+                "(premium measured 0.4-0.8s across runs; this "
+                "artifact's own series is the current draw, PLANS.md "
+                "keeps the history); batches 2-4 (reused stores and "
+                "workers) are data-proportional and flat across the "
+                "series, i.e. the per-batch cost a long-running "
+                "stream actually pays. State gauges in the block are "
+                "last-batch store footprint (ADVICE-r9 capture fix: "
+                "gauges last-batch, numRowsUpdated summed)"),
             "r8_host_drift_series": (
                 "three full sf0.1 seals in one r8 session measured "
                 "headline 14.25 -> 14.57 -> 15.78s with BYTE-IDENTICAL "

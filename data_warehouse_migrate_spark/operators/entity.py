@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 
 def normalize_keys(df: DataFrame, key_col: str,
-                   out_col: str | None = None) -> DataFrame:
+                   out_col: str | None = None,
+                   diag: dict | None = None) -> DataFrame:
     """Canonicalize a drifted business key BEFORE fuzzy matching — the
     cheap pre-pass a migration pipeline controls, and the right first
     move when keys differ by more than one edit: most real two-edit
@@ -71,8 +72,31 @@ def normalize_keys(df: DataFrame, key_col: str,
     ``out_col`` (default ``<key_col>_norm``); NULL stays NULL.
     Normalize BOTH sides, then :func:`fuzzy_join` at d=1 on the
     normalized column covers the residual genuine typo.
+
+    ``diag`` (optional dict) receives ``lossy_keys``: the count of
+    rows whose key contains a non-ASCII LETTER OR DIGIT — information
+    the ASCII-only strip destroys (the 'Müller'→'mller' false-merge
+    hazard above), as opposed to punctuation/whitespace it strips by
+    design. A non-zero count means the input is outside this
+    operator's contract domain and a Python warning is emitted. Costs
+    one extra count action; leave None in production.
     """
     out_col = out_col or f"{key_col}_norm"
+    if diag is not None:
+        # Java regex class intersection: Unicode letters/digits that are
+        # NOT ASCII alphanumerics (\p{Alnum} is ASCII-only in Java)
+        lossy = df.filter(
+            F.col(key_col).rlike(r"[[\p{L}\p{N}]&&[^\p{Alnum}]]")).count()
+        diag["lossy_keys"] = lossy
+        if lossy:
+            import warnings
+
+            warnings.warn(
+                f"normalize_keys: {lossy} value(s) in '{key_col}' carry "
+                "non-ASCII letters/digits that the ASCII-only strip "
+                "discards — false-merge hazard; casefold/transliterate "
+                "upstream instead (see docstring contract)",
+                stacklevel=2)
     zstrip = r"(^|(?<=\D))0+(?=\d)"
     c = F.lower(F.col(key_col))
     c = F.regexp_replace(c, zstrip, "")
@@ -165,7 +189,14 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     pairs admitted by the variant-hash join, pre-verify), output_pairs
     (verified key pairs) and candidates_per_output — the volumes that
     pin whether a bench drift is host noise or a real candidate
-    blow-up. Costs extra actions + a persist; leave None in production.
+    blow-up. The candidate spine is
+    unpersisted as soon as the verified pair count materializes
+    (ADVICE r9: repeated diag'd calls in one session accumulated
+    cached blocks for the process lifetime); the verified ``pairs``
+    frame must outlive this call (the returned plan reads it twice),
+    so ``diag["unpersist"]`` receives a zero-arg callable the caller
+    invokes once the returned frame is consumed. Costs extra actions
+    + a persist; leave None in production.
 
     Completeness (SymSpell pigeonhole, both depths): an optimal
     alignment for lev(s,t) = d ≤ 2 leaves a common subsequence
@@ -184,7 +215,18 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     variants = (_deletion_variants if max_distance == 1
                 else _deletion_variants2)
-    target = left.sparkSession.sparkContext.defaultParallelism
+    # explicit exchange width for the key-dedup repartition: at least
+    # defaultParallelism (total cores — the CPU-spread floor for the
+    # variant explode even on a 1-partition dimension scan) and at
+    # least the session's configured shuffle width, so a cluster tuned
+    # for wide shuffles never sees this exchange SHRINK a distinct-key
+    # set below its other shuffles (ADVICE r9 — the deleted _spread
+    # only widened; a session conf read is AQE-safe where an
+    # input-partition probe via .rdd is not, per the r8 ADVICE that
+    # removed entity's private _spread)
+    sess = left.sparkSession
+    target = max(sess.sparkContext.defaultParallelism,
+                 int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
 
     def key_variants(df: DataFrame, key: str) -> DataFrame:
         return (df.select(key)
@@ -206,10 +248,17 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     if diag is not None:
         pairs = pairs.persist()
         n_out = pairs.count()
+        # pairs is materialized — the candidate spine is no longer read
+        # by anything downstream; drop its blocks now (ADVICE r9)
+        cand.unpersist()
         diag.update(
             output_pairs=n_out,
             candidates_per_output=round(
-                diag["candidate_pairs"] / max(n_out, 1), 2))
+                diag["candidate_pairs"] / max(n_out, 1), 2),
+            # the returned plan reads `pairs` twice, so it must stay
+            # cached until the caller consumes the result — hand the
+            # caller the release handle instead of leaking the blocks
+            unpersist=pairs.unpersist)
     return (left.join(pairs, left_key)
             .join(right, right_key)
             .select(*left.columns, *right.columns, "edit_distance"))

@@ -456,16 +456,29 @@ def _capture_stream_metrics(progress) -> None:
     lacks ``stateOperators`` must still report the batch-execution
     component the lifecycle decomposition exists to capture (ADVICE r8) —
     the state block is filled only when state operators are present.
+
+    ``numRowsTotal`` / ``memoryUsedBytes`` are cumulative GAUGES (each
+    batch reports the whole store), so they are taken from the LAST batch
+    that carried state operators; only ``numRowsUpdated`` is a per-batch
+    delta and is summed across batches (ADVICE r9 — summing the gauges
+    double-counted state on every multi-batch run).
     """
     import json as _json
 
-    ops: list = []
+    last_ops: list = []
+    last_ops_bid = -1
+    rows_updated = 0
     batch_series: list = []
     for p in progress:
         pj = _json.loads(p.json)
-        ops.extend(pj.get("stateOperators") or [])
+        bid = int(pj.get("batchId", len(batch_series)))
+        sops = pj.get("stateOperators") or []
+        rows_updated += sum(int(o.get("numRowsUpdated", 0)) for o in sops)
+        if sops and bid >= last_ops_bid:
+            last_ops_bid = bid
+            last_ops = sops
         batch_series.append(
-            (int(pj.get("batchId", len(batch_series))),
+            (bid,
              int((pj.get("durationMs") or {})
                  .get("triggerExecution", 0))))
     batch_series.sort()
@@ -475,14 +488,13 @@ def _capture_stream_metrics(progress) -> None:
             "batch_exec_ms": sum(ms for _, ms in batch_series),
             "batch_exec_ms_series": [ms for _, ms in batch_series],
         })
-    if ops:
+    if last_ops:
         LAST_STREAM_STATE.update({
             "state_rows": sum(int(o.get("numRowsTotal", 0))
-                              for o in ops),
+                              for o in last_ops),
             "state_bytes": sum(int(o.get("memoryUsedBytes", 0))
-                               for o in ops),
-            "rows_updated": sum(int(o.get("numRowsUpdated", 0))
-                                for o in ops),
+                               for o in last_ops),
+            "rows_updated": rows_updated,
         })
 
 

@@ -80,7 +80,8 @@ def main():
         for fn in (fuzzy_join, old_fuzzy_join):
             fn(dirty, clean, "dirty_name", "c_name", d).count()
         runs = {"new": [], "old": []}
-        bytes_ = {}
+        bytes_ = {"new": [], "old": []}   # per-run deltas, all 3 kept
+        rows = {}
         for i in range(3):
             for tag, fn in (("new", fuzzy_join), ("old", old_fuzzy_join)):
                 spark.catalog.clearCache()
@@ -88,13 +89,23 @@ def main():
                 t0 = time.perf_counter()
                 n = fn(dirty, clean, "dirty_name", "c_name", d).count()
                 runs[tag].append(round(time.perf_counter() - t0, 3))
-                bytes_[tag] = shuffle_write_bytes(spark) - b0
+                bytes_[tag].append(shuffle_write_bytes(spark) - b0)
+                rows[tag] = n
+        # multiplicity contract guard: these inputs are duplicate-free,
+        # so keys-first and full-row-distinct MUST agree exactly (the
+        # shapes differ only on duplicate rows — a count mismatch here
+        # is a correctness regression, not a perf delta)
+        assert rows["new"] == rows["old"], (
+            f"{label}: shape row counts diverged "
+            f"new={rows['new']} old={rows['old']}")
         results[label] = {
-            "rows": n,
+            "rows": rows["new"],
             "new_runs": runs["new"], "old_runs": runs["old"],
             "new_best": min(runs["new"]), "old_best": min(runs["old"]),
-            "new_shuffle_bytes": bytes_["new"],
-            "old_shuffle_bytes": bytes_["old"],
+            "new_shuffle_bytes_runs": bytes_["new"],
+            "old_shuffle_bytes_runs": bytes_["old"],
+            "new_shuffle_bytes_min": min(bytes_["new"]),
+            "old_shuffle_bytes_min": min(bytes_["old"]),
         }
         print(label, json.dumps(results[label]))
     print("SUMMARY", json.dumps(results))

@@ -343,6 +343,61 @@ def test_normalize_keys(spark):
     assert [(x.lid, x.rid, x.edit_distance) for x in m] == [(1, 9, 1)]
 
 
+def test_normalize_keys_lossy_counter(spark):
+    """The ASCII-only contract's escape hatch (r9 verdict item 7):
+    diag counts keys carrying non-ASCII letters/digits (stripped
+    lossily → false-merge hazard) and warns; ASCII punctuation and
+    non-ASCII PUNCTUATION (stripped by design) do not count."""
+    import warnings
+
+    from data_warehouse_migrate_spark.operators.entity import normalize_keys
+
+    df = spark.createDataFrame(
+        [(1, "Müller"), (2, "Mller"), (3, "Cust-0042"),
+         (4, "№42"), (5, "a—b"), (6, None)],
+        "id int, k string")
+    diag: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {r.id: r.k_norm
+               for r in normalize_keys(df, "k", diag=diag).collect()}
+    # only id=1 is lossy: ü is a non-ASCII LETTER; № (NUMERO SIGN) is a
+    # symbol (\p{So}, not \p{N}), so "№42" strips by design like the
+    # em-dash and the ASCII punctuation rows
+    assert out[1] == out[2] == "mller"          # the documented hazard
+    assert diag["lossy_keys"] == 1
+    assert any("false-merge" in str(x.message) for x in w)
+    # em-dash (non-ASCII punctuation) strips by design, not lossy
+    assert out[5] == "ab"
+    # clean ASCII input: zero counter, no warning
+    diag2: dict = {}
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        normalize_keys(df.filter("id = 3"), "k", diag=diag2).collect()
+    assert diag2["lossy_keys"] == 0
+    assert not any("false-merge" in str(x.message) for x in w2)
+
+
+def test_fuzzy_join_diag_releases_cache(spark):
+    """ADVICE r9: the diag path must not leak persisted blocks — the
+    candidate spine unpersists inside the call, and the verified-pairs
+    cache is released via the diag['unpersist'] handle."""
+    from data_warehouse_migrate_spark.operators.entity import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme cor")], "lid int, lkey string")
+    right = spark.createDataFrame(
+        [(9, "acme corp")], "rid int, rkey string")
+    diag: dict = {}
+    out = fuzzy_join(left, right, "lkey", "rkey", diag=diag)
+    assert out.count() == 2 and diag["output_pairs"] == 2
+    release = diag.pop("unpersist")
+    release()
+    jsc = spark.sparkContext._jsc.sc()
+    # no RDD blocks remain cached once the handle runs
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_run_scd2_parquet_end_to_end(spark, tmp_path):
     from data_warehouse_migrate_spark.migrate import MigrationJob
 

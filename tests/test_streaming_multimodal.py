@@ -427,9 +427,34 @@ def test_capture_stream_metrics_stateful():
     # batch order restored by batchId regardless of progress-list order
     assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [100, 40]
     assert W.LAST_STREAM_STATE["batch_exec_ms"] == 140
-    assert W.LAST_STREAM_STATE["state_rows"] == 5
-    assert W.LAST_STREAM_STATE["state_bytes"] == 192
+    # numRowsTotal/memoryUsedBytes are cumulative gauges — the LAST batch
+    # (batchId 1) wins, even though it appears first in the progress list;
+    # numRowsUpdated is a per-batch delta and sums across batches
+    # (ADVICE r9: summing the gauges double-counted multi-batch state)
+    assert W.LAST_STREAM_STATE["state_rows"] == 3
+    assert W.LAST_STREAM_STATE["state_bytes"] == 128
     assert W.LAST_STREAM_STATE["rows_updated"] == 4
+
+
+def test_capture_stream_metrics_gauge_from_last_stateful_batch():
+    """A trailing empty (stateless) drain batch must not erase the state
+    gauges: they come from the last batch that CARRIED state operators."""
+    from data_warehouse_migrate_spark.streaming import windows as W
+
+    W._capture_stream_metrics([
+        _FakeProgress('{"batchId": 0, "durationMs": {"triggerExecution": 90},'
+                      ' "stateOperators": [{"numRowsTotal": 4,'
+                      ' "memoryUsedBytes": 200, "numRowsUpdated": 4}]}'),
+        _FakeProgress('{"batchId": 1, "durationMs": {"triggerExecution": 30},'
+                      ' "stateOperators": [{"numRowsTotal": 6,'
+                      ' "memoryUsedBytes": 260, "numRowsUpdated": 2}]}'),
+        _FakeProgress('{"batchId": 2, "durationMs": {"triggerExecution": 5},'
+                      ' "stateOperators": []}'),
+    ])
+    assert W.LAST_STREAM_STATE["state_rows"] == 6
+    assert W.LAST_STREAM_STATE["state_bytes"] == 260
+    assert W.LAST_STREAM_STATE["rows_updated"] == 6
+    assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [90, 30, 5]
 
 
 def test_capture_stream_metrics_stateless_keeps_batch_exec():
