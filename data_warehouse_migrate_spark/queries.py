@@ -4010,120 +4010,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r09 window composition (registry still FROZEN at 125 — zero new
-    # entries this round, per the r8 verdict's item 3; the window
-    # completes the first full 125/50 three-round refresh cycle):
-    #  1-32:  ALL 32 r06-stale tail queries (rule 1 — their newest
-    #         driver rows are r06, the oldest anywhere in the registry;
-    #         the r8 comment committed them, in this order, to lead
-    #         r09). With these green, every registry query's newest
-    #         external row is ≥ r07.
-    # 33-44:  rule-2 pins — code on their execution path changed this
+    # r10 window composition (registry FROZEN at 125 — zero new entries;
+    # the second 125/50 refresh cycle proceeds on schedule):
+    #  1-33:  ALL 33 r07-stale tail queries (rule 1 — their newest
+    #         driver rows are r07, the oldest in the registry; the r9
+    #         ledger committed them, in this order, to lead r10).
+    #         Includes the four rows-only rule-4 residents whose
+    #         <=3-round refresh is due exactly this round
+    #         (embedding_lsh_ann, embedding_ivf, embedding_near_dup,
+    #         approx_distinct_users) and the seven picks displaced by
+    #         the r9 rule-2 pins (asof_order_price, range_join_clicks,
+    #         mixture_sample, incremental_migrate, text_stats, lang_id,
+    #         embedding_topk). With these green, every registry query's
+    #         newest external row is >= r08.
+    # 34-37:  rule-2 pins — code on their execution path changed this
     #         round:
-    #         * entity.py fuzzy_join rewritten keys-first (distinct-key
-    #           candidate generation + payload re-attach joins replace
-    #           the full-row distinct; _spread deleted) →
-    #           fuzzy_match_customers, fuzzy_match_d2, entity_clusters.
-    #         * streaming/windows.py run_sessionize_stream (per-batch
-    #           exec series + maxFilesPerTrigger + ADVICE
-    #           batch_exec_ms fix; late-r9 the metrics fill moved into
-    #           the _capture_stream_metrics helper, behavior-identical
-    #           and unit-pinned) → sessionize_stream.
-    #         * functions/text.py word_shingles LET-BINDING (the
-    #           O(words²) per-doc regex re-evaluation fix, measured 6×
-    #           on the shingle-explode path) → every shingle consumer:
-    #           contamination_check, dedup_ngram_jaccard, minhash_sigs,
-    #           dedup_minhash (rows-only rule-4 resident, but rule 2
-    #           takes priority on a changed path — its oracle-checked
-    #           twin minhash_sigs shares the changed prefix and is
-    #           in-window beside it), doc_repetition
-    #           (top_ngram_fraction), plus decontaminate_corpus
-    #           already leading the r06 block above.
-    #         * operators/packing.py chunk_documents let-binding →
-    #           chunk_documents.
-    #         * functions/lm.py _bigrams let-binding (pmi_collocations
-    #           now shares _bigrams) → pmi_collocations,
-    #           bigram_logprob.
-    # 45-50:  6 of the 43 r07-stale queries (rule 1 — newest rows
-    #         r07; 7 planned picks were displaced by the rule-2 pins
-    #         above and lead r10 instead): the TPC-H-ish anchors
-    #         pricing_summary + top_customers, the live-Derby
-    #         jdbc_roundtrip + streaming enrich_stream pair,
-    #         semantic_dedup (heaviest LLM op), and
-    #         distinct_users_exact (exact twin of the rows-only HLL
-    #         resident).
-    # Tail 51-83: the 33 remaining r07-stale — LEAD the r10 window
-    #         (listed first in the tail, in order). Includes the four
-    #         rows-only rule-4 residents refreshed r7 (embedding_lsh_ann,
-    #         embedding_ivf, embedding_near_dup, approx_distinct_users):
-    #         their ≤3-round refresh is due exactly r10, same timing
-    #         precedent as approx_value_percentiles in r8
-    #         (dedup_minhash, the fifth, is in-window this round per
-    #         rule 2), plus the seven displaced picks (asof_order_price,
-    #         range_join_clicks, mixture_sample, incremental_migrate,
-    #         text_stats, lang_id, embedding_topk).
-    # Tail 84-125: the 42 r08-green window queries rotating out
+    #         * operators/entity.py: fuzzy_join diag now unpersists the
+    #           candidate spine + hands back a pairs release handle
+    #           (ADVICE r9), the key-dedup exchange width is
+    #           max(defaultParallelism, shuffle.partitions) (ADVICE
+    #           r9), and normalize_keys gained a lossy-key diag counter
+    #           -> fuzzy_match_customers, fuzzy_match_d2,
+    #           entity_clusters.
+    #         * streaming/windows.py _capture_stream_metrics: state
+    #           gauges (numRowsTotal/memoryUsedBytes) now come from the
+    #           LAST batch carrying state operators, numRowsUpdated
+    #           sums across batches (ADVICE r9 multi-batch
+    #           double-count) -> sessionize_stream (the only caller of
+    #           the helper; events_hourly_stream/enrich_stream/
+    #           dedup_exact_stream never call it).
+    # 38-50:  13 of the 42 r08-stale block (rule 1 — newest rows r08,
+    #         due by r11; taking 13 now leaves 29 to lead r11):
+    #         value_percentiles FIRST (the r9 verdict's uninstrumented
+    #         bench mover — re-timed interleaved this round), then the
+    #         block's first 12 in ledger order.
+    # Tail 51-79: the 29 remaining r08-stale — LEAD the r11 window
+    #         (listed first in the tail, in order). Includes the
+    #         rows-only rule-4 resident approx_value_percentiles
+    #         (refreshed r8, due exactly r11).
+    # Tail 80-125: the 46 r09-green window queries rotating out
     #         (rule 3 — driver-green last round; no code on their
-    #         paths changed this round: the entity.py /
-    #         streaming/windows.py / text.py / packing.py / lm.py
-    #         diffs pin their callers IN-window above, the readers.py
-    #         read_text_corpus change is docstring-only, and
-    #         bench.py/scripts are not on any query path).
-    # --- 1-32: r06-stale leads (rule 1; committed by the r8 ledger) ------
-    "customers_without_orders": q_customers_without_orders,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "dedup_near_keep": q_dedup_near_keep,
-    "dest_projection": q_dest_projection,
-    "embedding_centroids": q_embedding_centroids,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_truncate": q_embedding_truncate,
-    "event_type_pivot": q_event_type_pivot,
-    "frame_sample": q_frame_sample,
-    "inf_cleanup": q_inf_cleanup,
-    "late_ship_orders": q_late_ship_orders,
-    "latest_partition_multi": q_latest_partition_multi,
-    "mapping_computed": q_mapping_computed,
-    "mapping_defaults": q_mapping_defaults,
-    "mapping_format": q_mapping_format,
-    "mapping_rename_reorder": q_mapping_rename_reorder,
-    "null_policy_fill": q_null_policy_fill,
-    "order_priority_counts": q_order_priority_counts,
-    "props_json_extract": q_props_json_extract,
-    "pseudonymize_customers": q_pseudonymize_customers,
-    "quality_band_filter": q_quality_band_filter,
-    "region_rollup": q_region_rollup,
-    "revenue_rollup": q_revenue_rollup,
-    "rolling_event_features": q_rolling_event_features,
-    "running_total": q_running_total,
-    "scan_orderby_limit": q_scan_orderby_limit,
-    "set_ops_users": q_set_ops_users,
-    "shipping_priority": q_shipping_priority,
-    "string_preservation": q_string_preservation,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "unigram_logprob": q_unigram_logprob,
-    "vocab_topk": q_vocab_topk,
-    # --- 33-44: rule-2 pins (r9 code changes on their paths) -------------
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    "contamination_check": q_contamination_check,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "minhash_sigs": q_minhash_sigs,
-    "dedup_minhash": q_dedup_minhash,
-    "doc_repetition": q_doc_repetition,
-    "chunk_documents": q_chunk_documents,
-    "pmi_collocations": q_pmi_collocations,
-    "bigram_logprob": q_bigram_logprob,
-    # --- 45-50: r07-stale, rotating back in (rule 1; 6 of 43) ------------
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
-    "semantic_dedup": q_semantic_dedup,
-    "distinct_users_exact": q_distinct_users_exact,
-    # --- 51-83: r07-stale overflow — LEAD the r10 window (rule 1; the
-    #            four rows-only rule-4 residents are due exactly r10) -----
+    #         paths changed this round: the entity.py and
+    #         streaming/windows.py diffs pin their callers IN-window
+    #         above, and bench.py/scripts are not on any query path).
+    #         dedup_minhash (rows-only rule-4 resident) was refreshed
+    #         r9 in-window; due again by r12.
+    # --- 1-33: r07-stale leads (rule 1; committed by the r9 ledger) ------
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
@@ -4157,7 +4089,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
-    # --- 84-125: r08-green window queries rotating out (rule 3) ----------
+    # --- 34-37: rule-2 pins (r10 code changes on their paths) ------------
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    # --- 38-50: r08-stale, rotating back in (rule 1; 13 of 42) -----------
+    "value_percentiles": q_value_percentiles,
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
     "events_hourly": q_events_hourly,
@@ -4170,6 +4108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "hypertable_rollup": q_hypertable_rollup,
+    # --- 51-79: r08-stale overflow — LEAD the r11 window (rule 1) --------
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4194,12 +4133,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_rows": q_dedup_keep_rows,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    "value_percentiles": q_value_percentiles,
     "line_dedup": q_line_dedup,
     "multimodal_decode": q_multimodal_decode,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
     "dedup_exact_stream": q_dedup_exact_stream,
+    # --- 80-125: r09-green window queries rotating out (rule 3) ----------
+    "customers_without_orders": q_customers_without_orders,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dest_projection": q_dest_projection,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
+    "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
+    "inf_cleanup": q_inf_cleanup,
+    "late_ship_orders": q_late_ship_orders,
+    "latest_partition_multi": q_latest_partition_multi,
+    "mapping_computed": q_mapping_computed,
+    "mapping_defaults": q_mapping_defaults,
+    "mapping_format": q_mapping_format,
+    "mapping_rename_reorder": q_mapping_rename_reorder,
+    "null_policy_fill": q_null_policy_fill,
+    "order_priority_counts": q_order_priority_counts,
+    "props_json_extract": q_props_json_extract,
+    "pseudonymize_customers": q_pseudonymize_customers,
+    "quality_band_filter": q_quality_band_filter,
+    "region_rollup": q_region_rollup,
+    "revenue_rollup": q_revenue_rollup,
+    "rolling_event_features": q_rolling_event_features,
+    "running_total": q_running_total,
+    "scan_orderby_limit": q_scan_orderby_limit,
+    "set_ops_users": q_set_ops_users,
+    "shipping_priority": q_shipping_priority,
+    "string_preservation": q_string_preservation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "unigram_logprob": q_unigram_logprob,
+    "vocab_topk": q_vocab_topk,
+    "contamination_check": q_contamination_check,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_sigs": q_minhash_sigs,
+    "dedup_minhash": q_dedup_minhash,
+    "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
+    "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "semantic_dedup": q_semantic_dedup,
+    "distinct_users_exact": q_distinct_users_exact,
 }
 
 
