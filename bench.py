@@ -120,6 +120,47 @@ def build_stress_tables(sf_dir: str, factor: int) -> str:
     return out_dir
 
 
+def _stage_totals(spark) -> dict:
+    """Completed-stage metric totals from the UI REST endpoint.
+
+    Per-query DELTAS of these totals (captured around each query's
+    untimed warm-up run) give EVERY timed query a plan-identity
+    counter — shuffle write bytes + scan input bytes/records are
+    deterministic for a fixed plan and data, so a future round's
+    timing drift is mechanically attributable without the dedup
+    family's bespoke diag: counters identical => host noise, counters
+    moved => plan/data regression (r9 verdict item 1 — the
+    value_percentiles/revenue_rollup movers had no counters to
+    arbitrate). Needs spark.ui.enabled=true, which only starts the
+    HTTP endpoint — the AppStatusStore it reads runs regardless, so
+    timings stay comparable with prior rounds. Returns {} if the UI
+    is unreachable (bench then skips counters rather than failing)."""
+    import urllib.request
+
+    base_url = spark.sparkContext.uiWebUrl
+    if not base_url:
+        return {}
+    try:
+        # drain the async listener bus so the status store reflects the
+        # stages the just-finished action ran (private API, best-effort)
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    except Exception:
+        time.sleep(0.3)
+    app_id = spark.sparkContext.applicationId
+    url = f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return {}
+    return {
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0)
+                                   for s in stages),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+        "input_records": sum(s.get("inputRecords", 0) for s in stages),
+    }
+
+
 HEADLINE = [
     "migrate_pipeline",
     "cast_source_schema",
@@ -446,6 +487,61 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     timed("fuzzy_join_d2",
           lambda d: fuzzy_join(d2_dirty, clean, "dirty_name", "c_name",
                                max_distance=2, diag=d))
+
+    # ADVERSARIAL key space for fuzzy_join (r9 verdict item 3): the
+    # Customer#-key counters above show candidates_per_output exactly
+    # 1.0 because 18-char structured keys admit no d<=2 collisions —
+    # the disclosed blow-up risk lives in SHORT, shared-prefix,
+    # typo-dense keys, which is where the deletion-neighborhood join
+    # concentrates many keys onto one variant hash (delete the one
+    # differing char -> identical string). Construction (deterministic,
+    # no RNG): group prefixes are 4-char codewords [a, b, a+b, a+2b]
+    # mod 25 — a distance-3 code, so CROSS-group pairs are lev >= 3 and
+    # contribute nothing even at d=2; every admitted candidate is an
+    # in-group one. Substitution groups (one varying last char, left
+    # and right drawn from disjoint 32-char alphabets) make every
+    # left x right in-group pair a TRUE d=1 match AND collapse both
+    # sides' deletion variants onto the bare prefix -> one 32x32=1024-
+    # pair hot variant bucket per group (the occupancy counters must
+    # flag exactly S of them). Deletion groups (two varying chars over
+    # a 6-letter alphabet) are the d=2 stress: the depth-2 neighborhood
+    # admits in-group candidates up to lev 4 that the verify prunes.
+    lo = "abcdefghjkmnpqrstuvwxyz"[:25]
+
+    def codeword(g):
+        a, b = g // 25, g % 25
+        return (lo[a % 25] + lo[b] + lo[(a + b) % 25] + lo[(a + 2 * b) % 25])
+
+    A_r = "abcdefghijklmnopqrstuvwxyz012345"          # right last-char
+    A_l = "ABCDEFGHIJKLMNOPQRSTUVWXYZ6789#@"          # left last-char
+    A6 = "abcdef"
+    S, D = 2 * factor, 4 * factor
+    right_rows, left_rows = [], []
+    for g in range(S):                                 # substitution groups
+        p = "s" + codeword(g)
+        right_rows += [(len(right_rows) + i, p + c)
+                       for i, c in enumerate(A_r)]
+        left_rows += [(len(left_rows) + i, p + c)
+                      for i, c in enumerate(A_l)]
+    for g in range(D):                                 # deletion groups
+        p = "d" + codeword(g + S)                      # disjoint codewords
+        ks = [p + c1 + c2 for c1 in A6 for c2 in A6]
+        right_rows += [(len(right_rows) + i, k) for i, k in enumerate(ks)]
+        # left: one char deleted, position picked by a hash of the key
+        dels = sorted({k[:h] + k[h + 1:]
+                       for k in ks for h in [sum(map(ord, k)) % len(k)]})
+        left_rows += [(len(left_rows) + i, k) for i, k in enumerate(dels)]
+    adv_r = spark.createDataFrame(right_rows, "rid long, rkey string")
+    adv_l = spark.createDataFrame(left_rows, "lid long, lkey string")
+    out["adversarial_keys"] = {"left": len(left_rows),
+                               "right": len(right_rows),
+                               "subst_groups": S, "del_groups": D}
+    timed("fuzzy_adversarial_d1",
+          lambda d: fuzzy_join(adv_l, adv_r, "lkey", "rkey",
+                               max_distance=1, diag=d))
+    timed("fuzzy_adversarial_d2",
+          lambda d: fuzzy_join(adv_l, adv_r, "lkey", "rkey",
+                               max_distance=2, diag=d))
     return out
 
 
@@ -454,7 +550,9 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     do_stress = ("--no-stress" not in sys.argv
                  and os.environ.get("SPARK_GRAFT_STRESS", "1") != "0")
-    spark = get_spark("dwms-bench")
+    # UI on for the stage-metrics REST endpoint (_stage_totals): only the
+    # HTTP server is extra — the status store it reads always runs
+    spark = get_spark("dwms-bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + file index + Python/Arrow workers so per-query times
@@ -484,7 +582,11 @@ def main() -> int:
         # other untouched query drifted +20-60% the same run — classic
         # host noise that more draws absorb.
         spark.catalog.clearCache()
+        c0 = _stage_totals(spark)
         QUERIES[name](spark, sf_dir).count()  # warm-up, untimed
+        c1 = _stage_totals(spark)
+        if c0 and c1:
+            plan_counters[name] = {k: c1[k] - c0[k] for k in c1}
         runs: list[float] = []
         while (len(runs) < min_draws
                or (len(runs) == min_draws
@@ -499,6 +601,7 @@ def main() -> int:
         return round(min(runs), 3)
 
     all_runs: dict[str, list[float]] = {}
+    plan_counters: dict[str, dict] = {}
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = timed_best(
@@ -692,8 +795,49 @@ def main() -> int:
                 "attribution (counters moved = plan/data regression; "
                 "counters identical = host) says host noise — same "
                 "class as the r6 ngram drift bisected in r7"),
+            "value_percentiles_revenue_rollup_r9_drift": (
+                "the two r8->r9 movers beyond the uniform drift band "
+                "(0.138->0.491s / 0.281->0.610s, untouched code, no "
+                "counters then) were re-timed r10 interleaved with two "
+                "untouched in-band anchors (event_type_pivot, "
+                "pricing_summary), 5 rounds, "
+                "scripts/retime_percentiles_rollup.py: both suspects "
+                "returned to their r8 bands (min 1.04-1.14x r8) while "
+                "the anchors ran FASTER than r8 (0.68-0.69x) — the r9 "
+                "seal ran on a degraded host; drift confirmed, no "
+                "regression (series in PLANS.md). plan_counters now "
+                "covers the whole timed set, so this class of "
+                "uninstrumented ambiguity cannot recur"),
+            "fuzzy_adversarial_stress": (
+                "r9 verdict item 3: the Customer#-key fuzzy counters "
+                "show candidates_per_output exactly 1.0 because long "
+                "structured keys admit no d<=2 collisions, so the "
+                "stress block now also runs fuzzy_join over a "
+                "deterministic typo-dense key space (short keys, "
+                "shared 4-char distance-3-coded prefixes: substitution "
+                "groups whose deletion variants collapse onto the bare "
+                "prefix, plus two-varying-char deletion groups). "
+                "stress.fuzzy_adversarial_d1/_d2 record the candidate "
+                "spine AND the new variant-bucket occupancy counters "
+                "(n/max/hot buckets, pre-distinct candidate volume). "
+                "Expected shape: hot_buckets == subst_groups at d=1 "
+                "(each group IS one ~1k-pair bucket), d=2 shows the "
+                "pre-distinct amplification the docstring discloses. "
+                "Exactness forbids dropping hot buckets (unlike LSH "
+                "banding) — at scale a hot variant bucket is shuffle "
+                "skew, which AQE skew-join splits; the counters exist "
+                "so a drift is attributable and a pathological key "
+                "space is visible before it burns a cluster"),
         },
         "extended_queries": ext_times,
+        # plan-identity counters for EVERY timed query (r9 verdict item
+        # 1): deltas of completed-stage shuffle-write bytes + scan input
+        # bytes/records around each query's untimed warm-up run. For a
+        # fixed plan and data these are deterministic, so next round's
+        # drift attribution (counters identical => host noise; moved =>
+        # plan/data regression) covers the whole headline+extended set,
+        # not just the dedup/LSH family's bespoke diag.
+        "plan_counters": plan_counters,
         "stream_state": stream_state,
         "diagnostics": diagnostics,
         "index_contract": index_contract,

@@ -234,13 +234,39 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                 .dropDuplicates([key])
                 .withColumn("__vh", F.explode(variants(F.col(key)))))
 
-    cand = (key_variants(left, left_key)
-            .join(key_variants(right, right_key), "__vh")
+    lkv = key_variants(left, left_key)
+    rkv = key_variants(right, right_key)
+    cand = (lkv.join(rkv, "__vh")
             .select(left_key, right_key)
             .distinct())
     if diag is not None:
         cand = cand.persist()
         diag["candidate_pairs"] = cand.count()
+        # variant-bucket occupancy: the hash join's per-bucket pair
+        # contribution (left keys sharing a variant × right keys sharing
+        # it). Short shared-prefix key spaces concentrate many keys on
+        # one variant (delete the differing char → identical string) —
+        # the blow-up axis the deletion neighborhood is exposed to where
+        # banding protects LSH. Exactness forbids dropping hot buckets
+        # (every admitted pair must reach the levenshtein verify); at
+        # scale a hot bucket is a skew problem for the shuffle join,
+        # which AQE skew-join splits — these counters make the hazard
+        # measurable so a drift is attributable (same vocabulary as the
+        # dedup family's diag: n/max/hot buckets).
+        occ = (lkv.groupBy("__vh").agg(F.count("*").alias("ln"))
+               .join(rkv.groupBy("__vh").agg(F.count("*").alias("rn")),
+                     "__vh")
+               .select((F.col("ln") * F.col("rn")).alias("bpairs")))
+        o = occ.agg(F.count("*").alias("n"),
+                    F.max("bpairs").alias("mx"),
+                    F.sum("bpairs").alias("tot"),
+                    F.sum(F.when(F.col("bpairs") > 1000, 1)
+                          .otherwise(0)).alias("hot")).first()
+        diag.update(
+            n_variant_buckets=int(o["n"] or 0),
+            max_bucket_pairs=int(o["mx"] or 0),
+            pre_distinct_candidates=int(o["tot"] or 0),
+            hot_buckets=int(o["hot"] or 0))
     pairs = (cand
              .withColumn("edit_distance",
                          F.levenshtein(F.col(left_key), F.col(right_key)))
