@@ -292,6 +292,39 @@ def _one_index_contract(spark, emb, table: str, n_buckets: int,
                      probe_bits=1).count()
             el = time.perf_counter() - t0
             full = el if full is None else min(full, el)
+        # recall@5 vs the exact brute-force twin on the SAME 100-query
+        # batch (r9 verdict item 6): the accuracy side of the
+        # accuracy/speed trade, committed beside probe_speedup so both
+        # are auditable. Registry-shipped parameters (lsh: auto/24
+        # planes, 4 bands, 1 probe bit; ivf: 16 cells, nprobe 4 — at
+        # scale, cells ~ sqrt(rows) per the operator docstring). Exact
+        # top-k under cosine TIES is ambiguous, so 1.0 is not the
+        # ceiling a perfect ANN would necessarily hit; the number is a
+        # recorded trade, not a gate (the gates live in
+        # tests/test_similarity.py / test_dedup.py).
+        from data_warehouse_migrate_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        exact = {(r.query_id, r.corpus_id)
+                 for r in brute_force_topk(q, c, k=5).collect()}
+
+        def _recall(df) -> float:
+            got = {(r.query_id, r.corpus_id) for r in df.collect()}
+            return round(len(got & exact) / max(len(exact), 1), 3)
+
+        recall = {
+            "k": 5,
+            "n_queries": 100,
+            "lsh_topk": _recall(
+                lsh_topk(q, c, k=5, n_planes=meta["n_planes"], bands=4,
+                         probe_bits=1)),
+            "lsh_topk_indexed": _recall(
+                lsh_topk_indexed(q, table, k=5, probe_bits=1)),
+            "ivf_topk": _recall(
+                ivf_topk(q, c, k=5, n_cells=16, nprobe=4)),
+        }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return {
@@ -302,6 +335,7 @@ def _one_index_contract(spark, emb, table: str, n_buckets: int,
         "indexed_probe_sec": round(indexed, 3),
         "full_lsh_sec": round(full, 3),
         "probe_speedup": round(full / indexed, 2) if indexed else None,
+        "recall_at_k": recall,
     }
 
 
