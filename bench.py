@@ -540,7 +540,7 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     # flag exactly S of them). Deletion groups (two varying chars over
     # a 6-letter alphabet) are the d=2 stress: the depth-2 neighborhood
     # admits in-group candidates up to lev 4 that the verify prunes.
-    lo = "abcdefghjkmnpqrstuvwxyz"[:25]
+    lo = "abcdefghijklmnopqrstuvwxy"    # 25 symbols — arithmetic mod 25
 
     def codeword(g):
         a, b = g // 25, g % 25
@@ -561,7 +561,13 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
         p = "d" + codeword(g + S)                      # disjoint codewords
         ks = [p + c1 + c2 for c1 in A6 for c2 in A6]
         right_rows += [(len(right_rows) + i, k) for i, k in enumerate(ks)]
-        # left: one char deleted, position picked by a hash of the key
+        # left: one char deleted, position picked by a hash of the key.
+        # Deduped within a group; a couple of CROSS-group collisions
+        # survive (deletions shift positions, so the distance-3 prefix
+        # code doesn't forbid them) — those duplicate left ROWS are kept
+        # deliberately: they exercise fuzzy_join's multiplicity contract
+        # (output_rows exceeds output_pairs by exactly the duplicated
+        # keys' matches; 2 dup keys / +24 rows at factor 10)
         dels = sorted({k[:h] + k[h + 1:]
                        for k in ks for h in [sum(map(ord, k)) % len(k)]})
         left_rows += [(len(left_rows) + i, k) for i, k in enumerate(dels)]
