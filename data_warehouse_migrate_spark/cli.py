@@ -17,6 +17,7 @@ import sys
 from data_warehouse_migrate_spark.config import (
     env_config,
     load_config_file,
+    load_dotenv,
     merge_config,
 )
 from data_warehouse_migrate_spark.migrate import job_from_config
@@ -88,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # reference config.py:9-23 auto-loads .env at import; here it's an
+    # explicit CLI-entry step (library imports must not mutate the
+    # environment) — project-root then cwd, existing vars never overridden
+    load_dotenv()
     args = vars(build_parser().parse_args(argv))
     config_path = args.pop("config", None)
     skip_confirm = args.pop("yes", False)

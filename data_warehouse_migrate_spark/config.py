@@ -137,6 +137,56 @@ def normalize_config(cfg: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def load_dotenv(path: str | None = None,
+                environ: dict[str, str] | None = None,
+                override: bool = False) -> list[str]:
+    """Load ``KEY=VALUE`` lines from a ``.env`` file into the process
+    environment (reference ``config.py:9-23``, which auto-loads via the
+    python-dotenv package at import time; this engine has no such
+    dependency and loads EXPLICITLY from the CLI entry instead of as an
+    import side effect — library imports must not mutate the
+    environment).
+
+    Search order when ``path`` is None mirrors the reference: a ``.env``
+    beside the package's parent (project root), then the current working
+    directory; the first that exists wins, no file is fine. Parser
+    covers the dotenv subset the reference relies on: blank lines and
+    ``#`` comments skipped, optional ``export `` prefix, single/double
+    quotes stripped, whitespace trimmed. Matching python-dotenv's
+    default, existing variables are NOT overridden unless
+    ``override=True`` — a real environment always beats a checked-in
+    file. Returns the list of keys actually set (for logging/tests).
+    """
+    env = environ if environ is not None else os.environ
+    if path is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for cand in (os.path.join(here, ".env"),
+                     os.path.join(os.getcwd(), ".env")):
+            if os.path.isfile(cand):
+                path = cand
+                break
+    if path is None or not os.path.isfile(path):
+        return []
+    loaded: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):]
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if not key:
+                continue
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1]
+            if override or key not in env:
+                env[key] = val
+                loaded.append(key)
+    return loaded
+
+
 def env_config(environ: dict[str, str] | None = None) -> dict[str, Any]:
     """Environment-variable config source (lowest precedence)."""
     env = environ if environ is not None else os.environ

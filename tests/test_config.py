@@ -81,3 +81,53 @@ def test_select_table_mapping_default_plus_table():
     assert m["order"] == ["id"]           # default retained
     assert select_table_mapping(raw, "unknown") == {"exclude": ["pt"], "order": ["id"]}
     assert select_table_mapping({}, "t") is None
+
+
+def test_load_dotenv_parses_and_respects_existing(tmp_path):
+    """Reference config.py:9-23 auto-loads .env; engine equivalent is the
+    explicit, dependency-free load_dotenv — dotenv subset semantics:
+    comments/blank lines skipped, export prefix, quotes stripped, and
+    (python-dotenv default) existing variables never overridden."""
+    from data_warehouse_migrate_spark.config import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text(
+        "# comment\n"
+        "\n"
+        "DWMS_BATCH_SIZE=50000\n"
+        "export DWMS_MODE=full\n"
+        "DWMS_QUOTED=\"a b\"\n"
+        "DWMS_SINGLE='x'\n"
+        "ALREADY=from_file\n"
+        "not a kv line\n"
+        "=novalue\n")
+    env = {"ALREADY": "from_env"}
+    loaded = load_dotenv(str(p), environ=env)
+    assert env["DWMS_BATCH_SIZE"] == "50000"
+    assert env["DWMS_MODE"] == "full"
+    assert env["DWMS_QUOTED"] == "a b"
+    assert env["DWMS_SINGLE"] == "x"
+    assert env["ALREADY"] == "from_env"          # never overridden
+    assert "ALREADY" not in loaded
+    assert set(loaded) == {"DWMS_BATCH_SIZE", "DWMS_MODE",
+                           "DWMS_QUOTED", "DWMS_SINGLE"}
+    # override=True flips the precedence explicitly
+    env2 = {"ALREADY": "from_env"}
+    load_dotenv(str(p), environ=env2, override=True)
+    assert env2["ALREADY"] == "from_file"
+    # missing file is fine
+    assert load_dotenv(str(tmp_path / "nope.env"), environ={}) == []
+
+
+def test_load_dotenv_feeds_env_config(tmp_path):
+    """End-to-end: .env -> process-env dict -> env_config -> merge, the
+    reference's lowest-precedence path."""
+    from data_warehouse_migrate_spark.config import env_config, load_dotenv, merge_config
+
+    p = tmp_path / ".env"
+    p.write_text("DWMS_SOURCE_FORMAT=csv\nDWMS_LIMIT=7\n")
+    env: dict = {}
+    load_dotenv(str(p), environ=env)
+    merged = merge_config({}, {}, env_config(env))
+    assert merged["source_format"] == "csv"
+    assert merged["limit"] == 7
