@@ -541,6 +541,8 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     # a 6-letter alphabet) are the d=2 stress: the depth-2 neighborhood
     # admits in-group candidates up to lev 4 that the verify prunes.
     lo = "abcdefghijklmnopqrstuvwxy"    # 25 symbols — arithmetic mod 25
+    assert len(lo) == 25                 # r10 bug class: a 23-char
+    # alphabet passed the factor-2 shakedown and crashed at factor>=4
 
     def codeword(g):
         a, b = g // 25, g % 25
