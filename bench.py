@@ -676,6 +676,20 @@ def main() -> int:
     print(f"  4batch: {stream_state['sessionize_stream_4batch']}",
           file=sys.stderr)
 
+    # windowed-agg state footprint (r10: run_windowed_counts_stream now
+    # captures the same lifecycle metrics as the sessionize runner) —
+    # untimed single run after the loop; state_rows here = live windows
+    # x event types, the quantity a production watermark bounds
+    from data_warehouse_migrate_spark.streaming.windows import (
+        LAST_STREAM_STATE as _LSS,
+    )
+
+    QUERIES["events_hourly_stream"](spark, sf_dir).count()
+    if _LSS:
+        stream_state["events_hourly_stream"] = dict(_LSS)
+        print(f"  events_hourly_stream state: "
+              f"{stream_state['events_hourly_stream']}", file=sys.stderr)
+
     # Volume counters for the dedup/LSH family (AFTER all timing — the
     # eager counts inside the diag path persist intermediates and would
     # otherwise pollute the measurements). A future timing drift is then

@@ -4036,9 +4036,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #           gauges (numRowsTotal/memoryUsedBytes) now come from the
     #           LAST batch carrying state operators, numRowsUpdated
     #           sums across batches (ADVICE r9 multi-batch
-    #           double-count) -> sessionize_stream (the only caller of
-    #           the helper; events_hourly_stream/enrich_stream/
-    #           dedup_exact_stream never call it).
+    #           double-count) -> sessionize_stream. Late-r10,
+    #           run_windowed_counts_stream gained the same capture
+    #           (metrics-only, after awaitTermination) -> its caller
+    #           events_hourly_stream is ALSO rule-2 pinned, and already
+    #           sits in-window at position 25 among the r07-stale
+    #           leads. enrich_stream/dedup_exact_stream never call the
+    #           helper.
     # 38-50:  13 of the 42 r08-stale block (rule 1 — newest rows r08,
     #         due by r11; taking 13 now leaves 29 to lead r11):
     #         value_percentiles FIRST (the r9 verdict's uninstrumented

@@ -548,6 +548,14 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
     q = (agg.writeStream.format("memory").queryName(sink)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    # state-store + per-batch lifecycle metrics, same capture as the
+    # sessionize runner (r10: extends the streaming-state evidence to
+    # the windowed-agg operator — its state_rows = live windows x
+    # groups, the quantity a 100 TB stream's watermark bounds)
+    try:
+        _capture_stream_metrics(q.recentProgress or [])
+    except Exception:  # metrics are best-effort, never fail the query
+        LAST_STREAM_STATE.clear()
     # snapshot the memory sink: the temp view disappears when the next
     # stream reuses the name
     return spark.table(sink)
