@@ -883,7 +883,15 @@ def main() -> int:
                 "banding) — at scale a hot variant bucket is shuffle "
                 "skew, which AQE skew-join splits; the counters exist "
                 "so a drift is attributable and a pathological key "
-                "space is visible before it burns a cluster"),
+                "space is visible before it burns a cluster. 10x->20x "
+                "curve (PLANS.md r10 table): hot-bucket COUNT doubles "
+                "with groups while the d=1 per-bucket size stays "
+                "constant (1152 — a property of the group "
+                "construction, not corpus size), candidates_per_output "
+                "scale-stable 1.00 at d=1 and 1.25->1.35 at d=2 (the "
+                "depth-2 neighborhood's slowly-thickening cross-group "
+                "reject tail, pruned by the verify); wall tracks "
+                "output volume, never corpus^2"),
         },
         "extended_queries": ext_times,
         # plan-identity counters for EVERY timed query (r9 verdict item
