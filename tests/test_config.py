@@ -131,3 +131,36 @@ def test_load_dotenv_feeds_env_config(tmp_path):
     merged = merge_config({}, {}, env_config(env))
     assert merged["source_format"] == "csv"
     assert merged["limit"] == 7
+
+
+def test_load_dotenv_property_never_overrides(tmp_path):
+    """Property: for ANY file content, load_dotenv with override=False
+    never changes a pre-existing key, and every key it reports in the
+    return list was actually absent before and set after."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_warehouse_migrate_spark.config import load_dotenv
+
+    key = st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                                         whitelist_characters="_"),
+                  min_size=1, max_size=8)
+    val = st.text(alphabet=st.characters(blacklist_characters="\n\r\0",
+                                         blacklist_categories=("Cs",)),
+                  max_size=12)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(key, val), max_size=6),
+           st.dictionaries(key, val, max_size=4))
+    def prop(lines, pre_env):
+        p = tmp_path / "prop.env"
+        p.write_text("".join(f"{k}={v}\n" for k, v in lines),
+                     encoding="utf-8")
+        env = dict(pre_env)
+        loaded = load_dotenv(str(p), environ=env)
+        for k, v in pre_env.items():
+            assert env[k] == v                      # never overridden
+        for k in loaded:
+            assert k not in pre_env and k in env    # genuinely new
+
+    prop()
