@@ -149,10 +149,16 @@ def load_dotenv(path: str | None = None,
 
     Search order when ``path`` is None mirrors the reference: a ``.env``
     beside the package's parent (project root), then the current working
-    directory; the first that exists wins, no file is fine. Parser
-    covers the dotenv subset the reference relies on: blank lines and
-    ``#`` comments skipped, optional ``export `` prefix, single/double
-    quotes stripped, whitespace trimmed. Matching python-dotenv's
+    directory; the first that exists wins, no file is fine. Caveat: when
+    the package is installed as a wheel, "project root" resolves to the
+    site-packages directory — a stray ``.env`` there would be picked up
+    (ADVICE r10); pass ``path`` explicitly in packaged deployments.
+    Parser covers the dotenv subset the reference relies on: blank lines
+    and ``#`` comments skipped, optional ``export `` prefix,
+    single/double quotes stripped, whitespace trimmed, and — matching
+    python-dotenv — an unquoted value is cut at the first
+    whitespace-preceded ``#`` (``KEY=val  # comment`` loads ``val``;
+    quoted values keep their ``#`` verbatim). Matching python-dotenv's
     default, existing variables are NOT overridden unless
     ``override=True`` — a real environment always beats a checked-in
     file. Returns the list of keys actually set (for logging/tests).
@@ -175,12 +181,25 @@ def load_dotenv(path: str | None = None,
                 continue
             if line.startswith("export "):
                 line = line[len("export "):]
-            key, _, val = line.partition("=")
-            key, val = key.strip(), val.strip()
+            key, _, rawval = line.partition("=")
+            key, val = key.strip(), rawval.strip()
             if not key:
                 continue
             if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
                 val = val[1:-1]
+            else:
+                # unquoted values: a '#' preceded by whitespace starts an
+                # inline comment (python-dotenv semantics; ADVICE r10 —
+                # 'KEY=val # note' must load 'val', not 'val # note').
+                # 'KEY= # note' is all comment (empty value); a '#' with
+                # no whitespace before it is part of the value.
+                if val.startswith("#") and rawval != rawval.lstrip():
+                    val = ""
+                else:
+                    for i in range(1, len(val)):
+                        if val[i] == "#" and val[i - 1].isspace():
+                            val = val[:i].rstrip()
+                            break
             if override or key not in env:
                 env[key] = val
                 loaded.append(key)

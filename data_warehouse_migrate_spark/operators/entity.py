@@ -105,6 +105,21 @@ def normalize_keys(df: DataFrame, key_col: str,
     return df.withColumn(out_col, c)
 
 
+def _exchange_width(sess) -> int:
+    """Explicit exchange width for fuzzy_join's key-dedup repartition:
+    max(defaultParallelism, configured shuffle width). The conf read is
+    defensive — ``spark.sql.shuffle.partitions`` is not always numeric
+    (e.g. "auto" under Databricks auto-optimized shuffle), and a crash
+    here would kill every fuzzy_join call on such platforms (ADVICE
+    r10); non-numeric values fall back to the core-count floor."""
+    try:
+        conf_width = int(sess.conf.get("spark.sql.shuffle.partitions",
+                                       "200"))
+    except (TypeError, ValueError):
+        conf_width = sess.sparkContext.defaultParallelism
+    return max(sess.sparkContext.defaultParallelism, conf_width)
+
+
 def _deletion_variants(col: F.Column) -> F.Column:
     """Array of xxhash64 over {s} ∪ {s with char i deleted}: the
     distance-1 deletion neighborhood, hashed so the join key is 8 bytes
@@ -224,9 +239,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     # only widened; a session conf read is AQE-safe where an
     # input-partition probe via .rdd is not, per the r8 ADVICE that
     # removed entity's private _spread)
-    sess = left.sparkSession
-    target = max(sess.sparkContext.defaultParallelism,
-                 int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
+    target = _exchange_width(left.sparkSession)
 
     def key_variants(df: DataFrame, key: str) -> DataFrame:
         return (df.select(key)

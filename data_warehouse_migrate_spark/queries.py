@@ -4010,109 +4010,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r10 window composition (registry FROZEN at 125 — zero new entries;
-    # the second 125/50 refresh cycle proceeds on schedule):
-    #  1-33:  ALL 33 r07-stale tail queries (rule 1 — their newest
-    #         driver rows are r07, the oldest in the registry; the r9
-    #         ledger committed them, in this order, to lead r10).
-    #         Includes the four rows-only rule-4 residents whose
-    #         <=3-round refresh is due exactly this round
-    #         (embedding_lsh_ann, embedding_ivf, embedding_near_dup,
-    #         approx_distinct_users) and the seven picks displaced by
-    #         the r9 rule-2 pins (asof_order_price, range_join_clicks,
-    #         mixture_sample, incremental_migrate, text_stats, lang_id,
-    #         embedding_topk). With these green, every registry query's
-    #         newest external row is >= r08.
-    # 34-37:  rule-2 pins — code on their execution path changed this
+    # r11 window composition (registry FROZEN at 125 — zero new entries;
+    # the second 125/50 refresh cycle completes its middle leg on
+    # schedule):
+    #  1-29:  ALL 29 r08-stale tail queries (rule 1 — their newest
+    #         driver rows are r08, the oldest in the registry; the r10
+    #         ledger committed them, in this order, to lead r11).
+    #         Includes the rows-only rule-4 resident
+    #         approx_value_percentiles whose <=3-round refresh is due
+    #         exactly this round. With these green, every registry
+    #         query's newest external row is >= r09.
+    # 30-34:  rule-2 pins — code on their execution path changed this
     #         round:
-    #         * operators/entity.py: fuzzy_join diag now unpersists the
-    #           candidate spine + hands back a pairs release handle
-    #           (ADVICE r9), the key-dedup exchange width is
-    #           max(defaultParallelism, shuffle.partitions) (ADVICE
-    #           r9), and normalize_keys gained a lossy-key diag counter
+    #         * operators/entity.py: the key-dedup exchange-width read
+    #           moved into _exchange_width with a non-numeric-conf
+    #           fallback (ADVICE r10 — "auto" shuffle partitions no
+    #           longer crashes fuzzy_join)
     #           -> fuzzy_match_customers, fuzzy_match_d2,
-    #           entity_clusters.
-    #         * streaming/windows.py _capture_stream_metrics: state
-    #           gauges (numRowsTotal/memoryUsedBytes) now come from the
-    #           LAST batch carrying state operators, numRowsUpdated
-    #           sums across batches (ADVICE r9 multi-batch
-    #           double-count) -> sessionize_stream. Late-r10,
-    #           run_windowed_counts_stream gained the same capture
-    #           (metrics-only, after awaitTermination) -> its caller
-    #           events_hourly_stream is ALSO rule-2 pinned, and already
-    #           sits in-window at position 25 among the r07-stale
-    #           leads. enrich_stream/dedup_exact_stream never call the
-    #           helper.
-    # 38-50:  13 of the 42 r08-stale block (rule 1 — newest rows r08,
-    #         due by r11; taking 13 now leaves 29 to lead r11):
-    #         value_percentiles FIRST (the r9 verdict's uninstrumented
-    #         bench mover — re-timed interleaved this round), then the
-    #         block's first 12 in ledger order.
-    # Tail 51-79: the 29 remaining r08-stale — LEAD the r11 window
-    #         (listed first in the tail, in order). Includes the
-    #         rows-only rule-4 resident approx_value_percentiles
-    #         (refreshed r8, due exactly r11).
-    # Tail 80-125: the 46 r09-green window queries rotating out
+    #              entity_clusters.
+    #         * streaming/windows.py _capture_stream_metrics: per-batch
+    #           state-operator series (allUpdatesTimeMs/commitTimeMs/
+    #           numRowsUpdated in batch order — r10 verdict item 3, so
+    #           stream wobble gets counters-vs-host attribution)
+    #           -> sessionize_stream, events_hourly_stream.
+    #           enrich_stream/dedup_exact_stream never call the helper
+    #           (dedup_exact_stream is already in-window at 29).
+    #         (config.py load_dotenv inline-comment fix is CLI-entry
+    #         only — on no registry query's path, no pins.)
+    # 35-36:  rows-only rule-4 resident dedup_minhash (refreshed r9,
+    #         due by r12 — taken a round early per the r10 verdict
+    #         item 5 to keep slack) with its oracle-checked exact twin
+    #         minhash_sigs riding along.
+    # 37-50:  14 of the 46 r09-green block (rule 1 — newest rows r09,
+    #         due by r12; taking 14 now leaves 30 to lead r12), in
+    #         ledger order: customers_without_orders ..
+    #         mapping_defaults.
+    # Tail 51-80: the 30 remaining r09-green — LEAD the r12 window
+    #         (listed first in the tail, in ledger order:
+    #         mapping_format .. distinct_users_exact). Includes no
+    #         rule-4 residents (all five others were refreshed r10;
+    #         due r13).
+    # Tail 81-125: the 45 r10-green window queries rotating out
     #         (rule 3 — driver-green last round; no code on their
     #         paths changed this round: the entity.py and
     #         streaming/windows.py diffs pin their callers IN-window
     #         above, and bench.py/scripts are not on any query path).
-    #         dedup_minhash (rows-only rule-4 resident) was refreshed
-    #         r9 in-window; due again by r12.
-    # --- 1-33: r07-stale leads (rule 1; committed by the r9 ledger) ------
-    "clean_corpus": q_clean_corpus,
-    "gopher_quality": q_gopher_quality,
-    "token_budget_sample": q_token_budget_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "repeated_spans": q_repeated_spans,
-    "strip_spans": q_strip_spans,
-    "span_decontaminate": q_span_decontaminate,
-    "hard_negatives": q_hard_negatives,
-    "temperature_mixture": q_temperature_mixture,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "corpus_stats": q_corpus_stats,
-    "fluency_band": q_fluency_band,
-    "funnel_events": q_funnel_events,
-    "cohort_retention": q_cohort_retention,
-    "last_touch_attribution": q_last_touch_attribution,
-    "local_supplier_volume": q_local_supplier_volume,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_pca": q_embedding_pca,
-    "approx_distinct_users": q_approx_distinct_users,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "event_zscore": q_event_zscore,
-    "events_hourly_stream": q_events_hourly_stream,
-    "salted_event_join": q_salted_event_join,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "embedding_topk": q_embedding_topk,
-    # --- 34-37: rule-2 pins (r10 code changes on their paths) ------------
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    # --- 38-50: r08-stale, rotating back in (rule 1; 13 of 42) -----------
-    "value_percentiles": q_value_percentiles,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly": q_events_hourly,
-    "quality_score": q_quality_score,
-    "doc_fingerprints": q_doc_fingerprints,
-    "sessionize": q_sessionize,
-    "salted_event_totals": q_salted_event_totals,
-    "scrub_pii": q_scrub_pii,
-    "click_purchase_interval": q_click_purchase_interval,
-    "curriculum_buckets": q_curriculum_buckets,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
-    "hypertable_rollup": q_hypertable_rollup,
-    # --- 51-79: r08-stale overflow — LEAD the r11 window (rule 1) --------
+    #         Rows-only rule-4 residents embedding_lsh_ann,
+    #         embedding_ivf, embedding_near_dup, embedding_pca,
+    #         approx_distinct_users were refreshed r10 — due by r13.
+    # --- 1-29: r08-stale leads (rule 1; committed by the r10 ledger) ---
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4142,7 +4088,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
     "dedup_exact_stream": q_dedup_exact_stream,
-    # --- 80-125: r09-green window queries rotating out (rule 3) ----------
+    # --- 30-34: rule-2 pins (r11 code changes on their paths) -----------
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    # --- 35-36: rule-4 rows-only refresh + exact twin (due by r12) ------
+    "dedup_minhash": q_dedup_minhash,
+    "minhash_sigs": q_minhash_sigs,
+    # --- 37-50: r09-green, rotating back in (rule 1; 14 of 46) ----------
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_near_keep": q_dedup_near_keep,
@@ -4157,6 +4112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_partition_multi": q_latest_partition_multi,
     "mapping_computed": q_mapping_computed,
     "mapping_defaults": q_mapping_defaults,
+    # --- 51-80: r09-green overflow — LEAD the r12 window (rule 1) -------
     "mapping_format": q_mapping_format,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "null_policy_fill": q_null_policy_fill,
@@ -4177,8 +4133,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "contamination_check": q_contamination_check,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "minhash_sigs": q_minhash_sigs,
-    "dedup_minhash": q_dedup_minhash,
     "doc_repetition": q_doc_repetition,
     "chunk_documents": q_chunk_documents,
     "pmi_collocations": q_pmi_collocations,
@@ -4189,6 +4143,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_stream": q_enrich_stream,
     "semantic_dedup": q_semantic_dedup,
     "distinct_users_exact": q_distinct_users_exact,
+    # --- 81-125: r10-green window queries rotating out (rule 3) ---------
+    "clean_corpus": q_clean_corpus,
+    "gopher_quality": q_gopher_quality,
+    "token_budget_sample": q_token_budget_sample,
+    "mixture_upsample": q_mixture_upsample,
+    "repeated_spans": q_repeated_spans,
+    "strip_spans": q_strip_spans,
+    "span_decontaminate": q_span_decontaminate,
+    "hard_negatives": q_hard_negatives,
+    "temperature_mixture": q_temperature_mixture,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_stats": q_corpus_stats,
+    "fluency_band": q_fluency_band,
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
+    "last_touch_attribution": q_last_touch_attribution,
+    "local_supplier_volume": q_local_supplier_volume,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pca": q_embedding_pca,
+    "approx_distinct_users": q_approx_distinct_users,
+    "dedup_clusters": q_dedup_clusters,
+    "simhash": q_simhash,
+    "event_zscore": q_event_zscore,
+    "salted_event_join": q_salted_event_join,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "value_percentiles": q_value_percentiles,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "doc_fingerprints": q_doc_fingerprints,
+    "sessionize": q_sessionize,
+    "salted_event_totals": q_salted_event_totals,
+    "scrub_pii": q_scrub_pii,
+    "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "hypertable_rollup": q_hypertable_rollup,
 }
 
 

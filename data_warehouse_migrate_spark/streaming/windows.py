@@ -462,6 +462,14 @@ def _capture_stream_metrics(progress) -> None:
     that carried state operators; only ``numRowsUpdated`` is a per-batch
     delta and is summed across batches (ADVICE r9 — summing the gauges
     double-counted state on every multi-batch run).
+
+    Per-batch SERIES (r10 verdict item 3): ``triggerExecution`` alone
+    cannot arbitrate a multi-batch wall-time wobble between host noise
+    and a state-path regression, so each batch that carries state
+    operators also records its ``allUpdatesTimeMs``/``commitTimeMs``
+    (state-path time components) and ``numRowsUpdated`` (deterministic
+    for fixed input splits — the counter an attribution can anchor on)
+    in batch order.
     """
     import json as _json
 
@@ -469,6 +477,7 @@ def _capture_stream_metrics(progress) -> None:
     last_ops_bid = -1
     rows_updated = 0
     batch_series: list = []
+    state_series: list = []
     for p in progress:
         pj = _json.loads(p.json)
         bid = int(pj.get("batchId", len(batch_series)))
@@ -477,11 +486,18 @@ def _capture_stream_metrics(progress) -> None:
         if sops and bid >= last_ops_bid:
             last_ops_bid = bid
             last_ops = sops
+        if sops:
+            state_series.append(
+                (bid,
+                 sum(int(o.get("allUpdatesTimeMs", 0)) for o in sops),
+                 sum(int(o.get("commitTimeMs", 0)) for o in sops),
+                 sum(int(o.get("numRowsUpdated", 0)) for o in sops)))
         batch_series.append(
             (bid,
              int((pj.get("durationMs") or {})
                  .get("triggerExecution", 0))))
     batch_series.sort()
+    state_series.sort()
     LAST_STREAM_STATE.clear()
     if batch_series:
         LAST_STREAM_STATE.update({
@@ -496,10 +512,17 @@ def _capture_stream_metrics(progress) -> None:
                                for o in last_ops),
             "rows_updated": rows_updated,
         })
+    if state_series:
+        LAST_STREAM_STATE.update({
+            "state_update_ms_series": [u for _, u, _c, _n in state_series],
+            "commit_ms_series": [c for _, _u, c, _n in state_series],
+            "rows_updated_series": [n for _, _u, _c, n in state_series],
+        })
 
 
-#: state-store metrics of the most recent run_sessionize_stream call in
-#: this process (filled best-effort; see capture above)
+#: lifecycle metrics of the most recent STREAMING RUNNER call in this
+#: process — run_sessionize_stream or run_windowed_counts_stream both
+#: fill (and clear) it (ADVICE r10; filled best-effort, see capture above)
 LAST_STREAM_STATE: dict = {}
 
 

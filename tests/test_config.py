@@ -119,6 +119,30 @@ def test_load_dotenv_parses_and_respects_existing(tmp_path):
     assert load_dotenv(str(tmp_path / "nope.env"), environ={}) == []
 
 
+def test_load_dotenv_inline_comments(tmp_path):
+    """ADVICE r10: unquoted values cut at the first whitespace-preceded
+    '#' (python-dotenv semantics the docstring claims); quoted values
+    keep '#' verbatim; '#' with no whitespace before it is data."""
+    from data_warehouse_migrate_spark.config import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text(
+        "A=val # trailing comment\n"
+        "B=\"kept # inside quotes\" \n"
+        "C=anchor#notacomment\n"
+        "D= # all comment\n"
+        "E='x # y'\n"
+        "F=tab\t# tab counts as whitespace\n")
+    env: dict = {}
+    load_dotenv(str(p), environ=env)
+    assert env["A"] == "val"
+    assert env["B"] == "kept # inside quotes"
+    assert env["C"] == "anchor#notacomment"
+    assert env["D"] == ""
+    assert env["E"] == "x # y"
+    assert env["F"] == "tab"
+
+
 def test_load_dotenv_feeds_env_config(tmp_path):
     """End-to-end: .env -> process-env dict -> env_config -> merge, the
     reference's lowest-precedence path."""

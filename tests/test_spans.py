@@ -293,6 +293,32 @@ def test_fuzzy_join_validates_and_nulls(spark):
         fuzzy_join(left, right, "lkey", "rkey", max_distance=3)
 
 
+def test_exchange_width_non_numeric_conf():
+    """ADVICE r10: platforms can hold a non-numeric value in
+    spark.sql.shuffle.partitions (Databricks auto-optimized shuffle sets
+    "auto") — the width read must fall back to defaultParallelism, not
+    raise and kill every fuzzy_join call."""
+    from data_warehouse_migrate_spark.operators.entity import _exchange_width
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _Sess:
+        def __init__(self, conf_val, cores):
+            self.conf = _Conf(conf_val)
+            self.sparkContext = type("SC", (),
+                                     {"defaultParallelism": cores})()
+
+    assert _exchange_width(_Sess("auto", 8)) == 8      # fallback, no raise
+    assert _exchange_width(_Sess(None, 8)) == 8        # TypeError path
+    assert _exchange_width(_Sess("200", 8)) == 200     # numeric wins if wider
+    assert _exchange_width(_Sess("4", 8)) == 8         # core floor holds
+
+
 def test_fuzzy_join_d2_complete_vs_bruteforce(spark):
     """d=2 completeness contract: the depth-2 deletion-neighborhood
     join returns EXACTLY the brute-force levenshtein <= 2 pairs, on

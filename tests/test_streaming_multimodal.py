@@ -457,6 +457,39 @@ def test_capture_stream_metrics_gauge_from_last_stateful_batch():
     assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [90, 30, 5]
 
 
+def test_capture_stream_metrics_per_batch_state_series():
+    """r10 verdict item 3: batches carrying state operators record their
+    allUpdatesTimeMs/commitTimeMs/numRowsUpdated as batch-ordered series
+    (summed across operators within a batch; stateless drain batches are
+    excluded), so a multi-batch wall wobble is attributable — rows_updated
+    is deterministic for fixed input splits, the time components localize
+    WHICH batch moved."""
+    from data_warehouse_migrate_spark.streaming import windows as W
+
+    W._capture_stream_metrics([
+        _FakeProgress('{"batchId": 1, "durationMs": {"triggerExecution": 40},'
+                      ' "stateOperators": [{"numRowsTotal": 3,'
+                      ' "memoryUsedBytes": 128, "numRowsUpdated": 2,'
+                      ' "allUpdatesTimeMs": 12, "commitTimeMs": 7},'
+                      ' {"numRowsTotal": 1, "memoryUsedBytes": 8,'
+                      ' "numRowsUpdated": 1, "allUpdatesTimeMs": 3,'
+                      ' "commitTimeMs": 2}]}'),
+        _FakeProgress('{"batchId": 0, "durationMs": {"triggerExecution": 90},'
+                      ' "stateOperators": [{"numRowsTotal": 2,'
+                      ' "memoryUsedBytes": 64, "numRowsUpdated": 5,'
+                      ' "allUpdatesTimeMs": 20, "commitTimeMs": 9}]}'),
+        _FakeProgress('{"batchId": 2, "durationMs": {"triggerExecution": 5},'
+                      ' "stateOperators": []}'),
+    ])
+    assert W.LAST_STREAM_STATE["state_update_ms_series"] == [20, 15]
+    assert W.LAST_STREAM_STATE["commit_ms_series"] == [9, 9]
+    assert W.LAST_STREAM_STATE["rows_updated_series"] == [5, 3]
+    # series sums agree with the scalar delta total
+    assert W.LAST_STREAM_STATE["rows_updated"] == 8
+    # the stateless drain batch still shows in the exec series only
+    assert W.LAST_STREAM_STATE["batch_exec_ms_series"] == [90, 40, 5]
+
+
 def test_capture_stream_metrics_stateless_keeps_batch_exec():
     """ADVICE r8: progress without stateOperators still records the
     batch-execution component; only the state block is omitted."""
