@@ -161,6 +161,68 @@ def _stage_totals(spark) -> dict:
     }
 
 
+def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
+                              sf: str) -> dict:
+    """Mechanical plan-counter diff vs the previous sealed artifact (r10
+    verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
+    in the verdict; from r11 on "host vs plan" is a committed per-query
+    boolean). Semantics: counters CHANGED => the query's plan or input
+    data moved and its timing drift is real; counters unchanged => any
+    timing drift is host noise. Only comparable when both runs saw the
+    same sf; entries flagged invalid_eviction_rollover (status-store
+    eviction between snapshots, ADVICE r10) are excluded on either side
+    rather than reported as phantom plan changes. A delta with a raw
+    NEGATIVE component is likewise invalid even without the flag:
+    artifacts sealed before r11 predate the flag, and the r10 baseline
+    carried exactly one such entry (span_decontaminate,
+    input_records -2540064 — the eviction rollover the ADVICE item
+    predicted, confirmed the first time this diff ran)."""
+    prev_counters = prev_detail.get("plan_counters") or {}
+    prev_sf = prev_detail.get("sf")
+
+    def _valid(c):
+        return (isinstance(c, dict)
+                and "invalid_eviction_rollover" not in c
+                and all(v >= 0 for v in c.values()
+                        if isinstance(v, (int, float))))
+
+    if not (prev_counters and prev_sf == sf):
+        return {
+            "baseline": None,
+            "skipped": ("no previous artifact" if not prev_counters else
+                        f"baseline sf {prev_sf!r} != this run's {sf!r} — "
+                        "counters only comparable at equal scale"),
+        }
+    changed = sorted(
+        n for n in plan_counters
+        if n in prev_counters and _valid(plan_counters[n])
+        and _valid(prev_counters[n])
+        and plan_counters[n] != prev_counters[n])
+    return {
+        "baseline": {
+            "source": "BENCH_DETAIL.json committed before this run",
+            "sf": prev_sf,
+            "headline_total_sec": prev_detail.get("headline_total_sec"),
+            "n_queries": len(prev_counters),
+        },
+        "counters_changed": changed,
+        "counters_changed_detail": {
+            n: {"prev": prev_counters[n], "now": plan_counters[n]}
+            for n in changed},
+        "counters_unchanged": sum(
+            1 for n in plan_counters
+            if n in prev_counters and _valid(plan_counters[n])
+            and _valid(prev_counters[n])
+            and plan_counters[n] == prev_counters[n]),
+        "counters_new": sorted(n for n in plan_counters
+                               if n not in prev_counters),
+        "counters_invalid": sorted(
+            n for n in plan_counters if not _valid(plan_counters[n])),
+        "baseline_invalid": sorted(
+            n for n in prev_counters if not _valid(prev_counters[n])),
+    }
+
+
 HEADLINE = [
     "migrate_pipeline",
     "cast_source_schema",
@@ -545,17 +607,24 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     # differing char -> identical string). Construction (deterministic,
     # no RNG): group prefixes are 4-char codewords [a, b, a+b, a+2b]
     # mod 25 — a minimum-HAMMING-distance-3 code. That bounds
-    # SUBSTITUTION-only confusion, not Levenshtein: deletion-shift
-    # alignments drop cross-group pairs to lev <= 2 (ADVICE r10 — e.g.
-    # cross-group substitution prefixes reach lev 2 at factor >= 13;
-    # deletion-group left keys, already one char short, reach other
-    # groups' keys at any factor: measured 31 admitted cross-group d=2
-    # matches at factor 2). So the in-group-only invariant holds at
-    # d=1 (equal-length lev 1 = Hamming 1 < the code's Hamming 3) while
-    # d=2 carries a small, LEGITIMATE cross-group true-match tail.
-    # Both are now MEASURED, not asserted: every row carries its
-    # construction group and the cross_group_pairs counter below
-    # counts admitted pairs whose groups differ. Substitution groups (one varying last char, left
+    # SUBSTITUTION-only confusion, not Levenshtein (ADVICE r10): the
+    # in-group-only invariant the r9/r10 comments asserted is FALSE at
+    # scale and is now measured instead. Cross-group TRUE matches come
+    # from (a) mixed-length insertion alignments — a deletion-group
+    # left key, already one char short, equals another deletion
+    # group's right key minus one char (lev 1! 78 of the 81 d=1
+    # cross-group pairs at factor 10); (b) the deleted char landing on
+    # the 's'/'d' family marker (3 of 81); and (c) at d=2,
+    # substitution prefixes reaching lev 2 through shift alignments
+    # once the codeword space fills in (factor >= 13, the ADVICE
+    # example) plus the depth-2 versions of (a)/(b) — 2,235 admitted
+    # cross-group d=2 matches at factor 10, ~5% of output. All are
+    # verified lev <= d, so they are CORRECT output; the counter
+    # documents that construction-group labels do not partition the
+    # true-match graph, while the per-group claims that matter for
+    # scale (hot_buckets == subst_groups, constant max bucket size)
+    # are unaffected. Every row carries its construction group and the
+    # cross_group_pairs counter below records the tail per run. Substitution groups (one varying last char, left
     # and right drawn from disjoint 32-char alphabets) make every
     # left x right in-group pair a TRUE d=1 match AND collapse both
     # sides' deletion variants onto the bare prefix -> one 32x32=1024-
@@ -645,11 +714,11 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
                                             for d in diags[name][1:]),
                      **diags[name][0]}
         print(f"  stress {name}: {out[name]}", file=sys.stderr)
-    # empirical group invariant (ADVICE r10, untimed): admitted pairs
-    # whose construction groups differ — expected 0 at d=1 (equal-length
-    # lev 1 = Hamming 1 < the code's Hamming 3), a small true-match
-    # tail at d=2 (deletion-shift alignments reach lev <= 2 across
-    # groups at any factor; substitution prefixes join in at >= 13)
+    # empirical group purity (ADVICE r10, untimed): admitted pairs
+    # whose construction groups differ — 0 at small factors, growing
+    # with the deletion-group space (mixed-length insertion
+    # alignments; see the construction comment above). All verified
+    # lev <= d true matches — a MEASURED disclosure, not a failure
     for name, depth in (("fuzzy_adversarial_d1", 1),
                         ("fuzzy_adversarial_d2", 2)):
         res = fuzzy_join(adv_l, adv_r, "lkey", "rkey", max_distance=depth)
@@ -808,51 +877,8 @@ def main() -> int:
         diagnostics[name] = fn(spark, sf_dir)
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
-    # Mechanical plan-counter diff vs the previous sealed artifact (r10
-    # verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
-    # in the verdict; from r11 on "host vs plan" is a committed per-query
-    # boolean). Semantics: counters CHANGED => the query's plan or input
-    # data moved and its timing drift is real; counters unchanged =>
-    # any timing drift is host noise. Only comparable when both runs
-    # saw the same sf; flagged (rollover) entries are excluded.
-    prev_counters = prev_detail.get("plan_counters") or {}
-    prev_sf = prev_detail.get("sf")
-    def _valid(c):
-        return isinstance(c, dict) and "invalid_eviction_rollover" not in c
-    if prev_counters and prev_sf == sf:
-        changed = sorted(
-            n for n in plan_counters
-            if n in prev_counters and _valid(plan_counters[n])
-            and _valid(prev_counters[n])
-            and plan_counters[n] != prev_counters[n])
-        plan_counter_diff = {
-            "baseline": {
-                "source": "BENCH_DETAIL.json committed before this run",
-                "sf": prev_sf,
-                "headline_total_sec": prev_detail.get("headline_total_sec"),
-                "n_queries": len(prev_counters),
-            },
-            "counters_changed": changed,
-            "counters_changed_detail": {
-                n: {"prev": prev_counters[n], "now": plan_counters[n]}
-                for n in changed},
-            "counters_unchanged": sum(
-                1 for n in plan_counters
-                if n in prev_counters and _valid(plan_counters[n])
-                and _valid(prev_counters[n])
-                and plan_counters[n] == prev_counters[n]),
-            "counters_new": sorted(n for n in plan_counters
-                                   if n not in prev_counters),
-            "counters_invalid": sorted(
-                n for n in plan_counters if not _valid(plan_counters[n])),
-        }
-    else:
-        plan_counter_diff = {
-            "baseline": None,
-            "skipped": ("no previous artifact" if not prev_counters else
-                        f"baseline sf {prev_sf!r} != this run's {sf!r} — "
-                        "counters only comparable at equal scale"),
-        }
+    plan_counter_diff = compute_plan_counter_diff(prev_detail,
+                                                  plan_counters, sf)
     print(f"  plan_counter_diff: "
           f"changed={plan_counter_diff.get('counters_changed')} "
           f"unchanged={plan_counter_diff.get('counters_unchanged')} "
@@ -1064,13 +1090,18 @@ def main() -> int:
                 "at d=1 (each group IS one ~1k-pair bucket), d=2 shows "
                 "the pre-distinct amplification the docstring "
                 "discloses. The prefix code bounds HAMMING, not "
-                "Levenshtein (ADVICE r10): cross-group pairs are "
-                "impossible at d=1 (equal-length lev 1 = Hamming 1) "
-                "but deletion-shift alignments admit a small true "
-                "cross-group tail at d=2 at any factor (substitution "
-                "prefixes join in at factor >= 13) — both now measured "
-                "per run by the cross_group_pairs counter instead of "
-                "asserted. Since "
+                "Levenshtein (ADVICE r10), and the old in-group-only "
+                "claim is retired for a per-run measurement: "
+                "cross_group_pairs counts admitted pairs whose "
+                "construction groups differ — dominated by "
+                "mixed-length insertion alignments between deletion "
+                "groups (a one-char-short left key IS another group's "
+                "key minus one char), plus marker-substitution "
+                "accidents and, at d=2/factor>=13, lev-2 substitution "
+                "prefixes. All verified lev <= d TRUE matches (the "
+                "group labels don't partition the match graph; the "
+                "scale claims — hot_buckets == subst_groups, constant "
+                "max bucket — are unaffected). Since "
                 "r11 the two adversarial shapes are timed INTERLEAVED "
                 "best-of-2 (r10 verdict item 4 — single-shot seconds "
                 "carried multi-second warm-up depending on ordering); "

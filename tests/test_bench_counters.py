@@ -1,0 +1,83 @@
+"""Unit contract for bench.py's mechanized plan-counter diff (r10
+verdict item 2): the committed BENCH_DETAIL.json field the judge reads
+for host-vs-plan attribution must classify changed / unchanged / new /
+invalid entries correctly and refuse cross-scale comparisons.
+
+No Spark session needed — pure-dict logic."""
+
+from bench import compute_plan_counter_diff
+
+C1 = {"shuffle_write_bytes": 100, "input_bytes": 50, "input_records": 5}
+C2 = {"shuffle_write_bytes": 999, "input_bytes": 50, "input_records": 5}
+BAD = {"invalid_eviction_rollover": True, "shuffle_write_bytes": -3,
+       "input_bytes": 50, "input_records": 5}
+
+
+def _prev(counters, sf="0.1", total=15.5):
+    return {"plan_counters": counters, "sf": sf,
+            "headline_total_sec": total}
+
+
+def test_changed_unchanged_new_partition():
+    prev = _prev({"a": C1, "b": C1, "gone": C1})
+    now = {"a": C1, "b": C2, "fresh": C1}
+    d = compute_plan_counter_diff(prev, now, "0.1")
+    assert d["counters_changed"] == ["b"]
+    assert d["counters_changed_detail"]["b"] == {"prev": C1, "now": C2}
+    assert d["counters_unchanged"] == 1          # a
+    assert d["counters_new"] == ["fresh"]
+    assert d["counters_invalid"] == []
+    assert d["baseline"]["headline_total_sec"] == 15.5
+    assert d["baseline"]["n_queries"] == 3
+
+
+def test_invalid_rollover_excluded_both_sides():
+    """A flagged delta (negative component — status-store eviction
+    between snapshots) must not surface as a phantom plan change,
+    whichever side carries the flag."""
+    prev = _prev({"a": BAD, "b": C1})
+    now = {"a": C1, "b": BAD}
+    d = compute_plan_counter_diff(prev, now, "0.1")
+    assert d["counters_changed"] == []
+    assert d["counters_unchanged"] == 0
+    assert d["counters_invalid"] == ["b"]        # flagged THIS run only
+    assert d["baseline_invalid"] == ["a"]        # flagged in the baseline
+
+
+def test_unflagged_negative_baseline_is_invalid():
+    """Artifacts sealed before the flag existed carry raw negative
+    components (the r10 seal's span_decontaminate entry:
+    input_records -2540064) — they must be excluded like flagged ones,
+    not reported as a plan change."""
+    neg = {"shuffle_write_bytes": 1230599, "input_bytes": -61125,
+           "input_records": -2540064}
+    d = compute_plan_counter_diff(_prev({"a": neg, "b": C1}),
+                                  {"a": C1, "b": C1}, "0.1")
+    assert d["counters_changed"] == []
+    assert d["counters_unchanged"] == 1          # b
+    assert d["baseline_invalid"] == ["a"]
+    assert d["counters_invalid"] == []
+
+
+def test_sf_mismatch_skips():
+    d = compute_plan_counter_diff(_prev({"a": C1}, sf="0.1"),
+                                  {"a": C2}, "0.01")
+    assert d["baseline"] is None
+    assert "0.01" in d["skipped"] and "0.1" in d["skipped"]
+    assert "counters_changed" not in d
+
+
+def test_no_previous_artifact_skips():
+    d = compute_plan_counter_diff({}, {"a": C1}, "0.1")
+    assert d["baseline"] is None
+    assert d["skipped"] == "no previous artifact"
+
+
+def test_identical_runs_report_all_unchanged():
+    """The steady-state expectation: same code + same data => empty
+    changed list, so any timing drift that round is host by contract."""
+    prev = _prev({"a": C1, "b": C2})
+    d = compute_plan_counter_diff(prev, {"a": dict(C1), "b": dict(C2)},
+                                  "0.1")
+    assert d["counters_changed"] == []
+    assert d["counters_unchanged"] == 2
