@@ -162,14 +162,18 @@ def _stage_totals(spark) -> dict:
 
 
 def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
-                              sf: str) -> dict:
+                              sf: str, diagnostics: dict | None = None) -> dict:
     """Mechanical plan-counter diff vs the previous sealed artifact (r10
     verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
     in the verdict; from r11 on "host vs plan" is a committed per-query
     boolean). Semantics: counters CHANGED => the query's plan or input
     data moved and its timing drift is real; counters unchanged => any
-    timing drift is host noise. Only comparable when both runs saw the
-    same sf; entries flagged invalid_eviction_rollover (status-store
+    timing drift is host noise. The dedup/LSH family's bespoke
+    ``diagnostics`` counters (pure volumes, no snapshot deltas — so no
+    rollover class) get the same treatment when passed: the judge
+    compared them by hand r8-r10; diagnostics_changed commits that
+    comparison too. Only comparable when both runs saw the same sf;
+    entries flagged invalid_eviction_rollover (status-store
     eviction between snapshots, ADVICE r10) are excluded on either side
     rather than reported as phantom plan changes. A delta with a raw
     NEGATIVE component is likewise invalid even without the flag:
@@ -198,7 +202,7 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
         if n in prev_counters and _valid(plan_counters[n])
         and _valid(prev_counters[n])
         and plan_counters[n] != prev_counters[n])
-    return {
+    out = {
         "baseline": {
             "source": "BENCH_DETAIL.json committed before this run",
             "sf": prev_sf,
@@ -221,6 +225,17 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
         "baseline_invalid": sorted(
             n for n in prev_counters if not _valid(prev_counters[n])),
     }
+    if diagnostics is not None:
+        prev_diag = prev_detail.get("diagnostics") or {}
+        out["diagnostics_changed"] = sorted(
+            n for n in diagnostics
+            if n in prev_diag and diagnostics[n] != prev_diag[n])
+        out["diagnostics_unchanged"] = sum(
+            1 for n in diagnostics
+            if n in prev_diag and diagnostics[n] == prev_diag[n])
+        out["diagnostics_new"] = sorted(n for n in diagnostics
+                                        if n not in prev_diag)
+    return out
 
 
 HEADLINE = [
@@ -878,7 +893,8 @@ def main() -> int:
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
     plan_counter_diff = compute_plan_counter_diff(prev_detail,
-                                                  plan_counters, sf)
+                                                  plan_counters, sf,
+                                                  diagnostics=diagnostics)
     print(f"  plan_counter_diff: "
           f"changed={plan_counter_diff.get('counters_changed')} "
           f"unchanged={plan_counter_diff.get('counters_unchanged')} "
@@ -1073,7 +1089,15 @@ def main() -> int:
                 "invalid_eviction_rollover and excluded from the "
                 "comparison instead of reporting phantom changes; "
                 "retainedStages/Jobs are pinned at 50k/20k so rollover "
-                "should not occur in a normal bench (ADVICE r10)"),
+                "should not occur in a normal bench (ADVICE r10). The "
+                "first run of this diff found the r10 baseline's "
+                "span_decontaminate entry invalid (raw negative "
+                "input_records — the predicted rollover), recorded in "
+                "baseline_invalid. diagnostics_changed extends the "
+                "same mechanical comparison to the dedup/LSH family's "
+                "bespoke volume counters (pure counts, no snapshot "
+                "deltas), which were compared by hand in r8-r10 "
+                "verdicts"),
             "fuzzy_adversarial_stress": (
                 "r9 verdict item 3: the Customer#-key fuzzy counters "
                 "show candidates_per_output exactly 1.0 because long "

@@ -73,6 +73,25 @@ def test_no_previous_artifact_skips():
     assert d["skipped"] == "no previous artifact"
 
 
+def test_diagnostics_diff_rides_along():
+    """The dedup/LSH family's bespoke volume counters get the same
+    mechanical changed/unchanged/new classification when passed (pure
+    counts — no rollover class, plain equality)."""
+    D1 = {"band_rows": 40000, "candidate_pairs": 986}
+    D2 = {"band_rows": 40000, "candidate_pairs": 999}
+    prev = _prev({"a": C1})
+    prev["diagnostics"] = {"minhash": D1, "simhash": D1}
+    d = compute_plan_counter_diff(
+        prev, {"a": C1}, "0.1",
+        diagnostics={"minhash": D1, "simhash": D2, "fresh": D1})
+    assert d["diagnostics_changed"] == ["simhash"]
+    assert d["diagnostics_unchanged"] == 1
+    assert d["diagnostics_new"] == ["fresh"]
+    # omitted => no diagnostics keys at all (backward-compatible shape)
+    d2 = compute_plan_counter_diff(prev, {"a": C1}, "0.1")
+    assert "diagnostics_changed" not in d2
+
+
 def test_identical_runs_report_all_unchanged():
     """The steady-state expectation: same code + same data => empty
     changed list, so any timing drift that round is host by contract."""
