@@ -220,6 +220,12 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
             and plan_counters[n] == prev_counters[n]),
         "counters_new": sorted(n for n in plan_counters
                                if n not in prev_counters),
+        # symmetric to counters_new: a baseline query missing from this
+        # run means the timed set SHRANK — without this bucket a
+        # headline-total drop from a dropped query would read as host
+        # noise (review r11)
+        "counters_removed": sorted(n for n in prev_counters
+                                   if n not in plan_counters),
         "counters_invalid": sorted(
             n for n in plan_counters if not _valid(plan_counters[n])),
         "baseline_invalid": sorted(
@@ -710,37 +716,40 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
     secs: dict[str, list] = {n: [] for n, _ in adv_specs}
     diags: dict[str, list] = {n: [] for n, _ in adv_specs}
     rows: dict[str, int] = {}
-    for _ in range(2):
+    xgrp: dict[str, int] = {}
+    for rnd in range(2):
         for name, fn in adv_specs:
             spark.catalog.clearCache()
             diag: dict = {}
             t0 = time.perf_counter()
-            rows[name] = fn(diag).count()
+            df = fn(diag)
+            rows[name] = df.count()
             secs[name].append(round(time.perf_counter() - t0, 3))
             release = diag.pop("unpersist", None)
+            diags[name].append(diag)
+            if rnd == 1:
+                # empirical group purity (ADVICE r10, untimed):
+                # admitted pairs whose construction groups differ —
+                # small at low factors, growing with the deletion-group
+                # space (mixed-length insertion alignments; see the
+                # construction comment above). All verified lev <= d
+                # true matches — a MEASURED disclosure, not a failure.
+                # Computed on the FINAL draw before its pairs cache is
+                # released: only the re-attach joins re-run (no third
+                # full candidate-explode + verify execution)
+                xgrp[name] = (df.filter(F.col("lgrp") != F.col("rgrp"))
+                              .count())
             if release is not None:
                 release()
-            diags[name].append(diag)
     for name, fn in adv_specs:
         out[name] = {"sec": min(secs[name]),
                      "sec_draws_interleaved": secs[name],
                      "output_rows": rows[name],
                      "counters_stable": all(d == diags[name][0]
                                             for d in diags[name][1:]),
+                     "cross_group_pairs": xgrp[name],
                      **diags[name][0]}
         print(f"  stress {name}: {out[name]}", file=sys.stderr)
-    # empirical group purity (ADVICE r10, untimed): admitted pairs
-    # whose construction groups differ — 0 at small factors, growing
-    # with the deletion-group space (mixed-length insertion
-    # alignments; see the construction comment above). All verified
-    # lev <= d true matches — a MEASURED disclosure, not a failure
-    for name, depth in (("fuzzy_adversarial_d1", 1),
-                        ("fuzzy_adversarial_d2", 2)):
-        res = fuzzy_join(adv_l, adv_r, "lkey", "rkey", max_distance=depth)
-        out[name]["cross_group_pairs"] = (
-            res.filter(F.col("lgrp") != F.col("rgrp")).count())
-        print(f"  stress {name} cross_group_pairs: "
-              f"{out[name]['cross_group_pairs']}", file=sys.stderr)
     return out
 
 

@@ -185,8 +185,13 @@ def load_dotenv(path: str | None = None,
             key, val = key.strip(), rawval.strip()
             if not key:
                 continue
-            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
-                val = val[1:-1]
+            if val[:1] in ("'", '"') and val.find(val[0], 1) != -1:
+                # quoted value: the quote pair delimits it — anything
+                # after the closing quote (an inline comment, stray
+                # text) is dropped, and the quotes are stripped even
+                # when a comment follows ('KEY="secret" # prod' must
+                # load secret, not "secret" with literal quotes)
+                val = val[1:val.find(val[0], 1)]
             else:
                 # unquoted values: a '#' preceded by whitespace starts an
                 # inline comment (python-dotenv semantics; ADVICE r10 —

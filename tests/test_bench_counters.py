@@ -26,6 +26,7 @@ def test_changed_unchanged_new_partition():
     assert d["counters_changed_detail"]["b"] == {"prev": C1, "now": C2}
     assert d["counters_unchanged"] == 1          # a
     assert d["counters_new"] == ["fresh"]
+    assert d["counters_removed"] == ["gone"]     # timed set shrank
     assert d["counters_invalid"] == []
     assert d["baseline"]["headline_total_sec"] == 15.5
     assert d["baseline"]["n_queries"] == 3

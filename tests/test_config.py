@@ -132,7 +132,9 @@ def test_load_dotenv_inline_comments(tmp_path):
         "C=anchor#notacomment\n"
         "D= # all comment\n"
         "E='x # y'\n"
-        "F=tab\t# tab counts as whitespace\n")
+        "F=tab\t# tab counts as whitespace\n"
+        "G=\"secret\" # comment after closing quote\n"
+        "H='q1'#nospace still ends at the closing quote\n")
     env: dict = {}
     load_dotenv(str(p), environ=env)
     assert env["A"] == "val"
@@ -141,6 +143,10 @@ def test_load_dotenv_inline_comments(tmp_path):
     assert env["D"] == ""
     assert env["E"] == "x # y"
     assert env["F"] == "tab"
+    # quotes stripped even with trailing comment (review r11: the old
+    # first==last check fell through and kept literal quote chars)
+    assert env["G"] == "secret"
+    assert env["H"] == "q1"
 
 
 def test_load_dotenv_feeds_env_config(tmp_path):
