@@ -163,6 +163,32 @@ def test_load_dotenv_feeds_env_config(tmp_path):
     assert merged["limit"] == 7
 
 
+def test_load_dotenv_property_quoted_roundtrip(tmp_path):
+    """Property (review r11): for any value free of quotes/newlines,
+    writing it double-quoted with a trailing inline comment loads back
+    EXACTLY the value — no wrapping quote chars (the r11 bug), no
+    comment residue, regardless of '#' or whitespace inside the value."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_warehouse_migrate_spark.config import load_dotenv
+
+    val = st.text(alphabet=st.characters(blacklist_characters="\"'\n\r\0",
+                                         blacklist_categories=("Cs",)),
+                  max_size=20)
+
+    @settings(max_examples=40, deadline=None)
+    @given(val)
+    def prop(v):
+        p = tmp_path / "rt.env"
+        p.write_text(f'K="{v}" # trailing comment\n', encoding="utf-8")
+        env: dict = {}
+        load_dotenv(str(p), environ=env)
+        assert env["K"] == v
+
+    prop()
+
+
 def test_load_dotenv_property_never_overrides(tmp_path):
     """Property: for ANY file content, load_dotenv with override=False
     never changes a pre-existing key, and every key it reports in the
