@@ -4010,109 +4010,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r11 window composition (registry FROZEN at 125 — zero new entries;
-    # the second 125/50 refresh cycle completes its middle leg on
-    # schedule):
-    #  1-29:  ALL 29 r08-stale tail queries (rule 1 — their newest
-    #         driver rows are r08, the oldest in the registry; the r10
-    #         ledger committed them, in this order, to lead r11).
-    #         Includes the rows-only rule-4 resident
-    #         approx_value_percentiles whose <=3-round refresh is due
-    #         exactly this round. With these green, every registry
-    #         query's newest external row is >= r09.
-    # 30-34:  rule-2 pins — code on their execution path changed this
-    #         round:
-    #         * operators/entity.py: the key-dedup exchange-width read
-    #           moved into _exchange_width with a non-numeric-conf
-    #           fallback (ADVICE r10 — "auto" shuffle partitions no
-    #           longer crashes fuzzy_join)
-    #           -> fuzzy_match_customers, fuzzy_match_d2,
-    #              entity_clusters.
-    #         * streaming/windows.py _capture_stream_metrics: per-batch
-    #           state-operator series (allUpdatesTimeMs/commitTimeMs/
-    #           numRowsUpdated in batch order — r10 verdict item 3, so
-    #           stream wobble gets counters-vs-host attribution)
-    #           -> sessionize_stream, events_hourly_stream.
-    #           enrich_stream/dedup_exact_stream never call the helper
-    #           (dedup_exact_stream is already in-window at 29).
-    #         (config.py load_dotenv inline-comment fix is CLI-entry
-    #         only — on no registry query's path, no pins.)
-    # 35-36:  rows-only rule-4 resident dedup_minhash (refreshed r9,
-    #         due by r12 — taken a round early per the r10 verdict
-    #         item 5 to keep slack) with its oracle-checked exact twin
-    #         minhash_sigs riding along.
-    # 37-50:  14 of the 46 r09-green block (rule 1 — newest rows r09,
-    #         due by r12; taking 14 now leaves 30 to lead r12), in
-    #         ledger order: customers_without_orders ..
-    #         mapping_defaults.
-    # Tail 51-80: the 30 remaining r09-green — LEAD the r12 window
+    # r12 window composition (registry FROZEN at 125 — zero new entries;
+    # the second 125/50 refresh cycle completes on schedule: with this
+    # window green, no query's newest external row is older than r10):
+    #  1-30:  the 30 r09-green tail leads (rule 1; committed by the r11
+    #         ledger and r11 verdict item 3, in ledger order:
+    #         mapping_format .. distinct_users_exact). Their newest
+    #         driver rows are r09 — the oldest in the registry.
+    # 31-36:  rule-4 rows-only residents refreshed r10, due by r13 —
+    #         taken a round early for slack (r11 verdict item 4):
+    #         embedding_lsh_ann, embedding_ivf, embedding_near_dup,
+    #         embedding_pca, approx_distinct_users, with the
+    #         oracle-checked exact twin embedding_topk (twin of
+    #         lsh_ann/ivf) riding along. approx_distinct_users' twin
+    #         distinct_users_exact is already in-window at 30.
+    # 37:     embedding_near_dup_exact — embedding_near_dup's exact twin
+    #         riding along (r11-green; rule 4(a) wants the twin green
+    #         beside the rows-only resident it vouches for).
+    # 38-50:  13 of the 39 remaining r10-green queries (rule 1 — newest
+    #         rows r10, due by r13; taking 13 now leaves 26 to lead
+    #         r13), in ledger order: clean_corpus .. funnel_events.
+    # (No rule-2 pins this round: the r12 diffs touch bench.py,
+    # scripts/, tests/, and config.py load_dotenv's quoted-value
+    # escape handling — the dotenv parser is CLI-entry only, on no
+    # registry query's path; same adjudication as the r11 dotenv fix.)
+    # Tail 51-76: the 26 remaining r10-green — LEAD the r13 window
     #         (listed first in the tail, in ledger order:
-    #         mapping_format .. distinct_users_exact). Includes no
-    #         rule-4 residents (all five others were refreshed r10;
-    #         due r13).
-    # Tail 81-125: the 45 r10-green window queries rotating out
-    #         (rule 3 — driver-green last round; no code on their
-    #         paths changed this round: the entity.py and
-    #         streaming/windows.py diffs pin their callers IN-window
-    #         above, and bench.py/scripts are not on any query path).
-    #         Rows-only rule-4 residents embedding_lsh_ann,
-    #         embedding_ivf, embedding_near_dup, embedding_pca,
-    #         approx_distinct_users were refreshed r10 — due by r13.
-    # --- 1-29: r08-stale leads (rule 1; committed by the r10 ledger) ---
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "migration_checksum": q_migration_checksum,
-    "profile_orders": q_profile_orders,
-    "hash_sample_orders": q_hash_sample_orders,
-    "train_eval_split": q_train_eval_split,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample_orders": q_weighted_sample_orders,
-    "reservoir_sample": q_reservoir_sample,
-    "shuffle_corpus": q_shuffle_corpus,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "winsorize_events": q_winsorize_events,
-    "mad_outliers_events": q_mad_outliers_events,
-    "scd2_customers": q_scd2_customers,
-    "migrate_pipeline": q_migrate_pipeline,
-    "scan_project_filter": q_scan_project_filter,
-    "latest_partition_scan": q_latest_partition_scan,
-    "null_policy_skip": q_null_policy_skip,
-    "default_backfill": q_default_backfill,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_rows": q_dedup_keep_rows,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    "line_dedup": q_line_dedup,
-    "multimodal_decode": q_multimodal_decode,
-    "pack_sequences": q_pack_sequences,
-    "packing_stats": q_packing_stats,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    # --- 30-34: rule-2 pins (r11 code changes on their paths) -----------
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    "events_hourly_stream": q_events_hourly_stream,
-    # --- 35-36: rule-4 rows-only refresh + exact twin (due by r12) ------
-    "dedup_minhash": q_dedup_minhash,
-    "minhash_sigs": q_minhash_sigs,
-    # --- 37-50: r09-green, rotating back in (rule 1; 14 of 46) ----------
-    "customers_without_orders": q_customers_without_orders,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "dedup_near_keep": q_dedup_near_keep,
-    "dest_projection": q_dest_projection,
-    "embedding_centroids": q_embedding_centroids,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_truncate": q_embedding_truncate,
-    "event_type_pivot": q_event_type_pivot,
-    "frame_sample": q_frame_sample,
-    "inf_cleanup": q_inf_cleanup,
-    "late_ship_orders": q_late_ship_orders,
-    "latest_partition_multi": q_latest_partition_multi,
-    "mapping_computed": q_mapping_computed,
-    "mapping_defaults": q_mapping_defaults,
-    # --- 51-80: r09-green overflow — LEAD the r12 window (rule 1) -------
+    #         cohort_retention .. hypertable_rollup). No rule-4
+    #         residents among them (value_percentiles is oracle-backed).
+    # Tail 77-125: the 49 r11-green window queries rotating out (rule 3
+    #         — driver-green last round; no code on their paths changes
+    #         this round). Rows-only rule-4 residents dedup_minhash and
+    #         approx_value_percentiles were refreshed r11 — due by r14.
+    # --- 1-30: r09-green leads (rule 1; committed by the r11 ledger)
     "mapping_format": q_mapping_format,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "null_policy_fill": q_null_policy_fill,
@@ -4143,7 +4073,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_stream": q_enrich_stream,
     "semantic_dedup": q_semantic_dedup,
     "distinct_users_exact": q_distinct_users_exact,
-    # --- 81-125: r10-green window queries rotating out (rule 3) ---------
+    # --- 31-36: rule-4 rows-only residents (due r13, taken early) + twin
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pca": q_embedding_pca,
+    "approx_distinct_users": q_approx_distinct_users,
+    "embedding_topk": q_embedding_topk,
+    # --- 37: exact twin of embedding_near_dup, riding along (rule 4a)
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    # --- 38-50: r10-green, rotating back in (rule 1; 13 of 39)
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
@@ -4157,14 +4096,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "fluency_band": q_fluency_band,
     "funnel_events": q_funnel_events,
+    # --- 51-76: r10-green remainder — LEAD the r13 window (rule 1)
     "cohort_retention": q_cohort_retention,
     "last_touch_attribution": q_last_touch_attribution,
     "local_supplier_volume": q_local_supplier_volume,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_pca": q_embedding_pca,
-    "approx_distinct_users": q_approx_distinct_users,
     "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "event_zscore": q_event_zscore,
@@ -4175,7 +4110,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_migrate": q_incremental_migrate,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "embedding_topk": q_embedding_topk,
     "value_percentiles": q_value_percentiles,
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
@@ -4189,6 +4123,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "hypertable_rollup": q_hypertable_rollup,
+    # --- 77-125: r11-green window queries rotating out (rule 3)
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "migration_checksum": q_migration_checksum,
+    "profile_orders": q_profile_orders,
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "reservoir_sample": q_reservoir_sample,
+    "shuffle_corpus": q_shuffle_corpus,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "winsorize_events": q_winsorize_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    "scd2_customers": q_scd2_customers,
+    "migrate_pipeline": q_migrate_pipeline,
+    "scan_project_filter": q_scan_project_filter,
+    "latest_partition_scan": q_latest_partition_scan,
+    "null_policy_skip": q_null_policy_skip,
+    "default_backfill": q_default_backfill,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_rows": q_dedup_keep_rows,
+    "dedup_simhash": q_dedup_simhash,
+    "line_dedup": q_line_dedup,
+    "multimodal_decode": q_multimodal_decode,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    "dedup_minhash": q_dedup_minhash,
+    "minhash_sigs": q_minhash_sigs,
+    "customers_without_orders": q_customers_without_orders,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dest_projection": q_dest_projection,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
+    "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
+    "inf_cleanup": q_inf_cleanup,
+    "late_ship_orders": q_late_ship_orders,
+    "latest_partition_multi": q_latest_partition_multi,
+    "mapping_computed": q_mapping_computed,
+    "mapping_defaults": q_mapping_defaults,
 }
 
 
