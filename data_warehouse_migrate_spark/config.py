@@ -137,6 +137,27 @@ def normalize_config(cfg: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def _find_unescaped(s: str, ch: str, start: int) -> int:
+    """Index of the first ``ch`` in ``s`` at or after ``start`` that is
+    not preceded by an odd number of backslashes; -1 if none. The
+    closing-quote scanner for :func:`load_dotenv` (ADVICE r11 — a cut at
+    the first *occurrence* truncated ``KEY="a\\"b"`` at the escaped
+    quote)."""
+    i = start
+    while True:
+        i = s.find(ch, i)
+        if i == -1:
+            return -1
+        bs = 0
+        j = i - 1
+        while j >= 0 and s[j] == "\\":
+            bs += 1
+            j -= 1
+        if bs % 2 == 0:
+            return i
+        i += 1
+
+
 def load_dotenv(path: str | None = None,
                 environ: dict[str, str] | None = None,
                 override: bool = False) -> list[str]:
@@ -158,7 +179,12 @@ def load_dotenv(path: str | None = None,
     single/double quotes stripped, whitespace trimmed, and — matching
     python-dotenv — an unquoted value is cut at the first
     whitespace-preceded ``#`` (``KEY=val  # comment`` loads ``val``;
-    quoted values keep their ``#`` verbatim). Matching python-dotenv's
+    quoted values keep their ``#`` verbatim). A quoted value ends at the
+    first UNESCAPED matching quote, and ``\\<quote>`` / ``\\\\`` inside
+    are unescaped (``KEY="a\\"b"`` loads ``a"b``, matching
+    python-dotenv); full double-quote escape decoding (``\\n`` to
+    newline etc.) is OUTSIDE the supported subset — such sequences stay
+    literal. Matching python-dotenv's
     default, existing variables are NOT overridden unless
     ``override=True`` — a real environment always beats a checked-in
     file. Returns the list of keys actually set (for logging/tests).
@@ -185,13 +211,23 @@ def load_dotenv(path: str | None = None,
             key, val = key.strip(), rawval.strip()
             if not key:
                 continue
-            if val[:1] in ("'", '"') and val.find(val[0], 1) != -1:
+            close = (_find_unescaped(val, val[0], 1)
+                     if val[:1] in ("'", '"') else -1)
+            if close != -1:
                 # quoted value: the quote pair delimits it — anything
                 # after the closing quote (an inline comment, stray
                 # text) is dropped, and the quotes are stripped even
                 # when a comment follows ('KEY="secret" # prod' must
-                # load secret, not "secret" with literal quotes)
-                val = val[1:val.find(val[0], 1)]
+                # load secret, not "secret" with literal quotes). The
+                # closing quote is the first UNESCAPED occurrence
+                # (ADVICE r11: KEY="a\"b" must load 'a"b', not 'a\'),
+                # and \<quote> / \\ inside are unescaped to match
+                # python-dotenv; other escape sequences (\n, \t) stay
+                # literal — outside the supported subset, documented.
+                q = val[0]
+                val = (val[1:close]
+                       .replace("\\" + q, q)
+                       .replace("\\\\", "\\"))
             else:
                 # unquoted values: a '#' preceded by whitespace starts an
                 # inline comment (python-dotenv semantics; ADVICE r10 —

@@ -173,20 +173,50 @@ def test_load_dotenv_property_quoted_roundtrip(tmp_path):
 
     from data_warehouse_migrate_spark.config import load_dotenv
 
-    val = st.text(alphabet=st.characters(blacklist_characters="\"'\n\r\0",
+    val = st.text(alphabet=st.characters(blacklist_characters="'\n\r\0",
                                          blacklist_categories=("Cs",)),
                   max_size=20)
 
     @settings(max_examples=40, deadline=None)
     @given(val)
     def prop(v):
+        # dotenv-escape on write (backslashes and embedded quotes), the
+        # way a writer targeting python-dotenv must — since the ADVICE
+        # r11 fix the parser honors \" / \\ instead of cutting at the
+        # first quote occurrence, so raw backslash runs no longer
+        # round-trip by accident; escaped ones round-trip by contract
+        enc = v.replace("\\", "\\\\").replace('"', '\\"')
         p = tmp_path / "rt.env"
-        p.write_text(f'K="{v}" # trailing comment\n', encoding="utf-8")
+        p.write_text(f'K="{enc}" # trailing comment\n', encoding="utf-8")
         env: dict = {}
         load_dotenv(str(p), environ=env)
         assert env["K"] == v
 
     prop()
+
+
+def test_load_dotenv_escaped_quotes(tmp_path):
+    """ADVICE r11: a quoted value ends at the first UNESCAPED matching
+    quote — KEY="a\\"b" loads 'a"b' (python-dotenv), not 'a\\' (the old
+    first-occurrence cut); \\\\ unescapes to a single backslash; other
+    escape sequences stay literal (documented supported subset)."""
+    from data_warehouse_migrate_spark.config import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text(
+        'A="a\\"b" # comment\n'          # escaped double quote
+        'B="x\\\\" # c\n'                # escaped backslash then closer
+        "C='it\\'s'\n"                   # escaped single quote
+        'D="tab\\there"\n'               # \t stays literal (subset)
+        'E="trail\\\\\\"q" # c\n',       # \\ then \" inside
+        encoding="utf-8")
+    env: dict = {}
+    load_dotenv(str(p), environ=env)
+    assert env["A"] == 'a"b'
+    assert env["B"] == "x\\"
+    assert env["C"] == "it's"
+    assert env["D"] == "tab\\there"
+    assert env["E"] == 'trail\\"q'
 
 
 def test_load_dotenv_property_never_overrides(tmp_path):
