@@ -161,8 +161,21 @@ def _stage_totals(spark) -> dict:
     }
 
 
+def read_loadavg() -> list[float] | None:
+    """Host-load sentinel (r11 verdict item 6): the r6/r8/r11 timing
+    drifts were all attributed to transient host contention by counter
+    archaeology — three loadavg readings (start/mid/end) plus one at the
+    flagship pairing turn that inference into a committed reading."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
-                              sf: str, diagnostics: dict | None = None) -> dict:
+                              sf: str, diagnostics: dict | None = None,
+                              baseline_error: str | None = None) -> dict:
     """Mechanical plan-counter diff vs the previous sealed artifact (r10
     verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
     in the verdict; from r11 on "host vs plan" is a committed per-query
@@ -180,7 +193,12 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
     artifacts sealed before r11 predate the flag, and the r10 baseline
     carried exactly one such entry (span_decontaminate,
     input_records -2540064 — the eviction rollover the ADVICE item
-    predicted, confirmed the first time this diff ran)."""
+    predicted, confirmed the first time this diff ran).
+
+    ``baseline_error`` is set by the caller when the committed baseline
+    artifact EXISTED but could not be parsed (ADVICE r11: a truncated/
+    corrupted committed artifact must surface as a baseline-integrity
+    failure in the diff, not masquerade as a benign first run)."""
     prev_counters = prev_detail.get("plan_counters") or {}
     prev_sf = prev_detail.get("sf")
 
@@ -191,12 +209,18 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
                         if isinstance(v, (int, float))))
 
     if not (prev_counters and prev_sf == sf):
-        return {
-            "baseline": None,
-            "skipped": ("no previous artifact" if not prev_counters else
-                        f"baseline sf {prev_sf!r} != this run's {sf!r} — "
-                        "counters only comparable at equal scale"),
-        }
+        if baseline_error and not prev_counters:
+            skipped = (f"baseline artifact unreadable ({baseline_error}) — "
+                       "the committed previous-round BENCH_DETAIL.json "
+                       "exists but did not parse; this round has NO drift "
+                       "attribution and the corrupt baseline needs "
+                       "investigation (ADVICE r11)")
+        elif not prev_counters:
+            skipped = "no previous artifact"
+        else:
+            skipped = (f"baseline sf {prev_sf!r} != this run's {sf!r} — "
+                       "counters only comparable at equal scale")
+        return {"baseline": None, "skipped": skipped}
     changed = sorted(
         n for n in plan_counters
         if n in prev_counters and _valid(plan_counters[n])
@@ -241,6 +265,12 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
             if n in prev_diag and diagnostics[n] == prev_diag[n])
         out["diagnostics_new"] = sorted(n for n in diagnostics
                                         if n not in prev_diag)
+        # symmetric to counters_removed (ADVICE r11): a diagnostics
+        # family present in the baseline but absent from this run means
+        # the dedup/LSH evidence set SHRANK — without this bucket a
+        # dropped family would vanish from the mechanical comparison
+        out["diagnostics_removed"] = sorted(n for n in prev_diag
+                                            if n not in diagnostics)
     return out
 
 
@@ -778,12 +808,19 @@ def main() -> int:
     # this run overwrites it): the plan-counter baseline the r10 verdict
     # item 2 asks this round to diff against mechanically.
     prev_detail: dict = {}
+    prev_detail_error: str | None = None
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     try:
         with open(detail_path) as f:
             prev_detail = json.load(f)
-    except Exception:
+    except FileNotFoundError:
+        pass  # genuine first run — benign, diff reports "no previous"
+    except Exception as exc:
+        # the committed artifact EXISTS but is corrupt/truncated — a
+        # baseline-integrity failure the diff must disclose as such, not
+        # mislabel as a benign first run (ADVICE r11)
+        prev_detail_error = f"{type(exc).__name__}: {exc}"
         prev_detail = {}
 
     # warm the JVM + file index + Python/Arrow workers so per-query times
@@ -792,6 +829,15 @@ def main() -> int:
     import pandas as pd  # noqa: F401
     (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
      .mapInPandas(lambda it: it, "id long").count())
+
+    # suite-relative clock + host-load sentinel (r11 verdict items 2+6):
+    # the r11 driver run carried a contiguous 11-query band of 2.5-8.9x
+    # slowdowns that the judge attributed to a transient host window by
+    # hand, from execution order alone — per-query start offsets plus
+    # loadavg readings make that band a committed, mechanical finding.
+    bench_wall_t0 = time.perf_counter()
+    host_load: dict = {"source": "/proc/loadavg 1/5/15-min averages",
+                       "start": read_loadavg()}
 
     def timed_best(name: str, min_draws: int = 2) -> float:
         # ONE untimed warm-up run first: a query's first execution pays
@@ -812,6 +858,11 @@ def main() -> int:
         # (2.256x) on two draws of an untouched code path while every
         # other untouched query drifted +20-60% the same run — classic
         # host noise that more draws absorb.
+        # suite-relative start offset, committed OUTSIDE plan_counters:
+        # those blocks must stay byte-identical across rounds for the
+        # mechanical diff — a timestamp inside them would flag every
+        # query as counters_changed every round (r11 verdict item 2)
+        query_t_start[name] = round(time.perf_counter() - bench_wall_t0, 3)
         spark.catalog.clearCache()
         c0 = _stage_totals(spark)
         QUERIES[name](spark, sf_dir).count()  # warm-up, untimed
@@ -844,6 +895,7 @@ def main() -> int:
 
     all_runs: dict[str, list[float]] = {}
     plan_counters: dict[str, dict] = {}
+    query_t_start: dict[str, float] = {}
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = timed_best(
@@ -867,6 +919,8 @@ def main() -> int:
 
             if LAST_STREAM_STATE:
                 stream_state[name] = dict(LAST_STREAM_STATE)
+
+    host_load["mid"] = read_loadavg()  # after the timed headline+extended loop
 
     # multi-batch amortization measurement (r8 verdict item 6; extended
     # to 4 batches per the r9 verdict item 5) — after the timed loop so
@@ -901,9 +955,9 @@ def main() -> int:
         diagnostics[name] = fn(spark, sf_dir)
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
-    plan_counter_diff = compute_plan_counter_diff(prev_detail,
-                                                  plan_counters, sf,
-                                                  diagnostics=diagnostics)
+    plan_counter_diff = compute_plan_counter_diff(
+        prev_detail, plan_counters, sf, diagnostics=diagnostics,
+        baseline_error=prev_detail_error)
     print(f"  plan_counter_diff: "
           f"changed={plan_counter_diff.get('counters_changed')} "
           f"unchanged={plan_counter_diff.get('counters_unchanged')} "
@@ -964,13 +1018,36 @@ def main() -> int:
 
     # the binding baseline: the reference's own single-threaded batch-loop
     # architecture running the flagship pipeline at this scale factor.
-    # Min-of-3, widened alongside the flagship's min-of-5 (both sides of
-    # the binding ratio get the noise-absorbing protocol).
-    ref_loop = round(min(reference_loop_migrate_sec(sf_dir)
-                         for _ in range(3)), 3)
+    # PAIRED INTERLEAVED since r12 (r11 verdict item 1): the r11 driver
+    # read a nominal 2.038x breach because the Spark numerator came from
+    # the headline loop's host window while the single-thread pandas
+    # denominator ran minutes later, after the contention the 32-thread
+    # JVM had absorbed was gone — the two sides of a binding ratio must
+    # share a host window. Five alternating (spark, reference) draws;
+    # each pair yields one ratio measured under the same instantaneous
+    # load, and min-of-pairs is the contract reading (the r6-precedent
+    # min-statistic: a quiet pair exists in five on this host).
+    host_load["flagship_pairing"] = read_loadavg()
+    paired_draws: list[dict] = []
+    for _ in range(5):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES["migrate_pipeline"](spark, sf_dir).count()
+        s_sec = time.perf_counter() - t0
+        r_sec = reference_loop_migrate_sec(sf_dir)
+        paired_draws.append({"spark_sec": round(s_sec, 3),
+                             "ref_sec": round(r_sec, 3),
+                             "ratio": round(s_sec / r_sec, 3)})
+    ratio_min_of_pairs = min(p["ratio"] for p in paired_draws)
+    ratio_median_of_pairs = round(
+        statistics.median(p["ratio"] for p in paired_draws), 3)
+    ref_loop = round(min(p["ref_sec"] for p in paired_draws), 3)
+    print(f"  flagship paired: {paired_draws} -> min {ratio_min_of_pairs} "
+          f"median {ratio_median_of_pairs}", file=sys.stderr)
 
     import pyspark
 
+    host_load["end"] = read_loadavg()
     detail = {
         # standing analysis notes, carried with the artifact so a reader
         # of BENCH_DETAIL alone sees the round's bisect conclusions
@@ -1000,7 +1077,17 @@ def main() -> int:
                 "BOTH order statistics recorded since r8 (verdict item "
                 "4): min is the headline (fixed scheduling floor on a "
                 "noisy host), median sits next to it so the contract "
-                "ratio is protocol-insensitive"),
+                "ratio is protocol-insensitive. SINCE r12 the BINDING "
+                "reading is baseline.reference_single_node."
+                "paired_interleaved (r11 verdict item 1): five "
+                "alternating (spark, reference-loop) draws, ratio per "
+                "pair, min-of-pairs — r11's nominal 2.038x breach came "
+                "entirely from timing the two sides of the ratio in "
+                "different host windows (the 32-thread JVM absorbed a "
+                "contention window the later single-thread pandas draw "
+                "never saw); the legacy spark_sec/ratio_* fields beside "
+                "it keep cross-round continuity but mix windows and are "
+                "informational from r12 on"),
             "sessionize_stream_lifecycle": (
                 "decomposed since r8 (r7 verdict item 5): stream_state "
                 "carries start_ms (query start), drain_ms (micro-batch "
@@ -1041,7 +1128,16 @@ def main() -> int:
                 "attributes to host/scheduler, not the state path. "
                 "State gauges in the block are last-batch store "
                 "footprint (ADVICE-r9 capture fix: gauges last-batch, "
-                "numRowsUpdated summed)"),
+                "numRowsUpdated summed). UNIT CAVEAT (r11 verdict item "
+                "5): state_update_ms_series and commit_ms_series are "
+                "SUMS of per-partition state-operator times across all "
+                "state-store partitions (16 here), so a batch's entry "
+                "can legitimately exceed its wall-clock batch_exec_ms "
+                "by up to the partition count (r11 recorded 14841 "
+                "summed-ms in a 1673ms batch) — read them as "
+                "comparative counters for round-over-round drift, "
+                "never as wall-clock components; rows_updated_series "
+                "is the deterministic anchor"),
             "r8_host_drift_series": (
                 "three full sf0.1 seals in one r8 session measured "
                 "headline 14.25 -> 14.57 -> 15.78s with BYTE-IDENTICAL "
@@ -1107,6 +1203,22 @@ def main() -> int:
                 "bespoke volume counters (pure counts, no snapshot "
                 "deltas), which were compared by hand in r8-r10 "
                 "verdicts"),
+            "suite_timeline": (
+                "since r12 (r11 verdict items 2+6): query_wallclock"
+                ".t_start records each timed query's warm-up start as "
+                "seconds after the suite's post-JVM-warm clock zero "
+                "(execution order = HEADLINE then EXTENDED), and "
+                "query_wallclock.draws keeps every timed draw; "
+                "host_load carries /proc/loadavg at suite start, after "
+                "the timed loop (mid), at the flagship pairing, and at "
+                "end. Together they make a transient host-contention "
+                "window a committed mechanical finding — the r11 "
+                "driver run's contiguous 11-query 2.5-8.9x band was "
+                "attributed by judge archaeology on execution order; "
+                "now the band's t_start range reads directly against "
+                "the loadavg sentinels. t_start lives OUTSIDE "
+                "plan_counters so those blocks stay byte-identical "
+                "for the mechanical diff"),
             "fuzzy_adversarial_stress": (
                 "r9 verdict item 3: the Customer#-key fuzzy counters "
                 "show candidates_per_output exactly 1.0 because long "
@@ -1167,6 +1279,21 @@ def main() -> int:
         # committed per-query host-vs-plan attribution (r10 verdict item
         # 2): see notes.plan_counter_diff for read rules
         "plan_counter_diff": plan_counter_diff,
+        # per-query suite timeline (r11 verdict item 2): t_start is each
+        # timed query's warm-up start as seconds after the suite's
+        # post-JVM-warm clock zero, in execution order; draws keeps every
+        # timed draw. Kept OUTSIDE plan_counters so those blocks stay
+        # byte-identical for the mechanical diff. With these, a transient
+        # host window (the r11 driver run's contiguous 11-query 2.5-8.9x
+        # band) is a committed finding: read the band's t_start range
+        # against host_load instead of reconstructing execution order
+        "query_wallclock": {
+            "unit": "sec offset from suite clock zero (after JVM warm-up)",
+            "t_start": query_t_start,
+            "draws": {n: [round(v, 3) for v in runs]
+                      for n, runs in all_runs.items()},
+        },
+        "host_load": host_load,
         "stream_state": stream_state,
         "diagnostics": diagnostics,
         "index_contract": index_contract,
@@ -1187,6 +1314,17 @@ def main() -> int:
                             "10k-rows/batch pandas loop (reference "
                             "migrator.py:297 architecture)",
                 "value": ref_loop,
+                # BINDING contract reading since r12 (r11 verdict item
+                # 1): both sides of each ratio share a host window
+                "paired_interleaved": {
+                    "protocol": "5 alternating (spark, reference) draws; "
+                                "ratio per pair, min-of-pairs binding; "
+                                "loadavg at pairing start in host_load."
+                                "flagship_pairing",
+                    "draws": paired_draws,
+                    "ratio_min_of_pairs": ratio_min_of_pairs,
+                    "ratio_median_of_pairs": ratio_median_of_pairs,
+                },
                 "spark_sec": times.get("migrate_pipeline"),
                 "spark_sec_median": (
                     round(statistics.median(all_runs["migrate_pipeline"]), 3)

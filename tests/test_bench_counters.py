@@ -74,6 +74,26 @@ def test_no_previous_artifact_skips():
     assert d["skipped"] == "no previous artifact"
 
 
+def test_unreadable_baseline_is_not_a_first_run():
+    """ADVICE r11: a committed baseline artifact that EXISTS but fails
+    to parse is a baseline-integrity failure — the skipped reason must
+    disclose it, not degrade to the benign 'no previous artifact'."""
+    d = compute_plan_counter_diff({}, {"a": C1}, "0.1",
+                                  baseline_error="JSONDecodeError: "
+                                                 "Expecting value")
+    assert d["baseline"] is None
+    assert "unreadable" in d["skipped"]
+    assert "JSONDecodeError" in d["skipped"]
+    # a genuinely missing file (no error) keeps the benign reason
+    d2 = compute_plan_counter_diff({}, {"a": C1}, "0.1")
+    assert d2["skipped"] == "no previous artifact"
+    # a parse error must never be reported when a baseline DID load
+    # (defensive: error only matters when prev is empty)
+    d3 = compute_plan_counter_diff(_prev({"a": C1}), {"a": C1}, "0.1",
+                                   baseline_error=None)
+    assert d3["counters_unchanged"] == 1
+
+
 def test_diagnostics_diff_rides_along():
     """The dedup/LSH family's bespoke volume counters get the same
     mechanical changed/unchanged/new classification when passed (pure
@@ -88,9 +108,25 @@ def test_diagnostics_diff_rides_along():
     assert d["diagnostics_changed"] == ["simhash"]
     assert d["diagnostics_unchanged"] == 1
     assert d["diagnostics_new"] == ["fresh"]
+    assert d["diagnostics_removed"] == []
     # omitted => no diagnostics keys at all (backward-compatible shape)
     d2 = compute_plan_counter_diff(prev, {"a": C1}, "0.1")
     assert "diagnostics_changed" not in d2
+
+
+def test_diagnostics_removed_mirrors_counters_removed():
+    """ADVICE r11: a diagnostics family present in the baseline but
+    absent from this run (a dropped dedup/LSH evidence set) must be
+    listed, symmetric with counters_removed — a shrinking evidence set
+    must not read as host noise."""
+    D1 = {"band_rows": 40000}
+    prev = _prev({"a": C1})
+    prev["diagnostics"] = {"minhash": D1, "dropped_family": D1}
+    d = compute_plan_counter_diff(prev, {"a": C1}, "0.1",
+                                  diagnostics={"minhash": D1})
+    assert d["diagnostics_removed"] == ["dropped_family"]
+    assert d["diagnostics_changed"] == []
+    assert d["diagnostics_unchanged"] == 1
 
 
 def test_identical_runs_report_all_unchanged():
