@@ -1,0 +1,171 @@
+"""Cross-round drift attribution over two BENCH_DETAIL.json artifacts.
+
+Mechanizes the read the r11 verdict performed by hand: given a previous
+and a current sealed artifact, classify every timed query's timing move
+and locate CONTIGUOUS slowdown bands in suite-execution order — the
+signature of a transient host-contention window (r11: 11 consecutive
+queries at 2.5-8.9x bracketed by faster-than-baseline readings of the
+heaviest dedup/LSH families). With r12's ``query_wallclock.t_start``
+offsets and ``host_load`` sentinels the band's wall-clock interval and
+the nearest load readings come straight from the artifacts.
+
+Attribution rules (the standing counters contract):
+  - plan_counters for a query byte-identical across artifacts AND its
+    timing moved  -> host noise (band membership says WHICH window);
+  - counters moved -> plan/data change: a real regression to bisect —
+    band logic does NOT apply, the query is excluded from band
+    membership and listed separately.
+
+Usage:
+  python scripts/attribute_drift.py PREV.json NOW.json [--threshold 1.5]
+                                    [--min-band 3]
+
+Pure stdlib + bench.compute_plan_counter_diff; prints a human-readable
+report and exits 0 (diagnostic, not a gate). Unit-tested in
+tests/test_attribute_drift.py on synthetic artifacts.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compute_plan_counter_diff  # noqa: E402
+
+
+def all_times(detail: dict) -> dict[str, float]:
+    """Headline + extended per-query seconds from one artifact."""
+    out = dict(detail.get("queries") or {})
+    out.update(detail.get("extended_queries") or {})
+    return out
+
+
+def execution_order(detail: dict) -> list[str]:
+    """Timed queries in suite-execution order: by t_start when the
+    artifact carries query_wallclock (r12+), else headline-then-extended
+    insertion order (pre-r12 artifacts — dict order is the timing loop's
+    order in both blocks)."""
+    qw = (detail.get("query_wallclock") or {}).get("t_start") or {}
+    names = list(all_times(detail))
+    if qw:
+        return sorted((n for n in names if n in qw), key=lambda n: qw[n])
+    return names
+
+
+def find_bands(order: list[str], ratios: dict[str, float],
+               eligible: set[str], threshold: float,
+               min_band: int) -> list[list[str]]:
+    """Maximal runs of >= min_band consecutive ELIGIBLE queries (plan
+    counters unchanged) whose now/prev ratio exceeds threshold.
+    Queries missing a ratio (new/removed) or with moved counters break
+    a run — a band is only evidence of a host window when the plans
+    provably did not move through it."""
+    bands: list[list[str]] = []
+    run: list[str] = []
+    for name in order:
+        if (name in eligible and name in ratios
+                and ratios[name] > threshold):
+            run.append(name)
+        else:
+            if len(run) >= min_band:
+                bands.append(run)
+            run = []
+    if len(run) >= min_band:
+        bands.append(run)
+    return bands
+
+
+def attribute(prev: dict, now: dict, threshold: float = 1.5,
+              min_band: int = 3) -> dict:
+    """The full attribution: counter diff + ratio table + band scan.
+    Returns a JSON-able dict (the printable report is rendered from
+    it so tests assert on structure, not formatting)."""
+    diff = compute_plan_counter_diff(prev, now.get("plan_counters") or {},
+                                     now.get("sf"),
+                                     diagnostics=now.get("diagnostics"))
+    prev_t, now_t = all_times(prev), all_times(now)
+    ratios = {n: round(now_t[n] / prev_t[n], 3)
+              for n in now_t if n in prev_t and prev_t[n]}
+    changed = set(diff.get("counters_changed") or [])
+    invalid = set((diff.get("counters_invalid") or [])
+                  + (diff.get("baseline_invalid") or []))
+    # band-eligible = counters proven identical (not changed, not
+    # excluded-as-invalid, and present in the mechanical comparison)
+    eligible = {n for n in ratios if n not in changed and n not in invalid
+                and diff.get("baseline") is not None}
+    order = execution_order(now)
+    bands = find_bands(order, ratios, eligible, threshold, min_band)
+    qw = (now.get("query_wallclock") or {}).get("t_start") or {}
+    band_info = []
+    for band in bands:
+        info: dict = {
+            "queries": band,
+            "ratio_range": [min(ratios[n] for n in band),
+                            max(ratios[n] for n in band)],
+        }
+        if all(n in qw for n in band):
+            info["t_start_interval_sec"] = [qw[band[0]], qw[band[-1]]]
+        band_info.append(info)
+    return {
+        "comparable": diff.get("baseline") is not None,
+        "skipped": diff.get("skipped"),
+        "counters_changed": sorted(changed),
+        "n_ratios": len(ratios),
+        "ratios_over_threshold": {n: ratios[n] for n in order
+                                  if ratios.get(n, 0) > threshold},
+        "bands": band_info,
+        "host_load_now": now.get("host_load"),
+        "host_load_prev": prev.get("host_load"),
+        "threshold": threshold,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("prev")
+    ap.add_argument("now")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--min-band", type=int, default=3)
+    args = ap.parse_args()
+    with open(args.prev) as f:
+        prev = json.load(f)
+    with open(args.now) as f:
+        now = json.load(f)
+    rep = attribute(prev, now, args.threshold, args.min_band)
+    if not rep["comparable"]:
+        print(f"not comparable: {rep['skipped']}")
+        return 0
+    print(f"counters_changed (real plan/data moves to bisect): "
+          f"{rep['counters_changed'] or 'none'}")
+    over = rep["ratios_over_threshold"]
+    print(f"{len(over)}/{rep['n_ratios']} queries over "
+          f"{rep['threshold']}x: "
+          + (", ".join(f"{n}={r}" for n, r in over.items()) or "none"))
+    if rep["bands"]:
+        for b in rep["bands"]:
+            span = (f" t_start {b['t_start_interval_sec'][0]}-"
+                    f"{b['t_start_interval_sec'][1]}s"
+                    if "t_start_interval_sec" in b else "")
+            print(f"HOST-WINDOW BAND ({len(b['queries'])} consecutive, "
+                  f"counters unchanged,{span} "
+                  f"ratio {b['ratio_range'][0]}-{b['ratio_range'][1]}x): "
+                  + ", ".join(b["queries"]))
+        print("attribution: contiguous counter-identical slowdown = "
+              "transient host contention in that interval; read "
+              "host_load sentinels above/below the interval.")
+    else:
+        print("no contiguous slowdown band; isolated over-threshold "
+              "ratios with unchanged counters are per-query host noise.")
+    for label, hl in (("prev", rep["host_load_prev"]),
+                      ("now", rep["host_load_now"])):
+        if hl:
+            print(f"host_load[{label}]: " + ", ".join(
+                f"{k}={v}" for k, v in hl.items() if k != "source"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""Contract for scripts/attribute_drift.py: the cross-round drift
+attribution that mechanizes the r11 verdict's hand-read — contiguous
+counter-identical slowdown runs are host windows; counter-moved queries
+are real regressions excluded from band membership.
+
+Pure-dict logic, no Spark session."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "attribute_drift",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts", "attribute_drift.py"))
+ad = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ad)
+
+C = {"shuffle_write_bytes": 10, "input_bytes": 5, "input_records": 1}
+C_MOVED = {"shuffle_write_bytes": 99, "input_bytes": 5, "input_records": 1}
+
+
+def _artifact(times, counters, t_start=None, sf="0.1"):
+    a = {"sf": sf, "queries": times, "plan_counters": counters}
+    if t_start is not None:
+        a["query_wallclock"] = {"t_start": t_start}
+    return a
+
+
+def test_contiguous_band_detected_with_interval():
+    """Five queries; q2-q4 slow 3x with unchanged counters and are
+    consecutive in t_start order -> one band carrying its t_start
+    interval; q1/q5 in-band-free."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    prev = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+    now_t = {"q1": 1.0, "q2": 3.0, "q3": 2.8, "q4": 3.2, "q5": 0.9}
+    ts = {n: float(i * 10) for i, n in enumerate(names)}
+    now = _artifact(now_t, {n: dict(C) for n in names}, t_start=ts)
+    rep = ad.attribute(prev, now, threshold=1.5, min_band=3)
+    assert rep["comparable"]
+    assert rep["counters_changed"] == []
+    assert len(rep["bands"]) == 1
+    band = rep["bands"][0]
+    assert band["queries"] == ["q2", "q3", "q4"]
+    assert band["t_start_interval_sec"] == [10.0, 30.0]
+    assert band["ratio_range"] == [2.8, 3.2]
+
+
+def test_counter_moved_query_breaks_band_and_is_listed():
+    """A counters-moved query in the middle of a slow run is a REAL
+    regression: it must appear in counters_changed, not in a band, and
+    its presence splits the run (each side now too short for min_band=3
+    -> no band at all)."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    prev = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+    now_c = {n: dict(C) for n in names}
+    now_c["q3"] = C_MOVED
+    now_t = {n: 3.0 for n in names[1:]} | {"q1": 1.0}
+    ts = {n: float(i) for i, n in enumerate(names)}
+    now = _artifact(now_t, now_c, t_start=ts)
+    rep = ad.attribute(prev, now, threshold=1.5, min_band=3)
+    assert rep["counters_changed"] == ["q3"]
+    assert all("q3" not in b["queries"] for b in rep["bands"])
+    assert rep["bands"] == []  # 2-query runs on each side of the break
+
+
+def test_pre_r12_artifact_falls_back_to_insertion_order():
+    """Artifacts sealed before r12 carry no query_wallclock: execution
+    order falls back to dict insertion order and bands carry no
+    t_start interval."""
+    names = ["a", "b", "c", "d"]
+    prev = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+    now = _artifact({"a": 2.0, "b": 2.0, "c": 2.0, "d": 1.0},
+                    {n: dict(C) for n in names})
+    rep = ad.attribute(prev, now, threshold=1.5, min_band=3)
+    assert len(rep["bands"]) == 1
+    assert rep["bands"][0]["queries"] == ["a", "b", "c"]
+    assert "t_start_interval_sec" not in rep["bands"][0]
+
+
+def test_cross_sf_not_comparable():
+    prev = _artifact({"a": 1.0}, {"a": C}, sf="0.1")
+    now = _artifact({"a": 2.0}, {"a": C}, sf="0.01")
+    rep = ad.attribute(prev, now)
+    assert not rep["comparable"]
+    assert "0.01" in rep["skipped"]
+    assert rep["bands"] == []

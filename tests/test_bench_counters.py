@@ -129,6 +129,54 @@ def test_diagnostics_removed_mirrors_counters_removed():
     assert d["diagnostics_unchanged"] == 1
 
 
+def test_committed_artifact_carries_r12_evidence_fields():
+    """The committed BENCH_DETAIL.json must keep the r12 evidence
+    surface: per-query suite timeline (query_wallclock), host-load
+    sentinels, and the paired interleaved flagship contract — a reseal
+    that silently dropped any of them would strip the next round's
+    drift attribution. Shape-only (values are run-specific)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json")
+    d = json.load(open(path))
+
+    qw = d["query_wallclock"]
+    assert set(qw) >= {"unit", "t_start", "draws"}
+    # every timed query (headline + extended) has a start offset and
+    # at least the min_draws timed draws
+    timed = set(d["queries"]) | set(d["extended_queries"])
+    assert set(qw["t_start"]) == timed
+    assert all(isinstance(v, float) and v >= 0
+               for v in qw["t_start"].values())
+    assert all(len(qw["draws"][n]) >= 2 for n in timed)
+    # t_start offsets are strictly increasing in execution order
+    order = [qw["t_start"][n] for n in list(d["queries"])
+             + list(d["extended_queries"])]
+    assert order == sorted(order)
+
+    hl = d["host_load"]
+    assert set(hl) >= {"source", "start", "mid", "flagship_pairing",
+                       "end"}
+    for k in ("start", "mid", "flagship_pairing", "end"):
+        assert hl[k] is None or (len(hl[k]) == 3
+                                 and all(v >= 0 for v in hl[k]))
+
+    pi = d["baseline"]["reference_single_node"]["paired_interleaved"]
+    assert len(pi["draws"]) == 5
+    for p in pi["draws"]:
+        assert set(p) == {"spark_sec", "ref_sec", "ratio"}
+        assert abs(p["ratio"] - p["spark_sec"] / p["ref_sec"]) < 0.05
+    assert pi["ratio_min_of_pairs"] == min(p["ratio"]
+                                           for p in pi["draws"])
+
+    # plan_counters stay timestamp-free (byte-identity contract)
+    for c in d["plan_counters"].values():
+        assert "t_start" not in c
+
+
 def test_identical_runs_report_all_unchanged():
     """The steady-state expectation: same code + same data => empty
     changed list, so any timing drift that round is host by contract."""
