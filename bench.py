@@ -1087,7 +1087,12 @@ def main() -> int:
                 "contention window the later single-thread pandas draw "
                 "never saw); the legacy spark_sec/ratio_* fields beside "
                 "it keep cross-round continuity but mix windows and are "
-                "informational from r12 on"),
+                "informational from r12 on. The pairing runs LATE in "
+                "the suite (after stress), so both engines are equally "
+                "warm — the paired spark draws can read faster than the "
+                "headline's earlier cleared-cache min-of-5; that "
+                "equal-warmth symmetry is the point of pairing, not an "
+                "inflation of the Spark side"),
             "sessionize_stream_lifecycle": (
                 "decomposed since r8 (r7 verdict item 5): stream_state "
                 "carries start_ms (query start), drain_ms (micro-batch "

@@ -87,15 +87,20 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
                                      now.get("sf"),
                                      diagnostics=now.get("diagnostics"))
     prev_t, now_t = all_times(prev), all_times(now)
-    ratios = {n: round(now_t[n] / prev_t[n], 3)
-              for n in now_t if n in prev_t and prev_t[n]}
+    # no ratios across scales: cross-sf seconds are not comparable and
+    # a consumer reading the dict (not the early-returning CLI) must
+    # not see meaningless over-threshold entries
+    comparable = diff.get("baseline") is not None
+    ratios = ({n: round(now_t[n] / prev_t[n], 3)
+               for n in now_t if n in prev_t and prev_t[n]}
+              if comparable else {})
     changed = set(diff.get("counters_changed") or [])
     invalid = set((diff.get("counters_invalid") or [])
                   + (diff.get("baseline_invalid") or []))
     # band-eligible = counters proven identical (not changed, not
     # excluded-as-invalid, and present in the mechanical comparison)
-    eligible = {n for n in ratios if n not in changed and n not in invalid
-                and diff.get("baseline") is not None}
+    eligible = {n for n in ratios
+                if n not in changed and n not in invalid}
     order = execution_order(now)
     bands = find_bands(order, ratios, eligible, threshold, min_band)
     qw = (now.get("query_wallclock") or {}).get("t_start") or {}
@@ -110,7 +115,7 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
             info["t_start_interval_sec"] = [qw[band[0]], qw[band[-1]]]
         band_info.append(info)
     return {
-        "comparable": diff.get("baseline") is not None,
+        "comparable": comparable,
         "skipped": diff.get("skipped"),
         "counters_changed": sorted(changed),
         "n_ratios": len(ratios),

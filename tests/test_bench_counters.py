@@ -168,7 +168,11 @@ def test_committed_artifact_carries_r12_evidence_fields():
     assert len(pi["draws"]) == 5
     for p in pi["draws"]:
         assert set(p) == {"spark_sec", "ref_sec", "ratio"}
-        assert abs(p["ratio"] - p["spark_sec"] / p["ref_sec"]) < 0.05
+        # relative tolerance: the fields are independently rounded to
+        # 3dp, and a smoke artifact's small ref_sec amplifies the
+        # recomputation error of an absolute bound
+        assert (abs(p["ratio"] - p["spark_sec"] / p["ref_sec"])
+                < 0.05 * max(1.0, p["ratio"]))
     assert pi["ratio_min_of_pairs"] == min(p["ratio"]
                                            for p in pi["draws"])
 
