@@ -77,6 +77,59 @@ def test_pre_r12_artifact_falls_back_to_insertion_order():
     assert "t_start_interval_sec" not in rep["bands"][0]
 
 
+def test_property_bands_never_contain_plan_moves():
+    """Property over random artifact pairs: every reported band is
+    contiguous in execution order, at least min_band long, made only of
+    over-threshold queries — and NEVER contains a query whose counters
+    moved (a plan/data regression must not hide inside a host-window
+    claim, the tool's core contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = [f"q{i}" for i in range(12)]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        slow=st.sets(st.sampled_from(names)),       # now 3x slower
+        moved=st.sets(st.sampled_from(names)),      # counters changed
+        threshold=st.sampled_from([1.2, 1.5, 2.0]),
+        min_band=st.integers(min_value=1, max_value=4),
+    )
+    def prop(slow, moved, threshold, min_band):
+        prev = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+        now_c = {n: (C_MOVED if n in moved else dict(C)) for n in names}
+        now_t = {n: (3.0 if n in slow else 1.0) for n in names}
+        ts = {n: float(i) for i, n in enumerate(names)}
+        now = _artifact(now_t, now_c, t_start=ts)
+        rep = ad.attribute(prev, now, threshold=threshold,
+                           min_band=min_band)
+        assert set(rep["counters_changed"]) == moved
+        flat = [q for b in rep["bands"] for q in b["queries"]]
+        assert not (set(flat) & moved)
+        for b in rep["bands"]:
+            qs = b["queries"]
+            assert len(qs) >= min_band
+            # contiguity in execution order (names are t_start-ordered)
+            idx = [names.index(q) for q in qs]
+            assert idx == list(range(idx[0], idx[0] + len(idx)))
+            assert all(q in slow and q not in moved for q in qs)
+        # completeness: every maximal eligible slow run >= min_band is
+        # reported (scan the truth directly)
+        run, truth = [], []
+        for n in names:
+            if n in slow and n not in moved:
+                run.append(n)
+            else:
+                if len(run) >= min_band:
+                    truth.append(run)
+                run = []
+        if len(run) >= min_band:
+            truth.append(run)
+        assert [b["queries"] for b in rep["bands"]] == truth
+
+    prop()
+
+
 def test_cross_sf_not_comparable():
     prev = _artifact({"a": 1.0}, {"a": C}, sf="0.1")
     now = _artifact({"a": 2.0}, {"a": C}, sf="0.01")
