@@ -4010,39 +4010,123 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r12 window composition (registry FROZEN at 125 — zero new entries;
-    # the second 125/50 refresh cycle completes on schedule: with this
-    # window green, no query's newest external row is older than r10):
-    #  1-30:  the 30 r09-green tail leads (rule 1; committed by the r11
-    #         ledger and r11 verdict item 3, in ledger order:
-    #         mapping_format .. distinct_users_exact). Their newest
-    #         driver rows are r09 — the oldest in the registry.
-    # 31-36:  rule-4 rows-only residents refreshed r10, due by r13 —
-    #         taken a round early for slack (r11 verdict item 4):
-    #         embedding_lsh_ann, embedding_ivf, embedding_near_dup,
-    #         embedding_pca, approx_distinct_users, with the
-    #         oracle-checked exact twin embedding_topk (twin of
-    #         lsh_ann/ivf) riding along. approx_distinct_users' twin
-    #         distinct_users_exact is already in-window at 30.
-    # 37:     embedding_near_dup_exact — embedding_near_dup's exact twin
-    #         riding along (r11-green; rule 4(a) wants the twin green
-    #         beside the rows-only resident it vouches for).
-    # 38-50:  13 of the 39 remaining r10-green queries (rule 1 — newest
-    #         rows r10, due by r13; taking 13 now leaves 26 to lead
-    #         r13), in ledger order: clean_corpus .. funnel_events.
-    # (No rule-2 pins this round: the r12 diffs touch bench.py,
-    # scripts/, tests/, and config.py load_dotenv's quoted-value
-    # escape handling — the dotenv parser is CLI-entry only, on no
-    # registry query's path; same adjudication as the r11 dotenv fix.)
-    # Tail 51-76: the 26 remaining r10-green — LEAD the r13 window
+    # r13 window composition (registry FROZEN at 125 — zero new entries;
+    # with this window green, no query's newest external row is older
+    # than r11 — the third refresh cycle stays on the <=3-round cadence):
+    #  1-26:  the 26 r10-green tail leads (rule 1; committed by the r12
+    #         ledger and r12 verdict item 1, in ledger order:
+    #         cohort_retention .. hypertable_rollup). Their newest
+    #         driver rows are r10 — the oldest in the registry.
+    #         value_percentiles (in this block) doubles as the
+    #         oracle-checked exact twin of approx_value_percentiles
+    #         below (rule 4a).
+    # 27-28:  rule-4 rows-only residents refreshed r11, due by r14 —
+    #         taken a round early for slack (r12 verdict item 5):
+    #         dedup_minhash, approx_value_percentiles.
+    # 29:     minhash_sigs — dedup_minhash's oracle-checked exact twin
+    #         riding along (rule 4a; approx_value_percentiles' twin
+    #         value_percentiles is already in-window at 14).
+    # 30-50:  21 of the 49 r11-green tail queries rotating back in
+    #         (rule 1 — newest rows r11; taking 21 now leaves 25 to
+    #         lead r14), in ledger order: csv_roundtrip ..
+    #         dedup_keep_rows.
+    # (No rule-2 pins this round: the r13 diffs touch bench.py,
+    # scripts/attribute_drift.py, tests/, and a config.py debug log on
+    # the dotenv escape path — CLI-entry only, on no registry query's
+    # path; same adjudication as the r11/r12 dotenv rounds. This
+    # registry reordering itself changes no query code.)
+    # Tail 51-75: the 25 remaining r11-green — LEAD the r14 window
     #         (listed first in the tail, in ledger order:
-    #         cohort_retention .. hypertable_rollup). No rule-4
-    #         residents among them (value_percentiles is oracle-backed).
-    # Tail 77-125: the 49 r11-green window queries rotating out (rule 3
+    #         dedup_simhash .. mapping_defaults). No rule-4 residents
+    #         among them.
+    # Tail 76-125: the 50 r12-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
-    #         this round). Rows-only rule-4 residents dedup_minhash and
-    #         approx_value_percentiles were refreshed r11 — due by r14.
-    # --- 1-30: r09-green leads (rule 1; committed by the r11 ledger)
+    #         this round). Rows-only rule-4 residents embedding_lsh_ann,
+    #         embedding_ivf, embedding_near_dup, embedding_pca and
+    #         approx_distinct_users were refreshed r12 — due by r15;
+    #         dedup_minhash and approx_value_percentiles refresh THIS
+    #         round (r13) — due by r16.
+    # --- 1-26: r10-green leads (rule 1; committed by the r12 ledger)
+    "cohort_retention": q_cohort_retention,
+    "last_touch_attribution": q_last_touch_attribution,
+    "local_supplier_volume": q_local_supplier_volume,
+    "dedup_clusters": q_dedup_clusters,
+    "simhash": q_simhash,
+    "event_zscore": q_event_zscore,
+    "salted_event_join": q_salted_event_join,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "value_percentiles": q_value_percentiles,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "doc_fingerprints": q_doc_fingerprints,
+    "sessionize": q_sessionize,
+    "salted_event_totals": q_salted_event_totals,
+    "scrub_pii": q_scrub_pii,
+    "click_purchase_interval": q_click_purchase_interval,
+    "curriculum_buckets": q_curriculum_buckets,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "hypertable_rollup": q_hypertable_rollup,
+    # --- 27-28: rule-4 rows-only residents (due r14, taken early)
+    "dedup_minhash": q_dedup_minhash,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    # --- 29: exact twin of dedup_minhash, riding along (rule 4a)
+    "minhash_sigs": q_minhash_sigs,
+    # --- 30-50: r11-green, rotating back in (rule 1; 21 of 49)
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "migration_checksum": q_migration_checksum,
+    "profile_orders": q_profile_orders,
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "reservoir_sample": q_reservoir_sample,
+    "shuffle_corpus": q_shuffle_corpus,
+    "winsorize_events": q_winsorize_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    "scd2_customers": q_scd2_customers,
+    "migrate_pipeline": q_migrate_pipeline,
+    "scan_project_filter": q_scan_project_filter,
+    "latest_partition_scan": q_latest_partition_scan,
+    "null_policy_skip": q_null_policy_skip,
+    "default_backfill": q_default_backfill,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_rows": q_dedup_keep_rows,
+    # --- 51-75: r11-green remainder — LEAD the r14 window (rule 1)
+    "dedup_simhash": q_dedup_simhash,
+    "line_dedup": q_line_dedup,
+    "multimodal_decode": q_multimodal_decode,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    "customers_without_orders": q_customers_without_orders,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dest_projection": q_dest_projection,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
+    "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
+    "inf_cleanup": q_inf_cleanup,
+    "late_ship_orders": q_late_ship_orders,
+    "latest_partition_multi": q_latest_partition_multi,
+    "mapping_computed": q_mapping_computed,
+    "mapping_defaults": q_mapping_defaults,
+    # --- 76-125: r12-green window queries rotating out (rule 3)
     "mapping_format": q_mapping_format,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "null_policy_fill": q_null_policy_fill,
@@ -4073,16 +4157,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_stream": q_enrich_stream,
     "semantic_dedup": q_semantic_dedup,
     "distinct_users_exact": q_distinct_users_exact,
-    # --- 31-36: rule-4 rows-only residents (due r13, taken early) + twin
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pca": q_embedding_pca,
     "approx_distinct_users": q_approx_distinct_users,
     "embedding_topk": q_embedding_topk,
-    # --- 37: exact twin of embedding_near_dup, riding along (rule 4a)
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    # --- 38-50: r10-green, rotating back in (rule 1; 13 of 39)
     "clean_corpus": q_clean_corpus,
     "gopher_quality": q_gopher_quality,
     "token_budget_sample": q_token_budget_sample,
@@ -4096,83 +4177,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "fluency_band": q_fluency_band,
     "funnel_events": q_funnel_events,
-    # --- 51-76: r10-green remainder — LEAD the r13 window (rule 1)
-    "cohort_retention": q_cohort_retention,
-    "last_touch_attribution": q_last_touch_attribution,
-    "local_supplier_volume": q_local_supplier_volume,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "event_zscore": q_event_zscore,
-    "salted_event_join": q_salted_event_join,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "value_percentiles": q_value_percentiles,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly": q_events_hourly,
-    "quality_score": q_quality_score,
-    "doc_fingerprints": q_doc_fingerprints,
-    "sessionize": q_sessionize,
-    "salted_event_totals": q_salted_event_totals,
-    "scrub_pii": q_scrub_pii,
-    "click_purchase_interval": q_click_purchase_interval,
-    "curriculum_buckets": q_curriculum_buckets,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
-    "hypertable_rollup": q_hypertable_rollup,
-    # --- 77-125: r11-green window queries rotating out (rule 3)
-    "csv_roundtrip": q_csv_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "migration_checksum": q_migration_checksum,
-    "profile_orders": q_profile_orders,
-    "hash_sample_orders": q_hash_sample_orders,
-    "train_eval_split": q_train_eval_split,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample_orders": q_weighted_sample_orders,
-    "reservoir_sample": q_reservoir_sample,
-    "shuffle_corpus": q_shuffle_corpus,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "winsorize_events": q_winsorize_events,
-    "mad_outliers_events": q_mad_outliers_events,
-    "scd2_customers": q_scd2_customers,
-    "migrate_pipeline": q_migrate_pipeline,
-    "scan_project_filter": q_scan_project_filter,
-    "latest_partition_scan": q_latest_partition_scan,
-    "null_policy_skip": q_null_policy_skip,
-    "default_backfill": q_default_backfill,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_rows": q_dedup_keep_rows,
-    "dedup_simhash": q_dedup_simhash,
-    "line_dedup": q_line_dedup,
-    "multimodal_decode": q_multimodal_decode,
-    "pack_sequences": q_pack_sequences,
-    "packing_stats": q_packing_stats,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    "events_hourly_stream": q_events_hourly_stream,
-    "dedup_minhash": q_dedup_minhash,
-    "minhash_sigs": q_minhash_sigs,
-    "customers_without_orders": q_customers_without_orders,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "dedup_near_keep": q_dedup_near_keep,
-    "dest_projection": q_dest_projection,
-    "embedding_centroids": q_embedding_centroids,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_truncate": q_embedding_truncate,
-    "event_type_pivot": q_event_type_pivot,
-    "frame_sample": q_frame_sample,
-    "inf_cleanup": q_inf_cleanup,
-    "late_ship_orders": q_late_ship_orders,
-    "latest_partition_multi": q_latest_partition_multi,
-    "mapping_computed": q_mapping_computed,
-    "mapping_defaults": q_mapping_defaults,
 }
 
 
