@@ -8,8 +8,11 @@ Pure Python — runs on the driver before any Spark plan is built.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any
+
+logger = logging.getLogger(__name__)
 
 # keys coerced during normalization
 _INT_KEYS = ("batch_size", "limit", "shuffle_partitions")
@@ -225,7 +228,26 @@ def load_dotenv(path: str | None = None,
                 # python-dotenv; other escape sequences (\n, \t) stay
                 # literal — outside the supported subset, documented.
                 q = val[0]
-                val = (val[1:close]
+                inner = val[1:close]
+                # ADVICE r12: surface (at debug level) escape sequences
+                # outside the supported subset — they stay literal here
+                # but python-dotenv's decode_escapes would decode e.g.
+                # \n/\t in double-quoted values, a documented divergence
+                # a user migrating a .env may trip on silently.
+                i = 0
+                while i < len(inner) - 1:
+                    if inner[i] == "\\":
+                        if inner[i + 1] not in (q, "\\"):
+                            logger.debug(
+                                "dotenv %s: unrecognized escape \\%s in "
+                                "quoted value of %r left literal "
+                                "(supported subset: \\%s and \\\\)",
+                                path, inner[i + 1], key, q)
+                            break
+                        i += 2
+                    else:
+                        i += 1
+                val = (inner
                        .replace("\\" + q, q)
                        .replace("\\\\", "\\"))
             else:

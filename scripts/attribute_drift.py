@@ -14,7 +14,10 @@ Attribution rules (the standing counters contract):
     timing moved  -> host noise (band membership says WHICH window);
   - counters moved -> plan/data change: a real regression to bisect —
     band logic does NOT apply, the query is excluded from band
-    membership and listed separately.
+    membership and listed separately;
+  - no counter entry on BOTH sides (counters_new, or absent from either
+    plan_counters block) -> no counter evidence either way: excluded
+    from bands and listed as "unattributable" (ADVICE r12).
 
 Usage:
   python scripts/attribute_drift.py PREV.json NOW.json [--threshold 1.5]
@@ -97,10 +100,24 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
     changed = set(diff.get("counters_changed") or [])
     invalid = set((diff.get("counters_invalid") or [])
                   + (diff.get("baseline_invalid") or []))
+    # ADVICE r12: a query timed in both rounds but WITHOUT a counter
+    # entry on both sides (counters_new — e.g. a pre-counter baseline
+    # artifact — or simply absent from either plan_counters block) has
+    # no counter evidence at all: it is neither proven-identical nor
+    # proven-moved, so it must not count toward a host-window band.
+    # Listed separately as "unattributable" rather than silently mixed
+    # into the eligible set.
+    prev_pc = set(prev.get("plan_counters") or {})
+    now_pc = set(now.get("plan_counters") or {})
+    unattributable = {n for n in ratios
+                      if n in set(diff.get("counters_new") or [])
+                      or n not in prev_pc or n not in now_pc}
     # band-eligible = counters proven identical (not changed, not
-    # excluded-as-invalid, and present in the mechanical comparison)
+    # excluded-as-invalid, and present on BOTH sides of the mechanical
+    # comparison)
     eligible = {n for n in ratios
-                if n not in changed and n not in invalid}
+                if n not in changed and n not in invalid
+                and n not in unattributable}
     order = execution_order(now)
     bands = find_bands(order, ratios, eligible, threshold, min_band)
     qw = (now.get("query_wallclock") or {}).get("t_start") or {}
@@ -118,6 +135,7 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
         "comparable": comparable,
         "skipped": diff.get("skipped"),
         "counters_changed": sorted(changed),
+        "unattributable": sorted(unattributable),
         "n_ratios": len(ratios),
         "ratios_over_threshold": {n: ratios[n] for n in order
                                   if ratios.get(n, 0) > threshold},
@@ -145,6 +163,10 @@ def main() -> int:
         return 0
     print(f"counters_changed (real plan/data moves to bisect): "
           f"{rep['counters_changed'] or 'none'}")
+    if rep["unattributable"]:
+        print("unattributable (timed both rounds, no counter evidence "
+              "on both sides — excluded from bands): "
+              + ", ".join(rep["unattributable"]))
     over = rep["ratios_over_threshold"]
     print(f"{len(over)}/{rep['n_ratios']} queries over "
           f"{rep['threshold']}x: "

@@ -130,6 +130,37 @@ def test_property_bands_never_contain_plan_moves():
     prop()
 
 
+def test_no_counter_evidence_is_unattributable_and_breaks_band():
+    """ADVICE r12: a query timed in both rounds whose counters are
+    absent from the BASELINE artifact (counters_new — e.g. a
+    pre-counter baseline) has no counter evidence either way: it must
+    be listed as unattributable and must NOT count toward a host-window
+    band — 'counters proven identical' is the band's eligibility
+    contract, and absence is not proof."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    prev_c = {n: C for n in names if n != "q3"}  # q3: no baseline entry
+    prev = _artifact({n: 1.0 for n in names}, prev_c)
+    now_t = {n: 3.0 for n in names}              # all slow 3x
+    ts = {n: float(i) for i, n in enumerate(names)}
+    now = _artifact(now_t, {n: dict(C) for n in names}, t_start=ts)
+    rep = ad.attribute(prev, now, threshold=1.5, min_band=3)
+    assert rep["unattributable"] == ["q3"]
+    assert rep["counters_changed"] == []
+    assert all("q3" not in b["queries"] for b in rep["bands"])
+    assert rep["bands"] == []  # 2-query runs on each side of the break
+
+    # symmetric: absent from THIS run's plan_counters (timed but not
+    # instrumented) is equally evidence-free
+    now2 = _artifact(now_t, {n: dict(C) for n in names if n != "q2"},
+                     t_start=ts)
+    prev2 = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+    rep2 = ad.attribute(prev2, now2, threshold=1.5, min_band=3)
+    assert rep2["unattributable"] == ["q2"]
+    assert rep2["bands"] == [{"queries": ["q3", "q4", "q5"],
+                              "ratio_range": [3.0, 3.0],
+                              "t_start_interval_sec": [2.0, 4.0]}]
+
+
 def test_cross_sf_not_comparable():
     prev = _artifact({"a": 1.0}, {"a": C}, sf="0.1")
     now = _artifact({"a": 2.0}, {"a": C}, sf="0.01")

@@ -130,18 +130,28 @@ def test_diagnostics_removed_mirrors_counters_removed():
 
 
 def test_committed_artifact_carries_r12_evidence_fields():
-    """The committed BENCH_DETAIL.json must keep the r12 evidence
-    surface: per-query suite timeline (query_wallclock), host-load
-    sentinels, and the paired interleaved flagship contract — a reseal
+    """Artifact-integrity / seal check (not a code unit test): the
+    committed BENCH_DETAIL.json must keep the r12 evidence surface —
+    per-query suite timeline (query_wallclock), host-load sentinels,
+    and the paired interleaved flagship contract — because a reseal
     that silently dropped any of them would strip the next round's
-    drift attribution. Shape-only (values are run-specific)."""
+    drift attribution. Shape-only (values are run-specific). ADVICE
+    r12: SKIPS (not fails) when the artifact predates the r12 fields —
+    a smoke/partial reseal mid-session must not fail unrelated CI; the
+    full-bench seal before commit restores the fields and the check."""
     import json
     import os
+
+    import pytest
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DETAIL.json")
     d = json.load(open(path))
+    if not {"query_wallclock", "host_load"} <= set(d):
+        pytest.skip("BENCH_DETAIL.json predates the r12 evidence fields "
+                    "(smoke/partial artifact) — reseal with a full bench "
+                    "run before committing")
 
     qw = d["query_wallclock"]
     assert set(qw) >= {"unit", "t_start", "draws"}
@@ -153,9 +163,12 @@ def test_committed_artifact_carries_r12_evidence_fields():
                for v in qw["t_start"].values())
     assert all(len(qw["draws"][n]) >= 2 for n in timed)
     # t_start offsets are strictly increasing in execution order
+    # (ADVICE r12: non-decreasing let two queries share a rounded-3dp
+    # offset; each query's slot includes a warm-up run, so a genuine
+    # tie is impossible and strictness is the honest assert)
     order = [qw["t_start"][n] for n in list(d["queries"])
              + list(d["extended_queries"])]
-    assert order == sorted(order)
+    assert all(a < b for a, b in zip(order, order[1:]))
 
     hl = d["host_load"]
     assert set(hl) >= {"source", "start", "mid", "flagship_pairing",
@@ -175,6 +188,11 @@ def test_committed_artifact_carries_r12_evidence_fields():
                 < 0.05 * max(1.0, p["ratio"]))
     assert pi["ratio_min_of_pairs"] == min(p["ratio"]
                                            for p in pi["draws"])
+    # median-of-pairs is the binding headline since r13 (r12 verdict
+    # item 3 — min-of-pairs biases low when a burst hits one side of a
+    # pair); draws' ratios are already 3dp so the median is exact
+    assert pi["ratio_median_of_pairs"] == sorted(
+        p["ratio"] for p in pi["draws"])[2]
 
     # plan_counters stay timestamp-free (byte-identity contract)
     for c in d["plan_counters"].values():
