@@ -463,7 +463,8 @@ def _one_index_contract(spark, emb, table: str, n_buckets: int,
 
 def bench_index_contract(spark, sf_dir: str, factor: int | None) -> dict:
     """'Index once, query many' evidence (similarity.build_lsh_index /
-    lsh_topk_indexed) at TWO scales. The sf-scale row is BELOW the
+    lsh_topk_indexed) at sf scale, the ``factor`` design point, and a
+    20x curve-completion point (r12 verdict item 6). The sf-scale row is BELOW the
     index's crossover by design — with a ~2k corpus the auto/24-plane
     key space is saturated by any probe batch and the per-query top-k
     dominates both paths, so the index's fixed costs (catalog lookup,
@@ -495,6 +496,20 @@ def bench_index_contract(spark, sf_dir: str, factor: int | None) -> dict:
                      f"crossover scale where the persisted index must "
                      f"beat full lsh_topk")
         out["probe_speedup"] = out[f"stress_x{factor}"]["probe_speedup"]
+        if factor != 20:
+            # r12 verdict item 6: a third point at 20x completes the
+            # crossover curve the sf-scale sub-1 reading implies —
+            # sf (below crossover, disclosed) -> 10x (design point)
+            # -> 20x (the curve's direction past the crossover)
+            sdir20 = build_stress_tables(sf_dir, 20)
+            emb20 = spark.read.parquet(f"{sdir20}/embeddings.parquet")
+            out["stress_x20"] = _one_index_contract(
+                spark, emb20, "dwms_bench_lsh_idx_s20", n_buckets=24,
+                n_planes=None,
+                workload="top-5 ANN, 100-query batch, auto-sized "
+                         "planes, 20x stress corpus: past the "
+                         "crossover — probe_speedup should hold or "
+                         "grow vs the 10x design point")
     else:
         out["probe_speedup"] = out["sf_scale"]["probe_speedup"]
     return out
@@ -1048,6 +1063,39 @@ def main() -> int:
     import pyspark
 
     host_load["end"] = read_loadavg()
+
+    # Cross-round drift attribution (r12 verdict item 2): run the
+    # committed scripts/attribute_drift.py read against the previously
+    # committed artifact as part of the seal itself, so every round's
+    # drift story ships as a committed block (band list or explicitly
+    # no bands) instead of a post-hoc judge exercise. The module is
+    # loaded by path; registering THIS module as "bench" first keeps
+    # its `from bench import compute_plan_counter_diff` bound to the
+    # running instance when bench.py executes as __main__.
+    sys.modules.setdefault("bench", sys.modules[__name__])
+    drift_attribution: dict
+    try:
+        import importlib.util
+
+        _spec = importlib.util.spec_from_file_location(
+            "attribute_drift",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "attribute_drift.py"))
+        _ad = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_ad)
+        _now_view = {"sf": sf, "queries": times,
+                     "extended_queries": ext_times,
+                     "plan_counters": plan_counters,
+                     "query_wallclock": {"t_start": query_t_start},
+                     "host_load": host_load,
+                     "diagnostics": diagnostics}
+        drift_attribution = _ad.attribute(prev_detail, _now_view)
+    except Exception as e:  # diagnostic block — never fails the seal
+        drift_attribution = {"error": f"{type(e).__name__}: {e}"}
+    print(f"  drift_attribution: bands={drift_attribution.get('bands')} "
+          f"over_threshold={drift_attribution.get('ratios_over_threshold')}",
+          file=sys.stderr)
+
     detail = {
         # standing analysis notes, carried with the artifact so a reader
         # of BENCH_DETAIL alone sees the round's bisect conclusions
@@ -1081,13 +1129,21 @@ def main() -> int:
                 "reading is baseline.reference_single_node."
                 "paired_interleaved (r11 verdict item 1): five "
                 "alternating (spark, reference-loop) draws, ratio per "
-                "pair, min-of-pairs — r11's nominal 2.038x breach came "
+                "pair — r11's nominal 2.038x breach came "
                 "entirely from timing the two sides of the ratio in "
                 "different host windows (the 32-thread JVM absorbed a "
                 "contention window the later single-thread pandas draw "
                 "never saw); the legacy spark_sec/ratio_* fields beside "
                 "it keep cross-round continuity but mix windows and are "
-                "informational from r12 on. The pairing runs LATE in "
+                "informational from r12 on. SINCE r13 (r12 verdict "
+                "item 3) the headline order statistic is "
+                "ratio_MEDIAN_of_pairs, with min-of-pairs kept beside "
+                "it as a diagnostic: the r12 contention A/B harness "
+                "(scripts/ab_paired_contention.py) showed the two "
+                "sides of a pair run ~0.5s apart, so a load burst "
+                "landing on one side can bias a single pair low — the "
+                "median is burst-robust across the five pairs. The "
+                "pairing runs LATE in "
                 "the suite (after stress), so both engines are equally "
                 "warm — the paired spark draws can read faster than the "
                 "headline's earlier cleared-cache min-of-5; that "
@@ -1208,6 +1264,26 @@ def main() -> int:
                 "bespoke volume counters (pure counts, no snapshot "
                 "deltas), which were compared by hand in r8-r10 "
                 "verdicts"),
+            "drift_attribution": (
+                "since r13 (r12 verdict item 2) the artifact embeds "
+                "the scripts/attribute_drift.py reading against the "
+                "previously committed BENCH_DETAIL.json: per-query "
+                "now/prev ratios over threshold (1.5x default), plus "
+                "contiguous counter-identical slowdown BANDS in "
+                "t_start execution order with their wall-clock "
+                "intervals — the committed form of the r11 judge "
+                "archaeology. Read rules: a band = transient host "
+                "contention in that interval (check host_load "
+                "sentinels); isolated over-threshold ratios with "
+                "unchanged counters = per-query host noise; anything "
+                "in counters_changed = a real plan/data move to "
+                "bisect; 'unattributable' = timed both rounds but "
+                "lacking counter evidence on both sides (never "
+                "band-eligible, ADVICE r12). The baseline is whatever "
+                "BENCH_DETAIL.json was on disk at bench start — the "
+                "seal protocol restores the committed previous-round "
+                "artifact first, so a sealed run's block reads "
+                "round-over-round, not run-over-run"),
             "suite_timeline": (
                 "since r12 (r11 verdict items 2+6): query_wallclock"
                 ".t_start records each timed query's warm-up start as "
@@ -1284,6 +1360,10 @@ def main() -> int:
         # committed per-query host-vs-plan attribution (r10 verdict item
         # 2): see notes.plan_counter_diff for read rules
         "plan_counter_diff": plan_counter_diff,
+        # committed cross-round band attribution (r12 verdict item 2):
+        # scripts/attribute_drift.py run against the previously
+        # committed artifact at seal time — see notes.drift_attribution
+        "drift_attribution": drift_attribution,
         # per-query suite timeline (r11 verdict item 2): t_start is each
         # timed query's warm-up start as seconds after the suite's
         # post-JVM-warm clock zero, in execution order; draws keeps every
@@ -1320,16 +1400,31 @@ def main() -> int:
                             "migrator.py:297 architecture)",
                 "value": ref_loop,
                 # BINDING contract reading since r12 (r11 verdict item
-                # 1): both sides of each ratio share a host window
+                # 1): both sides of each ratio share a host window.
+                # Median-of-pairs is the binding statistic since r13
+                # (r12 verdict item 3) — min biases low when a burst
+                # hits one side of a pair (sides run ~0.5s apart)
                 "paired_interleaved": {
                     "protocol": "5 alternating (spark, reference) draws; "
-                                "ratio per pair, min-of-pairs binding; "
+                                "ratio per pair, MEDIAN-of-pairs binding "
+                                "(min diagnostic: within a pair the two "
+                                "sides run ~0.5s apart, so a burst on "
+                                "one side biases that pair's ratio); "
                                 "loadavg at pairing start in host_load."
                                 "flagship_pairing",
                     "draws": paired_draws,
                     "ratio_min_of_pairs": ratio_min_of_pairs,
                     "ratio_median_of_pairs": ratio_median_of_pairs,
                 },
+                # regeneration-safe warm-JVM caveat (r12 verdict item 4)
+                "note": ("the paired block runs after the full suite "
+                         "(stress + index contract), so both engines "
+                         "are fully warm; its spark draws are NOT "
+                         "cold-start comparable and can read faster "
+                         "than the headline's earlier cleared-cache "
+                         "min-of-5 — equal warmth on both sides of "
+                         "each pair is the protocol's point, the "
+                         "absolute seconds are not a cold-start claim"),
                 "spark_sec": times.get("migrate_pipeline"),
                 "spark_sec_median": (
                     round(statistics.median(all_runs["migrate_pipeline"]), 3)
