@@ -1040,8 +1040,10 @@ def main() -> int:
     # JVM had absorbed was gone — the two sides of a binding ratio must
     # share a host window. Five alternating (spark, reference) draws;
     # each pair yields one ratio measured under the same instantaneous
-    # load, and min-of-pairs is the contract reading (the r6-precedent
-    # min-statistic: a quiet pair exists in five on this host).
+    # load. MEDIAN-of-pairs is the contract reading since r13 (r12
+    # verdict item 3): the contention A/B showed a burst hitting one
+    # side of a pair biases that pair's ratio, so the min statistic is
+    # noise-sensitive; min stays recorded as a diagnostic.
     host_load["flagship_pairing"] = read_loadavg()
     paired_draws: list[dict] = []
     for _ in range(5):
