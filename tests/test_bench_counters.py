@@ -198,6 +198,16 @@ def test_committed_artifact_carries_r12_evidence_fields():
     for c in d["plan_counters"].values():
         assert "t_start" not in c
 
+    # r13: the sealed drift attribution must ship with the artifact —
+    # band list (or explicitly none), per-query over-threshold ratios,
+    # and the unattributable set (ADVICE r12). Tolerate a pre-r13
+    # artifact the same way as above.
+    if "drift_attribution" in d:
+        da = d["drift_attribution"]
+        assert "error" not in da, da
+        assert {"comparable", "bands", "unattributable",
+                "ratios_over_threshold"} <= set(da)
+
 
 def test_identical_runs_report_all_unchanged():
     """The steady-state expectation: same code + same data => empty
