@@ -274,6 +274,74 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
     return out
 
 
+# Sealed index-contract crossover localization (r13 verdict item 3):
+# the ~24k-row crossover and its two-draw table lived in PLANS.md prose;
+# this block ships WITH the artifact (index_contract.crossover) so the
+# "sub-1 at sf scale is a located below-crossover artifact" claim stays
+# mechanically checkable forever. STATIC COMMITTED EVIDENCE, not
+# re-measured per bench run — the live per-run points remain sf_scale /
+# stress_x10 / stress_x20 beside it; re-derive the localization with
+# scripts/locate_index_crossover.py if the index code path ever changes
+# (tests/test_locate_crossover.py pins the script's protocol to these
+# points' bucket sizing). Integrity-tested in tests/test_bench_counters.
+CROSSOVER_LOCALIZATION = {
+    "claim": ("build_lsh_index + lsh_topk_indexed overtakes inline "
+              "lsh_topk (probe_speedup crosses 1.0) at ~24,000 corpus "
+              "rows: the 3x point straddles 1.0 in both draws, 2x is "
+              "below and 5x above in both — so the sf-scale sub-1 "
+              "readings are a located below-crossover artifact, and at "
+              "the 100 TB design point (orders of magnitude past 24k "
+              "rows) the persisted index is unambiguously the right "
+              "path"),
+    "located_interval_rows": [16_000, 40_000],
+    "located_rows": 24_000,
+    "measured_round": "r13",
+    "provenance": ("scripts/locate_index_crossover.py — the bench "
+                   "_one_index_contract protocol (auto-sized planes, "
+                   "100-query batch, top-5, min-of-2 timings, corpus-"
+                   "proportional buckets) at intermediate stress "
+                   "factors; two independent quiet-host draws, "
+                   "deterministic fields (planes, recall) byte-"
+                   "identical across draws; full tables in PLANS.md"),
+    # probe_speedup per point; draw2 is null at the three sealed-curve
+    # factors (those are the r12/r13 sealed artifact readings, re-run
+    # every bench — their own cross-round series is the second draw)
+    "points": [
+        {"factor": 1, "rows": 8_000, "n_planes": 24,
+         "speedup_draw1": 0.74, "speedup_draw2": None,
+         "recall_at_5_indexed": 0.706, "source": "sealed sf_scale"},
+        {"factor": 2, "rows": 16_000, "n_planes": 36,
+         "speedup_draw1": 0.97, "speedup_draw2": 0.55,
+         "recall_at_5_indexed": 0.476, "source": "localization run"},
+        {"factor": 3, "rows": 24_000, "n_planes": 40,
+         "speedup_draw1": 1.10, "speedup_draw2": 1.00,
+         "recall_at_5_indexed": 0.568, "source": "localization run"},
+        {"factor": 5, "rows": 40_000, "n_planes": 44,
+         "speedup_draw1": 1.15, "speedup_draw2": 1.42,
+         "recall_at_5_indexed": 0.840, "source": "localization run"},
+        {"factor": 10, "rows": 80_000, "n_planes": 48,
+         "speedup_draw1": 3.37, "speedup_draw2": None,
+         "recall_at_5_indexed": 1.0, "source": "sealed stress_x10"},
+        {"factor": 20, "rows": 160_000, "n_planes": 52,
+         "speedup_draw1": 6.51, "speedup_draw2": None,
+         "recall_at_5_indexed": 1.0, "source": "sealed stress_x20"},
+    ],
+    "caveats": (
+        "(1) monotonicity of probe_speedup in corpus size is a DRAW-1 "
+        "reading (ADVICE r13): draw 2 reads 0.55 at 2x vs the sealed "
+        "sf 0.74 — the draw-stable evidence is the ORDERING below/"
+        "straddle/above at 2x/3x/5x in both draws plus the 10x/20x "
+        "margins, not per-point monotonicity; per-draw spread at these "
+        "sub-second timings is scheduling-floor noise. (2) recall@5 "
+        "0.476/0.568 at 2x/3x is the duplicate-heavy stress protocol's "
+        "tie-ambiguity artifact (every vector has `factor` exact "
+        "copies, exact top-5 under cosine ties is ambiguous at small "
+        "factors) — NOT an index accuracy claim; accuracy gates live "
+        "in tests/test_similarity.py and this caveat must travel with "
+        "any citation of those rows (r13 verdict)."),
+}
+
+
 HEADLINE = [
     "migrate_pipeline",
     "cast_source_schema",
@@ -845,6 +913,32 @@ def main() -> int:
     (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
      .mapInPandas(lambda it: it, "id long").count())
 
+    # EARLY-SUITE cold paired draw (r13 verdict item 5): one
+    # (spark, reference) flagship pair BEFORE the headline loop, so the
+    # late-suite warm pairing's disclosed warm-JVM caveat is bounded
+    # with data instead of a note. "Cold" here = the flagship plan's
+    # first execution in this JVM (whole-stage codegen compile + first
+    # orders scan), after only the generic warm-up above — the most
+    # pessimistic single pair the suite can produce for the Spark side;
+    # the reference loop has no analogous compile step, so this pair's
+    # ratio is an upper bound on the contract reading, not the binding
+    # statistic (that stays the late pairing's median-of-pairs).
+    _t0 = time.perf_counter()
+    QUERIES["migrate_pipeline"](spark, sf_dir).count()
+    _cold_spark = time.perf_counter() - _t0
+    _cold_ref = reference_loop_migrate_sec(sf_dir)
+    early_suite_pair = {
+        "suite_position": ("first flagship execution after generic JVM "
+                           "warm-up, before the headline loop — pays "
+                           "whole-stage-codegen compile + first orders "
+                           "scan"),
+        "spark_sec": round(_cold_spark, 3),
+        "ref_sec": round(_cold_ref, 3),
+        "ratio": round(_cold_spark / _cold_ref, 3),
+        "loadavg": read_loadavg(),
+    }
+    print(f"  early_suite_pair: {early_suite_pair}", file=sys.stderr)
+
     # suite-relative clock + host-load sentinel (r11 verdict items 2+6):
     # the r11 driver run carried a contiguous 11-query band of 2.5-8.9x
     # slowdowns that the judge attributed to a transient host window by
@@ -986,6 +1080,9 @@ def main() -> int:
     # (the design point where probe_speedup must exceed 1).
     index_contract = bench_index_contract(
         spark, sf_dir, factor if do_stress else None)
+    # sealed localization evidence rides with the live points (r13
+    # verdict item 3) — static committed block, see its provenance field
+    index_contract["crossover"] = CROSSOVER_LOCALIZATION
     print(f"  index_contract: {index_contract}", file=sys.stderr)
 
     # 10× duplicate-heavy stress (PLANS.md protocol, machine-readable).
@@ -1094,9 +1191,10 @@ def main() -> int:
         drift_attribution = _ad.attribute(prev_detail, _now_view)
     except Exception as e:  # diagnostic block — never fails the seal
         drift_attribution = {"error": f"{type(e).__name__}: {e}"}
+    _over = drift_attribution.get("ratios_over_threshold") or {}
     print(f"  drift_attribution: bands={drift_attribution.get('bands')} "
-          f"over_threshold={drift_attribution.get('ratios_over_threshold')}",
-          file=sys.stderr)
+          f"over_threshold={_over.get('n_over')}/{_over.get('n_ratios')} "
+          f"({_over.get('reading')})", file=sys.stderr)
 
     detail = {
         # standing analysis notes, carried with the artifact so a reader
@@ -1414,10 +1512,20 @@ def main() -> int:
                                 "one side biases that pair's ratio); "
                                 "loadavg at pairing start in host_load."
                                 "flagship_pairing",
+                    "suite_position": ("late suite, after stress + "
+                                       "index contract — both engines "
+                                       "fully warm (r13 verdict item "
+                                       "5: position now a field, and "
+                                       "early_suite_pair beside this "
+                                       "block bounds the cold end)"),
                     "draws": paired_draws,
                     "ratio_min_of_pairs": ratio_min_of_pairs,
                     "ratio_median_of_pairs": ratio_median_of_pairs,
                 },
+                # the cold end of the warm-JVM caveat, measured (r13
+                # verdict item 5): one pre-headline-loop pair; its
+                # ratio upper-bounds the contract reading
+                "early_suite_pair": early_suite_pair,
                 # regeneration-safe warm-JVM caveat (r12 verdict item 4)
                 "note": ("the paired block runs after the full suite "
                          "(stress + index contract), so both engines "

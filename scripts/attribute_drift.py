@@ -131,14 +131,44 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
         if all(n in qw for n in band):
             info["t_start_interval_sec"] = [qw[band[0]], qw[band[-1]]]
         band_info.append(info)
+    # ratios_over_threshold is a ROLL-UP since r14 (r13 verdict item 4:
+    # 22 scattered host-noise entries published as a raw dict read as a
+    # lot of signal when the finding was "no bands, counters unchanged")
+    # — a one-line summary with the classified reading leads, the full
+    # per-query dict stays under "detail" for bisection.
+    over = {n: ratios[n] for n in order if ratios.get(n, 0) > threshold}
+    over_changed = sorted(set(over) & changed)
+    over_unattr = sorted(set(over) & unattributable)
+    banded = {q for b in band_info for q in b["queries"]}
+    if not over:
+        reading = "none over threshold"
+    elif over_changed:
+        reading = ("includes REAL plan/data moves "
+                   f"({', '.join(over_changed)}) — see counters_changed; "
+                   "remainder scattered host noise")
+    elif banded & set(over):
+        reading = ("includes contiguous host-contention band(s) — see "
+                   "bands; remainder scattered host noise")
+    else:
+        reading = ("scattered — host noise (counters unchanged"
+                   + (f"; {len(over_unattr)} unattributable" if over_unattr
+                      else "")
+                   + ", no contiguous band)")
+    over_rollup = {
+        "n_over": len(over),
+        "n_ratios": len(ratios),
+        "max_ratio": max(over.values()) if over else None,
+        "max_query": (max(over, key=lambda n: over[n]) if over else None),
+        "reading": reading,
+        "detail": over,
+    }
     return {
         "comparable": comparable,
         "skipped": diff.get("skipped"),
         "counters_changed": sorted(changed),
         "unattributable": sorted(unattributable),
         "n_ratios": len(ratios),
-        "ratios_over_threshold": {n: ratios[n] for n in order
-                                  if ratios.get(n, 0) > threshold},
+        "ratios_over_threshold": over_rollup,
         "bands": band_info,
         "host_load_now": now.get("host_load"),
         "host_load_prev": prev.get("host_load"),
@@ -168,9 +198,13 @@ def main() -> int:
               "on both sides — excluded from bands): "
               + ", ".join(rep["unattributable"]))
     over = rep["ratios_over_threshold"]
-    print(f"{len(over)}/{rep['n_ratios']} queries over "
-          f"{rep['threshold']}x: "
-          + (", ".join(f"{n}={r}" for n, r in over.items()) or "none"))
+    print(f"{over['n_over']}/{over['n_ratios']} queries over "
+          f"{rep['threshold']}x — {over['reading']}"
+          + (f" (max {over['max_query']}={over['max_ratio']})"
+             if over["n_over"] else ""))
+    if over["n_over"]:
+        print("  detail: " + ", ".join(f"{n}={r}"
+                                       for n, r in over["detail"].items()))
     if rep["bands"]:
         for b in rep["bands"]:
             span = (f" t_start {b['t_start_interval_sec'][0]}-"

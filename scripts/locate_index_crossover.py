@@ -22,12 +22,15 @@ Protocol notes:
     JSON document to stdout for PLANS.md; BENCH_DETAIL.json is not
     touched.
 
-Usage:
+Usage (both flag forms accepted — ADVICE r13: the old hand-rolled
+parser crashed on the space-separated form its own docstring showed):
   python scripts/locate_index_crossover.py [--factors 2,3,5]
+  python scripts/locate_index_crossover.py [--factors=2,3,5]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -47,12 +50,19 @@ def bucket_count(factor: int) -> int:
     return max(8, 4 * round((8 + 0.8 * factor) / 4))
 
 
+def parse_factors(argv: list[str] | None = None) -> list[int]:
+    """argparse accepts both ``--factors 2,3,5`` and ``--factors=2,3,5``
+    (ADVICE r13). Split out so tests cover both forms without Spark."""
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--factors", default="2,3,5",
+                    help="comma-separated stress factors (default 2,3,5)")
+    args = ap.parse_args(argv)
+    return [int(x) for x in args.factors.split(",")]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    factors = [2, 3, 5]
-    for a in sys.argv[1:]:
-        if a.startswith("--factors"):
-            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+    factors = parse_factors(sys.argv[1:])
 
     spark = get_spark("dwms-crossover")
     spark.sparkContext.setLogLevel("ERROR")

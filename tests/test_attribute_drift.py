@@ -161,6 +161,55 @@ def test_no_counter_evidence_is_unattributable_and_breaks_band():
                               "t_start_interval_sec": [2.0, 4.0]}]
 
 
+def test_over_threshold_rollup_shapes():
+    """r13 verdict item 4: ratios_over_threshold is a roll-up — summary
+    fields lead (count, max, classified reading), the raw per-query dict
+    lives under 'detail'. The reading must classify correctly: scattered
+    counter-identical noise vs real plan moves vs band membership."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    ts = {n: float(i) for i, n in enumerate(names)}
+    prev = _artifact({n: 1.0 for n in names}, {n: C for n in names})
+
+    # scattered counter-identical slowdowns, no band (min_band=3, only
+    # q1/q3 slow) -> "scattered — host noise"
+    now = _artifact({"q1": 2.0, "q2": 1.0, "q3": 3.0, "q4": 1.0,
+                     "q5": 1.0}, {n: dict(C) for n in names}, t_start=ts)
+    rep = ad.attribute(prev, now, threshold=1.5, min_band=3)
+    over = rep["ratios_over_threshold"]
+    assert over["n_over"] == 2 and over["n_ratios"] == 5
+    assert over["detail"] == {"q1": 2.0, "q3": 3.0}
+    assert over["max_ratio"] == 3.0 and over["max_query"] == "q3"
+    assert rep["bands"] == []
+    assert "scattered" in over["reading"]
+    assert "host noise" in over["reading"]
+
+    # a counters-moved slow query -> reading flags the real move
+    now_c = {n: dict(C) for n in names}
+    now_c["q3"] = dict(C_MOVED)
+    now2 = _artifact({"q1": 1.0, "q2": 1.0, "q3": 3.0, "q4": 1.0,
+                      "q5": 1.0}, now_c, t_start=ts)
+    rep2 = ad.attribute(prev, now2, threshold=1.5, min_band=3)
+    over2 = rep2["ratios_over_threshold"]
+    assert "plan/data" in over2["reading"] and "q3" in over2["reading"]
+
+    # a contiguous band -> reading points at bands
+    now3 = _artifact({"q1": 1.0, "q2": 3.0, "q3": 3.0, "q4": 3.0,
+                      "q5": 1.0}, {n: dict(C) for n in names},
+                     t_start=ts)
+    rep3 = ad.attribute(prev, now3, threshold=1.5, min_band=3)
+    assert len(rep3["bands"]) == 1
+    assert "band" in rep3["ratios_over_threshold"]["reading"]
+
+    # nothing over threshold -> explicit none, empty detail
+    now4 = _artifact({n: 1.0 for n in names},
+                     {n: dict(C) for n in names}, t_start=ts)
+    rep4 = ad.attribute(prev, now4, threshold=1.5, min_band=3)
+    over4 = rep4["ratios_over_threshold"]
+    assert over4["n_over"] == 0 and over4["detail"] == {}
+    assert over4["max_ratio"] is None and over4["max_query"] is None
+    assert over4["reading"] == "none over threshold"
+
+
 def test_cross_sf_not_comparable():
     prev = _artifact({"a": 1.0}, {"a": C}, sf="0.1")
     now = _artifact({"a": 2.0}, {"a": C}, sf="0.01")

@@ -209,6 +209,85 @@ def test_committed_artifact_carries_r12_evidence_fields():
                 "ratios_over_threshold"} <= set(da)
 
 
+def test_crossover_localization_block_is_consistent():
+    """Unit contract for the sealed crossover-localization evidence
+    (r13 verdict item 3): the static block bench.py ships into
+    index_contract.crossover must stay internally consistent — the
+    located interval matches the points, the DRAW-STABLE ordering holds
+    (below 1.0 at 2x in both draws, >= 1.0 at the located 3x point in
+    both, above 1.0 at 5x in both — per-point monotonicity is a draw-1
+    reading only, ADVICE r13), and the caveats that must travel with
+    any citation (draw-1 monotonicity, stress-protocol recall
+    tie-ambiguity) are present. Pure-dict, no Spark."""
+    from bench import CROSSOVER_LOCALIZATION as X
+
+    pts = {p["factor"]: p for p in X["points"]}
+    assert sorted(pts) == [1, 2, 3, 5, 10, 20]
+    rows = {p["factor"]: p["rows"] for p in X["points"]}
+    assert X["located_interval_rows"] == [rows[2], rows[5]]
+    assert rows[2] < X["located_rows"] <= rows[5]
+    assert X["located_rows"] == rows[3]
+    # draw-stable ordering (the binding evidence):
+    for d in ("speedup_draw1", "speedup_draw2"):
+        assert pts[2][d] < 1.0                    # below crossover
+        assert pts[3][d] >= 1.0                   # straddles/at crossover
+        assert pts[5][d] > 1.0                    # above crossover
+    # sealed curve margins past the crossover (draw 1 = sealed readings)
+    assert pts[10]["speedup_draw1"] > 3 and pts[20]["speedup_draw1"] > 3
+    assert pts[20]["speedup_draw1"] > pts[10]["speedup_draw1"]
+    # the two disclosed caveats must travel with the block
+    assert "draw-1" in X["caveats"] or "DRAW-1" in X["caveats"]
+    assert "tie-ambiguity" in X["caveats"]
+    assert "locate_index_crossover" in X["provenance"]
+    assert X["measured_round"] == "r13"
+
+
+def test_committed_artifact_carries_r14_evidence_fields():
+    """Artifact-integrity / seal check: the committed BENCH_DETAIL.json
+    must carry the r14 evidence surface — the sealed crossover
+    localization under index_contract.crossover (byte-equal to the
+    bench.py constant, so a drive-by edit of either side fails), the
+    early-suite cold paired draw plus the warm pairing's suite_position
+    field (r13 verdict item 5), and the ratios_over_threshold roll-up
+    (item 4). SKIPS (not fails) when the artifact predates the r14
+    fields — same ADVICE-r12 rationale as the r12 check above."""
+    import json
+    import os
+
+    import pytest
+
+    from bench import CROSSOVER_LOCALIZATION
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json")
+    d = json.load(open(path))
+    ic = d.get("index_contract") or {}
+    if "crossover" not in ic:
+        pytest.skip("BENCH_DETAIL.json predates the r14 evidence fields "
+                    "(pre-r14 or smoke/partial artifact) — reseal with a "
+                    "full bench run before committing")
+
+    assert ic["crossover"] == CROSSOVER_LOCALIZATION
+
+    rsn = d["baseline"]["reference_single_node"]
+    esp = rsn["early_suite_pair"]
+    assert {"suite_position", "spark_sec", "ref_sec",
+            "ratio"} <= set(esp)
+    assert (abs(esp["ratio"] - esp["spark_sec"] / esp["ref_sec"])
+            < 0.05 * max(1.0, esp["ratio"]))
+    assert "suite_position" in rsn["paired_interleaved"]
+
+    da = d.get("drift_attribution") or {}
+    over = da.get("ratios_over_threshold")
+    if isinstance(over, dict) and "reading" in over:
+        assert {"n_over", "n_ratios", "max_ratio", "max_query",
+                "reading", "detail"} <= set(over)
+        assert over["n_over"] == len(over["detail"])
+        if over["n_over"]:
+            assert over["max_ratio"] == max(over["detail"].values())
+
+
 def test_identical_runs_report_all_unchanged():
     """The steady-state expectation: same code + same data => empty
     changed list, so any timing drift that round is host by contract."""

@@ -11,9 +11,13 @@ int(None)).
 
 Runtime note: ~5 min — one pass over all 125 queries on empty inputs
 (the JDBC/streaming queries dominate; everything else is sub-second).
+Marked ``seal`` (r13 verdict item 6): deselect with ``-m "not seal"``
+for the development fast lane; the full suite remains the commit gate.
 """
 
 import pytest
+
+pytestmark = pytest.mark.seal
 
 
 # queries whose EMPTY-corpus contract is a documented, typed refusal

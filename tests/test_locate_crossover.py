@@ -29,6 +29,18 @@ def test_bucket_count_reproduces_sealed_sizing():
     assert lc.bucket_count(5) == 12
 
 
+def test_parse_factors_accepts_both_flag_forms():
+    """ADVICE r13: the docstring's space-separated usage form crashed
+    the old hand-rolled parser (IndexError on the missing '='); both
+    argparse forms must now work, and the default must stay 2,3,5 (the
+    committed localization points)."""
+    assert lc.parse_factors([]) == [2, 3, 5]
+    assert lc.parse_factors(["--factors=2,3,5"]) == [2, 3, 5]
+    assert lc.parse_factors(["--factors", "2,3,5"]) == [2, 3, 5]
+    assert lc.parse_factors(["--factors", "4"]) == [4]
+    assert lc.parse_factors(["--factors=7,9"]) == [7, 9]
+
+
 def test_bucket_count_floor_and_monotone():
     # floor of 8 (sf-scale sizing) and multiples of 4, monotone
     # non-decreasing in factor — near-empty bucket files would measure

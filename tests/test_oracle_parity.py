@@ -1,7 +1,11 @@
 """Driver-shaped correctness gate, run locally: every queries() entry vs its
 DuckDB oracle at sf0.001 — row count, column names, and exact values after
 order-insensitive sort (the driver hashes; we compare cell-exact, which is
-stricter)."""
+stricter).
+
+Runtime note: ~4 min for the full 125-pair replay. Marked ``seal``
+(r13 verdict item 6): deselect with ``-m "not seal"`` for the
+development fast lane; the full suite remains the commit gate."""
 
 import math
 
@@ -9,6 +13,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.seal
 
 from data_warehouse_migrate_spark.queries import ORACLES, QUERIES
 
