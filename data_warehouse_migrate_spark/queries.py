@@ -4010,100 +4010,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r14 window composition (registry FROZEN at 125 — zero new entries;
+    # r15 window composition (registry FROZEN at 125 — zero new entries;
     # with this window green, no query's newest external row is older
-    # than r12 — the fourth refresh cycle stays on the <=3-round
+    # than r13 — the fifth refresh cycle stays on the <=3-round
     # cadence):
-    #  1-25:  the 25 r11-green remainder — the oldest newest-rows in the
-    #         registry — lead (rule 1; committed by the r13 ledger and
-    #         r13 verdict item 1), in ledger order: dedup_simhash ..
-    #         mapping_defaults.
-    # 26-33:  the five rule-4 rows-only residents last refreshed r12
-    #         (due by r15 — taken a round early for slack, r13 verdict
-    #         item 2, the same move that worked for dedup_minhash in
-    #         r13) with their oracle-checked exact twins riding along
-    #         (rule 4a), as one contiguous r12-green ledger run:
-    #         distinct_users_exact (twin of approx_distinct_users),
-    #         embedding_lsh_ann, embedding_ivf (twin embedding_topk),
-    #         embedding_near_dup (twin embedding_near_dup_exact),
-    #         embedding_pca (no SQL twin — iterative linear algebra;
-    #         verified by the determinism/unit-norm/eigen-accuracy
-    #         invariants in tests/test_similarity.py, rule 4b),
-    #         approx_distinct_users, embedding_topk,
-    #         embedding_near_dup_exact.
-    # 34-50:  17 more r12-green window queries rotating back in (rule 1
-    #         — taking 17 now leaves 25 to lead r15), in ledger order:
-    #         mapping_format .. unigram_logprob.
-    # (No rule-2 pins this round: the r14 diffs touch bench.py — the
-    # sealed crossover-localization block, the drift-ratio rollup and
-    # the early-suite cold pair — plus scripts/, tests/, pyproject's
-    # pytest markers and docs; no registry query's execution path
-    # changes. This registry reordering itself changes no query code.)
-    # Tail 51-75: the 25 remaining r12-green — LEAD the r15 window
-    #         (listed first in the tail, in ledger order: vocab_topk ..
-    #         funnel_events). No rule-4 residents among them.
-    # Tail 76-125: the 50 r13-green window queries rotating out (rule 3
+    #  1-25:  the 25 r12-green remainder — the oldest newest-rows in the
+    #         registry — lead (rule 1; committed by the r14 ledger and
+    #         r14 verdict item 1), in ledger order: vocab_topk ..
+    #         funnel_events. No rule-4 residents among them.
+    # 26-29:  the two rule-4 rows-only residents last refreshed r13
+    #         (due by r16 — taken a round early for slack, r14 verdict
+    #         item 2, the same move that worked in r13 and r14) with
+    #         their oracle-checked exact twins riding along (rule 4a):
+    #         dedup_minhash (twin minhash_sigs),
+    #         approx_value_percentiles (twin value_percentiles).
+    # 30-50:  21 more r13-green window queries rotating back in (rule 1
+    #         — taking 21 now leaves 25 to lead r16), in ledger order:
+    #         cohort_retention .. scrub_pii.
+    # (No rule-2 pins this round: the r15 diffs touch bench.py — the
+    # host_quiet_at_start seal gate, early_suite_pair_history, the
+    # early-pair try/except guard and the tie-aware recall column in
+    # the sealed crossover block — plus scripts/ and tests/ (incl. the
+    # new fixed-matrix PCA eigen-oracle, test-only); no registry
+    # query's execution path changes. This registry reordering itself
+    # changes no query code.)
+    # Tail 51-75: the 25 remaining r13-green — LEAD the r16 window
+    #         (listed first in the tail, in ledger order:
+    #         click_purchase_interval .. dedup_keep_rows). No rule-4
+    #         residents among them.
+    # Tail 76-125: the 50 r14-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
-    #         this round). Rows-only rule-4 residents dedup_minhash and
-    #         approx_value_percentiles were refreshed r13 — due by r16;
-    #         embedding_lsh_ann, embedding_ivf, embedding_near_dup,
-    #         embedding_pca and approx_distinct_users refresh THIS
-    #         round (r14) — due by r17.
-    # --- 1-25: r11-green remainder leads (rule 1; per the r13 ledger)
-    "dedup_simhash": q_dedup_simhash,
-    "line_dedup": q_line_dedup,
-    "multimodal_decode": q_multimodal_decode,
-    "pack_sequences": q_pack_sequences,
-    "packing_stats": q_packing_stats,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "fuzzy_match_customers": q_fuzzy_match_customers,
-    "fuzzy_match_d2": q_fuzzy_match_d2,
-    "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    "events_hourly_stream": q_events_hourly_stream,
-    "customers_without_orders": q_customers_without_orders,
-    "decontaminate_corpus": q_decontaminate_corpus,
-    "dedup_near_keep": q_dedup_near_keep,
-    "dest_projection": q_dest_projection,
-    "embedding_centroids": q_embedding_centroids,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_truncate": q_embedding_truncate,
-    "event_type_pivot": q_event_type_pivot,
-    "frame_sample": q_frame_sample,
-    "inf_cleanup": q_inf_cleanup,
-    "late_ship_orders": q_late_ship_orders,
-    "latest_partition_multi": q_latest_partition_multi,
-    "mapping_computed": q_mapping_computed,
-    "mapping_defaults": q_mapping_defaults,
-    # --- 26-33: rule-4 rows-only residents (due r15, taken early) with
-    #            their exact twins riding along (rule 4a)
-    "distinct_users_exact": q_distinct_users_exact,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_pca": q_embedding_pca,
-    "approx_distinct_users": q_approx_distinct_users,
-    "embedding_topk": q_embedding_topk,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
-    # --- 34-50: r12-green, rotating back in (rule 1; 17 of 42)
-    "mapping_format": q_mapping_format,
-    "mapping_rename_reorder": q_mapping_rename_reorder,
-    "null_policy_fill": q_null_policy_fill,
-    "order_priority_counts": q_order_priority_counts,
-    "props_json_extract": q_props_json_extract,
-    "pseudonymize_customers": q_pseudonymize_customers,
-    "quality_band_filter": q_quality_band_filter,
-    "region_rollup": q_region_rollup,
-    "revenue_rollup": q_revenue_rollup,
-    "rolling_event_features": q_rolling_event_features,
-    "running_total": q_running_total,
-    "scan_orderby_limit": q_scan_orderby_limit,
-    "set_ops_users": q_set_ops_users,
-    "shipping_priority": q_shipping_priority,
-    "string_preservation": q_string_preservation,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "unigram_logprob": q_unigram_logprob,
-    # --- 51-75: r12-green remainder — LEAD the r15 window (rule 1)
+    #         this round). Rows-only rule-4 residents embedding_lsh_ann,
+    #         embedding_ivf, embedding_near_dup, embedding_pca and
+    #         approx_distinct_users were refreshed r14 — due by r17;
+    #         dedup_minhash and approx_value_percentiles refresh THIS
+    #         round (r15) — due by r18.
+    # --- 1-25: r12-green remainder leads (rule 1; per the r14 ledger)
     "vocab_topk": q_vocab_topk,
     "contamination_check": q_contamination_check,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4129,7 +4071,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "fluency_band": q_fluency_band,
     "funnel_events": q_funnel_events,
-    # --- 76-125: r13-green window queries rotating out (rule 3)
+    # --- 26-29: rule-4 rows-only residents (due r16, taken early) with
+    #            their exact twins riding along (rule 4a)
+    "dedup_minhash": q_dedup_minhash,
+    "minhash_sigs": q_minhash_sigs,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "value_percentiles": q_value_percentiles,
+    # --- 30-50: r13-green, rotating back in (rule 1; 21 of 46)
     "cohort_retention": q_cohort_retention,
     "last_touch_attribution": q_last_touch_attribution,
     "local_supplier_volume": q_local_supplier_volume,
@@ -4143,7 +4091,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_migrate": q_incremental_migrate,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "value_percentiles": q_value_percentiles,
     "metadata_probes": q_metadata_probes,
     "cast_source_schema": q_cast_source_schema,
     "events_hourly": q_events_hourly,
@@ -4152,13 +4099,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
+    # --- 51-75: r13-green remainder — LEAD the r16 window (rule 1)
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "hypertable_rollup": q_hypertable_rollup,
-    "dedup_minhash": q_dedup_minhash,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "minhash_sigs": q_minhash_sigs,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4180,6 +4125,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "default_backfill": q_default_backfill,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_rows": q_dedup_keep_rows,
+    # --- 76-125: r14-green window queries rotating out (rule 3)
+    "dedup_simhash": q_dedup_simhash,
+    "line_dedup": q_line_dedup,
+    "multimodal_decode": q_multimodal_decode,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "fuzzy_match_customers": q_fuzzy_match_customers,
+    "fuzzy_match_d2": q_fuzzy_match_d2,
+    "entity_clusters": q_entity_clusters,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    "customers_without_orders": q_customers_without_orders,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_near_keep": q_dedup_near_keep,
+    "dest_projection": q_dest_projection,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
+    "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
+    "inf_cleanup": q_inf_cleanup,
+    "late_ship_orders": q_late_ship_orders,
+    "latest_partition_multi": q_latest_partition_multi,
+    "mapping_computed": q_mapping_computed,
+    "mapping_defaults": q_mapping_defaults,
+    "distinct_users_exact": q_distinct_users_exact,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pca": q_embedding_pca,
+    "approx_distinct_users": q_approx_distinct_users,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "mapping_format": q_mapping_format,
+    "mapping_rename_reorder": q_mapping_rename_reorder,
+    "null_policy_fill": q_null_policy_fill,
+    "order_priority_counts": q_order_priority_counts,
+    "props_json_extract": q_props_json_extract,
+    "pseudonymize_customers": q_pseudonymize_customers,
+    "quality_band_filter": q_quality_band_filter,
+    "region_rollup": q_region_rollup,
+    "revenue_rollup": q_revenue_rollup,
+    "rolling_event_features": q_rolling_event_features,
+    "running_total": q_running_total,
+    "scan_orderby_limit": q_scan_orderby_limit,
+    "set_ops_users": q_set_ops_users,
+    "shipping_priority": q_shipping_priority,
+    "string_preservation": q_string_preservation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
