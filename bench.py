@@ -296,49 +296,103 @@ CROSSOVER_LOCALIZATION = {
     "located_interval_rows": [16_000, 40_000],
     "located_rows": 24_000,
     "measured_round": "r13",
+    "tie_aware_recall_measured_round": "r15",
     "provenance": ("scripts/locate_index_crossover.py — the bench "
                    "_one_index_contract protocol (auto-sized planes, "
                    "100-query batch, top-5, min-of-2 timings, corpus-"
                    "proportional buckets) at intermediate stress "
-                   "factors; two independent quiet-host draws, "
-                   "deterministic fields (planes, recall) byte-"
-                   "identical across draws; full tables in PLANS.md"),
+                   "factors; FOUR independent quiet-host draws (two "
+                   "r13, one r14, one r15 — the r15 draw added the "
+                   "tie-aware recall column), deterministic fields "
+                   "(planes, set recall) byte-identical across all "
+                   "four; full tables in PLANS.md"),
     # probe_speedup per point; draw2 is null at the three sealed-curve
     # factors (those are the r12/r13 sealed artifact readings, re-run
-    # every bench — their own cross-round series is the second draw)
+    # every bench — their own cross-round series is the second draw).
+    # recall_at_5_tie_aware (r14 verdict item 5): measured at the three
+    # localization points in the r15 draw; null at the sealed-curve
+    # factors, where the live re-run carries it each round
+    # (index_contract.{sf_scale,stress_x10,stress_x20}.recall_at_k).
     "points": [
         {"factor": 1, "rows": 8_000, "n_planes": 24,
          "speedup_draw1": 0.74, "speedup_draw2": None,
-         "recall_at_5_indexed": 0.706, "source": "sealed sf_scale"},
+         "recall_at_5_indexed": 0.706, "recall_at_5_tie_aware": None,
+         "source": "sealed sf_scale"},
         {"factor": 2, "rows": 16_000, "n_planes": 36,
          "speedup_draw1": 0.97, "speedup_draw2": 0.55,
-         "recall_at_5_indexed": 0.476, "source": "localization run"},
+         "recall_at_5_indexed": 0.476, "recall_at_5_tie_aware": 0.476,
+         "source": "localization run"},
         {"factor": 3, "rows": 24_000, "n_planes": 40,
          "speedup_draw1": 1.10, "speedup_draw2": 1.00,
-         "recall_at_5_indexed": 0.568, "source": "localization run"},
+         "recall_at_5_indexed": 0.568, "recall_at_5_tie_aware": 0.568,
+         "source": "localization run"},
         {"factor": 5, "rows": 40_000, "n_planes": 44,
          "speedup_draw1": 1.15, "speedup_draw2": 1.42,
-         "recall_at_5_indexed": 0.840, "source": "localization run"},
+         "recall_at_5_indexed": 0.840, "recall_at_5_tie_aware": 0.840,
+         "source": "localization run"},
         {"factor": 10, "rows": 80_000, "n_planes": 48,
          "speedup_draw1": 3.37, "speedup_draw2": None,
-         "recall_at_5_indexed": 1.0, "source": "sealed stress_x10"},
+         "recall_at_5_indexed": 1.0, "recall_at_5_tie_aware": None,
+         "source": "sealed stress_x10"},
         {"factor": 20, "rows": 160_000, "n_planes": 52,
          "speedup_draw1": 6.51, "speedup_draw2": None,
-         "recall_at_5_indexed": 1.0, "source": "sealed stress_x20"},
+         "recall_at_5_indexed": 1.0, "recall_at_5_tie_aware": None,
+         "source": "sealed stress_x20"},
     ],
     "caveats": (
         "(1) monotonicity of probe_speedup in corpus size is a DRAW-1 "
         "reading (ADVICE r13): draw 2 reads 0.55 at 2x vs the sealed "
         "sf 0.74 — the draw-stable evidence is the ORDERING below/"
-        "straddle/above at 2x/3x/5x in both draws plus the 10x/20x "
-        "margins, not per-point monotonicity; per-draw spread at these "
-        "sub-second timings is scheduling-floor noise. (2) recall@5 "
-        "0.476/0.568 at 2x/3x is the duplicate-heavy stress protocol's "
-        "tie-ambiguity artifact (every vector has `factor` exact "
-        "copies, exact top-5 under cosine ties is ambiguous at small "
-        "factors) — NOT an index accuracy claim; accuracy gates live "
-        "in tests/test_similarity.py and this caveat must travel with "
-        "any citation of those rows (r13 verdict)."),
+        "straddle/above at 2x/3x/5x in every draw (four as of r15: "
+        "0.97/0.55/0.86/0.74 at 2x, 1.10/1.00/1.21/1.07 at 3x, "
+        "1.15/1.42/1.13/1.26 at 5x) plus the 10x/20x margins, not "
+        "per-point monotonicity; per-draw spread at these sub-second "
+        "timings is scheduling-floor noise. (2) recall@5 0.476/0.568 "
+        "at 2x/3x: the r13/r14 rounds attributed these dips to "
+        "exact-top-5 tie ambiguity under the duplicate-heavy protocol; "
+        "the r15 tie-aware measurement (count a hit when the returned "
+        "candidate's exact cosine >= the 5th exact score) REFUTES that "
+        "attribution — tie-aware recall equals set recall at every "
+        "localization point, and structurally must: exact copies share "
+        "identical LSH signatures (tied candidates enter or miss the "
+        "candidate set together) and every ANN path shares the exact "
+        "oracle's (cosine DESC, corpus_id ASC) tie-break. The dips are "
+        "genuine probe_bits=1 misses of the top-5's NON-duplicate "
+        "near-neighbor slots at small factors (floor (factor-1)/5 from "
+        "the always-found exact copies: 0.2/0.4/0.8 at 2x/3x/5x, "
+        "measured 0.476/0.568/0.840 above it); at the 10x/20x design "
+        "points the top-5 is all exact copies and the metric "
+        "saturates. Still NOT an index accuracy claim — accuracy gates "
+        "live in tests/test_similarity.py, and recall-vs-n_planes in "
+        "the sf_scale block documents the knob that buys recall back."),
+}
+
+
+# Quiet-host gate threshold (r14 verdict item 3): 1-min loadavg below
+# this at suite start = quiet. Documented basis: the r14 discarded seal
+# draw started at loadavg ~3 minutes after the pytest suite and read
+# +11% headline purely from residual load; the committed quiet re-draw
+# started below 1. On this 32-core host, <1 means effectively idle.
+QUIET_LOAD_1MIN_THRESHOLD = 1.0
+
+# Early-suite cold flagship pair, cross-round series (r14 verdict item
+# 4): the cold end of the warm-JVM caveat as a tracked band instead of
+# readings scattered across PLANS.md and old artifacts. Each entry is
+# the pair's spark/ref ratio at sf0.1; the live reading for THIS run
+# sits beside it in baseline.reference_single_node.early_suite_pair.
+# Append one entry per sealed round (plus notable discarded draws).
+EARLY_SUITE_PAIR_HISTORY = {
+    "unit": "ratio spark_sec/ref_sec, cold flagship pair at sf0.1",
+    "series": {
+        "r14_seal": 4.30,
+        "r14_driver_rerun": 4.63,
+        "r14_discarded_draw": 5.17,
+    },
+    "reading": ("cold bracket ~4.3-5.2x vs the single-thread reference "
+                "loop (whole-stage-codegen compile + first orders "
+                "scan); the equal-warmth binding median-of-pairs reads "
+                "0.42-0.68 across the same rounds — the two series "
+                "bound the warm-JVM caveat from both sides"),
 }
 
 
@@ -489,31 +543,48 @@ def _one_index_contract(spark, emb, table: str, n_buckets: int,
             ivf_topk,
         )
 
-        exact = {(r.query_id, r.corpus_id)
-                 for r in brute_force_topk(q, c, k=5).collect()}
+        exact_rows = brute_force_topk(q, c, k=5).collect()
+        exact = {(r.query_id, r.corpus_id) for r in exact_rows}
+        # per-query kth (lowest) exact cosine — the tie boundary
+        kth: dict = {}
+        for r in exact_rows:
+            kth[r.query_id] = min(kth.get(r.query_id, r.cosine), r.cosine)
 
-        def _recall(df) -> float:
-            got = {(r.query_id, r.corpus_id) for r in df.collect()}
-            return round(len(got & exact) / max(len(exact), 1), 3)
+        def _recall(df) -> tuple[float, float]:
+            """(set recall@5, tie-aware recall@5). Tie-aware (r14
+            verdict item 5) counts a returned candidate as a hit when
+            its exact cosine >= the query's 5th exact score — under the
+            duplicate-heavy stress corpora every vector has `factor`
+            exact copies, so exact top-5 membership under cosine ties
+            is ambiguous and set recall under-reads; both sides round
+            cosine to 6dp so equality is well-defined."""
+            rows = df.select("query_id", "corpus_id", "cosine").collect()
+            got = {(r.query_id, r.corpus_id) for r in rows}
+            tie_hits = sum(
+                1 for r in rows
+                if (r.query_id, r.corpus_id) in exact
+                or r.cosine >= kth.get(r.query_id, float("inf")))
+            denom = max(len(exact), 1)
+            return (round(len(got & exact) / denom, 3),
+                    round(tie_hits / denom, 3))
 
-        recall = {
-            "k": 5,
-            "n_queries": 100,
-            "lsh_topk": _recall(
-                lsh_topk(q, c, k=5, n_planes=meta["n_planes"], bands=4,
-                         probe_bits=1)),
-            "lsh_topk_indexed": _recall(
-                lsh_topk_indexed(q, table, k=5, probe_bits=1)),
-            "ivf_topk": _recall(
-                ivf_topk(q, c, k=5, n_cells=16, nprobe=4)),
-        }
+        recall: dict = {"k": 5, "n_queries": 100}
+        for rname, rdf in (
+            ("lsh_topk", lsh_topk(q, c, k=5, n_planes=meta["n_planes"],
+                                  bands=4, probe_bits=1)),
+            ("lsh_topk_indexed", lsh_topk_indexed(q, table, k=5,
+                                                  probe_bits=1)),
+            ("ivf_topk", ivf_topk(q, c, k=5, n_cells=16, nprobe=4)),
+        ):
+            recall[rname], recall[f"{rname}_tie_aware"] = _recall(rdf)
         # recall-vs-n_planes (r10 verdict item 6): the accuracy/speed
         # knob a user actually turns — one committed point per extra
         # plane size documents how much recall the next size up buys
         # at this corpus scale (sf-scale recall sits below the index
         # crossover, disclosed in the workload note)
         for p in extra_plane_recall:
-            recall[f"lsh_topk_planes{p}"] = _recall(
+            (recall[f"lsh_topk_planes{p}"],
+             recall[f"lsh_topk_planes{p}_tie_aware"]) = _recall(
                 lsh_topk(q, c, k=5, n_planes=p, bands=4, probe_bits=1))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -923,20 +994,30 @@ def main() -> int:
     # the reference loop has no analogous compile step, so this pair's
     # ratio is an upper bound on the contract reading, not the binding
     # statistic (that stays the late pairing's median-of-pairs).
-    _t0 = time.perf_counter()
-    QUERIES["migrate_pipeline"](spark, sf_dir).count()
-    _cold_spark = time.perf_counter() - _t0
-    _cold_ref = reference_loop_migrate_sec(sf_dir)
-    early_suite_pair = {
-        "suite_position": ("first flagship execution after generic JVM "
-                           "warm-up, before the headline loop — pays "
-                           "whole-stage-codegen compile + first orders "
-                           "scan"),
-        "spark_sec": round(_cold_spark, 3),
-        "ref_sec": round(_cold_ref, 3),
-        "ratio": round(_cold_spark / _cold_ref, 3),
-        "loadavg": read_loadavg(),
-    }
+    # Diagnostic block — never fails the seal (ADVICE r14: an exception
+    # or zero ref timing here must record {'error': ...} like
+    # drift_attribution does, not abort the whole bench before any
+    # artifact exists; the pair is an upper bound, not the binding
+    # statistic).
+    early_suite_pair: dict
+    try:
+        _t0 = time.perf_counter()
+        QUERIES["migrate_pipeline"](spark, sf_dir).count()
+        _cold_spark = time.perf_counter() - _t0
+        _cold_ref = reference_loop_migrate_sec(sf_dir)
+        early_suite_pair = {
+            "suite_position": ("first flagship execution after generic JVM "
+                               "warm-up, before the headline loop — pays "
+                               "whole-stage-codegen compile + first orders "
+                               "scan"),
+            "spark_sec": round(_cold_spark, 3),
+            "ref_sec": round(_cold_ref, 3),
+            "ratio": (round(_cold_spark / _cold_ref, 3)
+                      if _cold_ref else None),
+            "loadavg": read_loadavg(),
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic, disclose + go on
+        early_suite_pair = {"error": f"{type(exc).__name__}: {exc}"}
     print(f"  early_suite_pair: {early_suite_pair}", file=sys.stderr)
 
     # suite-relative clock + host-load sentinel (r11 verdict items 2+6):
@@ -947,6 +1028,28 @@ def main() -> int:
     bench_wall_t0 = time.perf_counter()
     host_load: dict = {"source": "/proc/loadavg 1/5/15-min averages",
                        "start": read_loadavg()}
+    # Pre-seal quiet-host gate, mechanized (r14 verdict item 3): the r14
+    # session discarded a seal draw that read +11% purely from residual
+    # post-pytest load — that lesson lived in PLANS.md prose and an
+    # operator-remembered `cat /proc/loadavg`. Now the artifact itself
+    # records whether the suite STARTED on a quiet host, so a noisy seal
+    # is machine-flagged (status 'warn') instead of archaeology. WARN,
+    # not fail: drift attribution still classifies a noisy run; the
+    # sentinel just makes 'should not have sealed this draw' readable.
+    _lav = host_load["start"]
+    host_quiet_at_start = {
+        "loadavg_1min": _lav[0] if _lav else None,
+        "threshold": QUIET_LOAD_1MIN_THRESHOLD,
+        "status": ("unknown" if not _lav else
+                   "pass" if _lav[0] < QUIET_LOAD_1MIN_THRESHOLD
+                   else "warn"),
+        "note": ("1-min loadavg at suite start vs the documented "
+                 "quiet-host threshold (PLANS.md r14 seal-timing "
+                 "lesson: let post-pytest load drain; a warn here "
+                 "means headline seconds may carry residual host "
+                 "contention and the seal should be re-drawn quiet)"),
+    }
+    print(f"  host_quiet_at_start: {host_quiet_at_start}", file=sys.stderr)
 
     def timed_best(name: str, min_draws: int = 2) -> float:
         # ONE untimed warm-up run first: a query's first execution pays
@@ -1479,6 +1582,9 @@ def main() -> int:
                       for n, runs in all_runs.items()},
         },
         "host_load": host_load,
+        # machine-readable quiet-host verdict for the seal operator
+        # (r14 verdict item 3) — see the block's own note
+        "host_quiet_at_start": host_quiet_at_start,
         "stream_state": stream_state,
         "diagnostics": diagnostics,
         "index_contract": index_contract,
@@ -1526,6 +1632,8 @@ def main() -> int:
                 # verdict item 5): one pre-headline-loop pair; its
                 # ratio upper-bounds the contract reading
                 "early_suite_pair": early_suite_pair,
+                # ...and its cross-round series (r14 verdict item 4)
+                "early_suite_pair_history": EARLY_SUITE_PAIR_HISTORY,
                 # regeneration-safe warm-JVM caveat (r12 verdict item 4)
                 "note": ("the paired block runs after the full suite "
                          "(stress + index contract), so both engines "

@@ -146,6 +146,12 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
         reading = ("includes REAL plan/data moves "
                    f"({', '.join(over_changed)}) — see counters_changed; "
                    "remainder scattered host noise")
+        # ADVICE r14: when counters-changed queries AND a contiguous
+        # host-contention band are BOTH over threshold, the one-line
+        # reading must name both — "remainder scattered" alone would
+        # bury the band in the bands field
+        if banded & set(over):
+            reading += "; plus contiguous band(s) — see bands"
     elif banded & set(over):
         reading = ("includes contiguous host-contention band(s) — see "
                    "bands; remainder scattered host noise")

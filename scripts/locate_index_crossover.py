@@ -86,7 +86,9 @@ def main() -> int:
         r = out[f"stress_x{f}"]
         print(f"  x{f}: rows={r['index_rows']} "
               f"probe_speedup={r['probe_speedup']} "
-              f"recall_indexed={r['recall_at_k']['lsh_topk_indexed']}",
+              f"recall_indexed={r['recall_at_k']['lsh_topk_indexed']} "
+              "tie_aware="
+              f"{r['recall_at_k']['lsh_topk_indexed_tie_aware']}",
               file=sys.stderr)
     print(json.dumps(out))
     return 0

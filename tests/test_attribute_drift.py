@@ -200,6 +200,24 @@ def test_over_threshold_rollup_shapes():
     assert len(rep3["bands"]) == 1
     assert "band" in rep3["ratios_over_threshold"]["reading"]
 
+    # ADVICE r14: counters-moved slow query AND a contiguous band both
+    # over threshold -> the reading names BOTH; "remainder scattered
+    # host noise" alone would bury the band
+    names6 = ["q1", "q2", "q3", "q4", "q5", "q6"]
+    ts6 = {n: float(i) for i, n in enumerate(names6)}
+    prev6 = _artifact({n: 1.0 for n in names6}, {n: C for n in names6})
+    now_c6 = {n: dict(C) for n in names6}
+    now_c6["q6"] = dict(C_MOVED)  # real move, over threshold
+    now6 = _artifact({"q1": 3.0, "q2": 3.0, "q3": 3.0, "q4": 1.0,
+                      "q5": 1.0, "q6": 4.0}, now_c6, t_start=ts6)
+    rep6 = ad.attribute(prev6, now6, threshold=1.5, min_band=3)
+    assert len(rep6["bands"]) == 1  # q1-q3 counter-identical band
+    over6 = rep6["ratios_over_threshold"]
+    assert "plan/data" in over6["reading"] and "q6" in over6["reading"]
+    assert "band" in over6["reading"]
+    # ...and without a band, the moved-counters reading stays band-free
+    assert "band" not in over2["reading"]
+
     # nothing over threshold -> explicit none, empty detail
     now4 = _artifact({n: 1.0 for n in names},
                      {n: dict(C) for n in names}, t_start=ts)

@@ -235,11 +235,25 @@ def test_crossover_localization_block_is_consistent():
     # sealed curve margins past the crossover (draw 1 = sealed readings)
     assert pts[10]["speedup_draw1"] > 3 and pts[20]["speedup_draw1"] > 3
     assert pts[20]["speedup_draw1"] > pts[10]["speedup_draw1"]
-    # the two disclosed caveats must travel with the block
+    # the two disclosed caveats must travel with the block; since r15
+    # caveat (2) carries the MEASURED refutation of the old
+    # tie-ambiguity attribution (r14 verdict item 5) — tie-aware recall
+    # equals set recall at every localization point, so the dips are
+    # genuine near-neighbor misses, not tie artifacts
     assert "draw-1" in X["caveats"] or "DRAW-1" in X["caveats"]
-    assert "tie-ambiguity" in X["caveats"]
+    assert "REFUTES" in X["caveats"]
+    assert "tie-aware" in X["caveats"]
+    for p in X["points"]:
+        ta = p.get("recall_at_5_tie_aware")
+        if p["source"] == "localization run":
+            # measured r15: equal to set recall (the refutation)
+            assert ta == p["recall_at_5_indexed"]
+        else:
+            # sealed-curve factors: live re-run carries tie-aware
+            assert ta is None
     assert "locate_index_crossover" in X["provenance"]
     assert X["measured_round"] == "r13"
+    assert X["tie_aware_recall_measured_round"] == "r15"
 
 
 def test_committed_artifact_carries_r14_evidence_fields():
@@ -270,6 +284,25 @@ def test_committed_artifact_carries_r14_evidence_fields():
 
     assert ic["crossover"] == CROSSOVER_LOCALIZATION
 
+    # ADVICE r14: tie the LIVE index-contract points to the static
+    # block's claimed ordering — the static evidence says sf scale is
+    # below the crossover and the 10x/20x design points above it; if a
+    # live seal ever contradicts that (live sf_scale crossing 1.0, or
+    # live stress dropping below it), the seal must fail so the static
+    # block is re-derived rather than silently contradicted.
+    live_sf = ic.get("sf_scale") or {}
+    if live_sf.get("probe_speedup") is not None:
+        assert live_sf["probe_speedup"] < 1.0, (
+            "live sf_scale probe_speedup crossed 1.0 — re-derive the "
+            "CROSSOVER_LOCALIZATION block (scripts/"
+            "locate_index_crossover.py)")
+    for key in ("stress_x10", "stress_x20"):
+        live = ic.get(key) or {}
+        if live.get("probe_speedup") is not None:
+            assert live["probe_speedup"] > 1.0, (
+                f"live {key} probe_speedup fell below 1.0 — the sealed "
+                "crossover claim no longer holds; re-derive the block")
+
     rsn = d["baseline"]["reference_single_node"]
     esp = rsn["early_suite_pair"]
     assert {"suite_position", "spark_sec", "ref_sec",
@@ -286,6 +319,69 @@ def test_committed_artifact_carries_r14_evidence_fields():
         assert over["n_over"] == len(over["detail"])
         if over["n_over"]:
             assert over["max_ratio"] == max(over["detail"].values())
+
+
+def test_committed_artifact_carries_r15_evidence_fields():
+    """Artifact-integrity / seal check: the committed BENCH_DETAIL.json
+    must carry the r15 evidence surface — the host_quiet_at_start
+    sentinel (r14 verdict item 3: the seal-timing lesson as a machine
+    flag, not PLANS.md prose), the early_suite_pair_history series
+    (item 4, byte-equal to the bench.py constant like the crossover
+    block), and the tie-aware recall columns in the live index-contract
+    points (item 5). SKIPS when the artifact predates the r15 fields —
+    same ADVICE-r12 rationale as the checks above."""
+    import json
+    import os
+
+    import pytest
+
+    from bench import EARLY_SUITE_PAIR_HISTORY, QUIET_LOAD_1MIN_THRESHOLD
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json")
+    d = json.load(open(path))
+    if "host_quiet_at_start" not in d:
+        pytest.skip("BENCH_DETAIL.json predates the r15 evidence fields "
+                    "(pre-r15 or smoke/partial artifact) — reseal with a "
+                    "full bench run before committing")
+
+    hq = d["host_quiet_at_start"]
+    assert {"loadavg_1min", "threshold", "status", "note"} <= set(hq)
+    assert hq["threshold"] == QUIET_LOAD_1MIN_THRESHOLD
+    # status must be consistent with the recorded value and with the
+    # host_load.start sentinel the suite already carries
+    if hq["loadavg_1min"] is None:
+        assert hq["status"] == "unknown"
+    else:
+        start = d["host_load"]["start"]
+        assert start is not None and hq["loadavg_1min"] == start[0]
+        expect = ("pass" if hq["loadavg_1min"] < hq["threshold"]
+                  else "warn")
+        assert hq["status"] == expect
+
+    rsn = d["baseline"]["reference_single_node"]
+    hist = rsn["early_suite_pair_history"]
+    assert hist == EARLY_SUITE_PAIR_HISTORY
+    assert {"r14_seal", "r14_driver_rerun",
+            "r14_discarded_draw"} <= set(hist["series"])
+    assert all(isinstance(v, float) and v > 0
+               for v in hist["series"].values())
+
+    # tie-aware recall rides beside set recall in every live
+    # index-contract point's recall block (r14 verdict item 5): under
+    # the duplicate-heavy stress protocol tie-aware >= set recall by
+    # construction
+    ic = d.get("index_contract") or {}
+    for key, block in ic.items():
+        rec = (block or {}).get("recall_at_k") if isinstance(block, dict) \
+            else None
+        if not isinstance(rec, dict):
+            continue
+        for m in ("lsh_topk", "lsh_topk_indexed", "ivf_topk"):
+            if m in rec:
+                assert f"{m}_tie_aware" in rec, (key, m)
+                assert rec[f"{m}_tie_aware"] >= rec[m], (key, m)
 
 
 def test_identical_runs_report_all_unchanged():

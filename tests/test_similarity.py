@@ -153,6 +153,61 @@ def test_label_principal_direction_high_dim(spark):
         assert abs(r.explained - w[-1] / w.sum()) < 1e-4
 
 
+def test_label_principal_direction_committed_eigen_oracle(spark):
+    """Cell-exact committed contract (r14 verdict item 6): embedding_pca
+    is the registry's only rows-only resident with no SQL twin, so its
+    oracle is this FIXED matrix with numpy-computed expected
+    eigenvectors/variances committed as literal constants — not
+    recomputed at test time. Expected values were derived once with the
+    operator's exact convention (C = (XᵀX − μ·sᵀ)/(n−1) symmetrized,
+    eigh, sign canonicalized by largest-|component|, explained =
+    λmax/trace, both rounded to 6dp):
+
+        X0 = [[2,0,1],[4,1,1],[6,0,3],[8,1,3],[10,0,5]]  (label 0)
+        X1 = [[1,5,0],[1,3,4],[3,1,8],[3,7,2]]           (label 1)
+
+    Both spectra have a well-separated dominant eigenvalue (12.563 vs
+    0.537; 17.083 vs 2.456) and every literal sits >=2.7e-7 from its
+    6dp rounding boundary, so the 6dp outputs are stable against BLAS
+    ulp drift and exact equality is the honest assert."""
+    from data_warehouse_migrate_spark.operators.similarity import (
+        label_principal_direction,
+    )
+
+    rows = [
+        (0, 0, [2.0, 0.0, 1.0]),
+        (1, 0, [4.0, 1.0, 1.0]),
+        (2, 0, [6.0, 0.0, 3.0]),
+        (3, 0, [8.0, 1.0, 3.0]),
+        (4, 0, [10.0, 0.0, 5.0]),
+        (5, 1, [1.0, 5.0, 0.0]),
+        (6, 1, [1.0, 3.0, 4.0]),
+        (7, 1, [3.0, 1.0, 8.0]),
+        (8, 1, [3.0, 7.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+    # committed literals (numpy 12dp readings in the derivation:
+    # explained 0.958984343762 / 0.868643000019; pc components as below)
+    expected = {
+        0: {"n": 5, "explained": 0.958984,
+            "pc": [0.889864, -0.011158, 0.45609]},
+        1: {"n": 4, "explained": 0.868643,
+            "pc": [0.103279, -0.572578, 0.813319]},
+    }
+
+    for layout in (df, df.repartition(5)):
+        got = {r.label: r
+               for r in label_principal_direction(layout).collect()}
+        assert set(got) == set(expected)
+        for lbl, exp in expected.items():
+            r = got[lbl]
+            assert r.n == exp["n"]
+            assert r.explained == exp["explained"]
+            assert list(r.pc) == exp["pc"]
+
+
 def test_kmeans_centroids_deterministic_unit(emb):
     from data_warehouse_migrate_spark.operators.similarity import kmeans_centroids
     a = kmeans_centroids(emb, "embedding", "vec_id", k=8, n_iter=3)
