@@ -938,6 +938,13 @@ def run_stress(spark, sf_dir: str, factor: int) -> dict:
 
 
 def main() -> int:
+    # AMBIENT loadavg, captured before the Spark JVM exists: the
+    # quiet-host sentinel asks "was the HOST quiet when the operator
+    # started the seal" — reading after get_spark + the 32-thread
+    # warm-up would measure the bench's own spin-up (the first seal
+    # draw with the later placement read 2.97 on a 0.07-ambient host
+    # and warned on its own load), making the gate always-warn noise.
+    ambient_loadavg = read_loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     do_stress = ("--no-stress" not in sys.argv
@@ -1036,14 +1043,15 @@ def main() -> int:
     # is machine-flagged (status 'warn') instead of archaeology. WARN,
     # not fail: drift attribution still classifies a noisy run; the
     # sentinel just makes 'should not have sealed this draw' readable.
-    _lav = host_load["start"]
     host_quiet_at_start = {
-        "loadavg_1min": _lav[0] if _lav else None,
+        "loadavg_1min": ambient_loadavg[0] if ambient_loadavg else None,
         "threshold": QUIET_LOAD_1MIN_THRESHOLD,
-        "status": ("unknown" if not _lav else
-                   "pass" if _lav[0] < QUIET_LOAD_1MIN_THRESHOLD
+        "status": ("unknown" if not ambient_loadavg else
+                   "pass" if ambient_loadavg[0] < QUIET_LOAD_1MIN_THRESHOLD
                    else "warn"),
-        "note": ("1-min loadavg at suite start vs the documented "
+        "note": ("AMBIENT 1-min loadavg at bench PROCESS start — read "
+                 "before the Spark JVM exists, so the bench's own "
+                 "spin-up cannot trip it — vs the documented "
                  "quiet-host threshold (PLANS.md r14 seal-timing "
                  "lesson: let post-pytest load drain; a warn here "
                  "means headline seconds may carry residual host "

@@ -349,16 +349,21 @@ def test_committed_artifact_carries_r15_evidence_fields():
     hq = d["host_quiet_at_start"]
     assert {"loadavg_1min", "threshold", "status", "note"} <= set(hq)
     assert hq["threshold"] == QUIET_LOAD_1MIN_THRESHOLD
-    # status must be consistent with the recorded value and with the
-    # host_load.start sentinel the suite already carries
+    # the sentinel is AMBIENT load at process start (pre-JVM) — the
+    # first r15 seal draw proved the post-warm-up placement always
+    # warns on the bench's own spin-up, so it must NOT equal the
+    # post-warm-up host_load.start reading's role; status must be
+    # consistent with the recorded value
+    assert "AMBIENT" in hq["note"]
     if hq["loadavg_1min"] is None:
         assert hq["status"] == "unknown"
     else:
-        start = d["host_load"]["start"]
-        assert start is not None and hq["loadavg_1min"] == start[0]
         expect = ("pass" if hq["loadavg_1min"] < hq["threshold"]
                   else "warn")
         assert hq["status"] == expect
+    # a committed SEAL must be a quiet-host seal — the gate's whole
+    # point (a warn artifact is re-drawn, not committed)
+    assert hq["status"] in ("pass", "unknown")
 
     rsn = d["baseline"]["reference_single_node"]
     hist = rsn["early_suite_pair_history"]
