@@ -175,7 +175,8 @@ def read_loadavg() -> list[float] | None:
 
 def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
                               sf: str, diagnostics: dict | None = None,
-                              baseline_error: str | None = None) -> dict:
+                              baseline_error: str | None = None,
+                              baseline_source: str | None = None) -> dict:
     """Mechanical plan-counter diff vs the previous sealed artifact (r10
     verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
     in the verdict; from r11 on "host vs plan" is a committed per-query
@@ -208,10 +209,11 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
                 and all(v >= 0 for v in c.values()
                         if isinstance(v, (int, float))))
 
+    src = baseline_source or "BENCH_DETAIL.json"
     if not (prev_counters and prev_sf == sf):
         if baseline_error and not prev_counters:
             skipped = (f"baseline artifact unreadable ({baseline_error}) — "
-                       "the committed previous-round BENCH_DETAIL.json "
+                       f"the committed previous-round {src} "
                        "exists but did not parse; this round has NO drift "
                        "attribution and the corrupt baseline needs "
                        "investigation (ADVICE r11)")
@@ -228,10 +230,17 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
         and plan_counters[n] != prev_counters[n])
     out = {
         "baseline": {
-            "source": "BENCH_DETAIL.json committed before this run",
+            "source": f"{src} committed before this run",
             "sf": prev_sf,
             "headline_total_sec": prev_detail.get("headline_total_sec"),
             "n_queries": len(prev_counters),
+            # non-None when a HIGHER-preference baseline file existed
+            # but did not parse and the loader fell back to this one —
+            # the ADVICE-r11 integrity rule applied to the fallback
+            # chain: a corrupt preferred baseline is disclosed even
+            # when a usable fallback made the diff possible
+            **({"preferred_baseline_error": baseline_error}
+               if baseline_error else {}),
         },
         "counters_changed": changed,
         "counters_changed_detail": {
@@ -394,6 +403,67 @@ EARLY_SUITE_PAIR_HISTORY = {
                 "0.42-0.68 across the same rounds — the two series "
                 "bound the warm-JVM caveat from both sides"),
 }
+
+
+# Seal-vs-published headline series (r14 verdict, 'what's wrong' item
+# 1): the driver's round-end BENCH_r{N} rerun executes on whatever host
+# window follows its own pytest leg, so the PUBLISHED series can trend
+# up while the quiet-host seals stay flat — each divergence was
+# mechanically attributed (0 plan counters moved each round), but the
+# two series lived in prose. Committed here so the flat-seal/noisy-
+# published split is a tracked band in the artifact, like
+# EARLY_SUITE_PAIR_HISTORY. Entries cover COMPLETED rounds where both
+# numbers exist; the live run's own headline_total_sec is the current
+# seal-side point. Append one entry when a round's driver number lands.
+SEAL_VS_PUBLISHED_HISTORY = {
+    "unit": "headline_total_sec at sf0.1",
+    "series": {
+        "r12": {"seal": 11.947, "published": 11.947},
+        "r13": {"seal": 11.608, "published": 16.393},
+        "r14": {"seal": 13.116, "published": 18.381},
+    },
+    "reading": ("quiet-host seals 11.6-13.1s across r12-r14 while the "
+                "driver's round-end reruns read 11.9 -> 16.4 -> 18.4 — "
+                "every divergence attributed to host contention with 0 "
+                "of 74 plan counters moved (drift_attribution blocks in "
+                "the r13/r14 artifacts); the seal series is the "
+                "code-health signal, the published series includes the "
+                "driver window's host state"),
+}
+
+
+def load_drift_baseline(repo_dir: str) -> tuple[dict, str | None,
+                                                str | None]:
+    """Previous-round artifact serving as the drift/plan-counter
+    baseline: prefer ``BENCH_SEAL.json`` (written only by full
+    quiet-start sf0.1 runs — see the seal_sidecar block in main) over
+    ``BENCH_DETAIL.json``, which the driver's round-end rerun
+    overwrites with a potentially noisy window. The r15 lesson this
+    mechanizes: the r14 driver rerun (18.38s headline) replaced the
+    committed 13.12s quiet seal on disk, so every r15 drift ratio read
+    against the noisy window — harmless that round (0/74 counters
+    moved either way) but the wrong default forever.
+
+    Returns ``(prev_detail, source_filename, error)``. A file that
+    EXISTS but does not parse is a baseline-integrity failure to
+    disclose (ADVICE r11), never a benign first run: a corrupt seal
+    falls back to the detail artifact with the error string retained
+    (surfaced as ``baseline.preferred_baseline_error`` when the
+    fallback parses, or in ``skipped`` when nothing does).
+    """
+    error: str | None = None
+    for name in ("BENCH_SEAL.json", "BENCH_DETAIL.json"):
+        path = os.path.join(repo_dir, name)
+        try:
+            with open(path) as f:
+                return json.load(f), name, error
+        except FileNotFoundError:
+            continue
+        except Exception as exc:  # noqa: BLE001 — disclose, keep going
+            msg = f"{name}: {type(exc).__name__}: {exc}"
+            error = f"{error}; {msg}" if error else msg
+            continue
+    return {}, None, error
 
 
 HEADLINE = [
@@ -965,24 +1035,17 @@ def main() -> int:
     })
     spark.sparkContext.setLogLevel("ERROR")
 
-    # previous sealed artifact (committed BENCH_DETAIL.json, read BEFORE
-    # this run overwrites it): the plan-counter baseline the r10 verdict
-    # item 2 asks this round to diff against mechanically.
-    prev_detail: dict = {}
-    prev_detail_error: str | None = None
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path) as f:
-            prev_detail = json.load(f)
-    except FileNotFoundError:
-        pass  # genuine first run — benign, diff reports "no previous"
-    except Exception as exc:
-        # the committed artifact EXISTS but is corrupt/truncated — a
-        # baseline-integrity failure the diff must disclose as such, not
-        # mislabel as a benign first run (ADVICE r11)
-        prev_detail_error = f"{type(exc).__name__}: {exc}"
-        prev_detail = {}
+    # previous sealed artifact, read BEFORE this run overwrites it: the
+    # plan-counter baseline the r10 verdict item 2 asks each round to
+    # diff against mechanically. Since r15 the loader prefers the
+    # quiet-seal sidecar BENCH_SEAL.json over the driver-overwritten
+    # BENCH_DETAIL.json — see load_drift_baseline's docstring.
+    _repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_detail, drift_baseline_source, prev_detail_error = \
+        load_drift_baseline(_repo_dir)
+    print(f"  drift baseline: {drift_baseline_source} "
+          f"(headline={prev_detail.get('headline_total_sec')}, "
+          f"error={prev_detail_error})", file=sys.stderr)
 
     # warm the JVM + file index + Python/Arrow workers so per-query times
     # measure the queries, not process spin-up
@@ -1177,7 +1240,8 @@ def main() -> int:
 
     plan_counter_diff = compute_plan_counter_diff(
         prev_detail, plan_counters, sf, diagnostics=diagnostics,
-        baseline_error=prev_detail_error)
+        baseline_error=prev_detail_error,
+        baseline_source=drift_baseline_source)
     print(f"  plan_counter_diff: "
           f"changed={plan_counter_diff.get('counters_changed')} "
           f"unchanged={plan_counter_diff.get('counters_unchanged')} "
@@ -1299,7 +1363,9 @@ def main() -> int:
                      "query_wallclock": {"t_start": query_t_start},
                      "host_load": host_load,
                      "diagnostics": diagnostics}
-        drift_attribution = _ad.attribute(prev_detail, _now_view)
+        drift_attribution = _ad.attribute(
+            prev_detail, _now_view,
+            baseline_source=drift_baseline_source)
     except Exception as e:  # diagnostic block — never fails the seal
         drift_attribution = {"error": f"{type(e).__name__}: {e}"}
     _over = drift_attribution.get("ratios_over_threshold") or {}
@@ -1490,11 +1556,16 @@ def main() -> int:
                 "in counters_changed = a real plan/data move to "
                 "bisect; 'unattributable' = timed both rounds but "
                 "lacking counter evidence on both sides (never "
-                "band-eligible, ADVICE r12). The baseline is whatever "
-                "BENCH_DETAIL.json was on disk at bench start — the "
-                "seal protocol restores the committed previous-round "
-                "artifact first, so a sealed run's block reads "
-                "round-over-round, not run-over-run"),
+                "band-eligible, ADVICE r12). The baseline is the "
+                "quiet-seal sidecar BENCH_SEAL.json when present "
+                "(r15 — the driver's round-end rerun overwrites "
+                "BENCH_DETAIL.json with a potentially noisy window, "
+                "which is what r15's early drift ratios read against), "
+                "else whatever BENCH_DETAIL.json was on disk at bench "
+                "start; drift_baseline names the file used. The seal "
+                "protocol restores committed artifacts first, so a "
+                "sealed run's block reads round-over-round, not "
+                "run-over-run"),
             "suite_timeline": (
                 "since r12 (r11 verdict items 2+6): query_wallclock"
                 ".t_start records each timed query's warm-up start as "
@@ -1681,11 +1752,44 @@ def main() -> int:
             },
         },
     }
+    # Quiet-seal sidecar (r15): a full quiet-start sf0.1 run ALSO
+    # writes BENCH_SEAL.json, which the driver's round-end rerun never
+    # qualifies to refresh when its window is noisy — so the next
+    # round's drift baseline (load_drift_baseline prefers the sidecar)
+    # reads seal-vs-seal even after BENCH_DETAIL.json is overwritten.
+    # Eligibility is computed BEFORE dumping so both files carry the
+    # identical content including the decision itself.
+    seal_sidecar = {
+        "written": (host_quiet_at_start["status"] == "pass"
+                    and sf == "0.1" and do_stress),
+        "criteria": ("host_quiet_at_start.status == 'pass' AND sf == "
+                     "'0.1' AND full run (stress + index contract) — "
+                     "a quiet-start full run refreshes BENCH_SEAL.json "
+                     "beside BENCH_DETAIL.json; noisy/smoke/partial "
+                     "runs leave the committed seal baseline intact"),
+    }
+    artifact = {"sf": sf, "headline_total_sec": total, "queries": times,
+                "seal_sidecar": seal_sidecar,
+                # the seal-vs-published headline series (r14 verdict
+                # blemish 1) — carried like the other history constants
+                "headline_series": SEAL_VS_PUBLISHED_HISTORY,
+                # which committed file served as this run's drift
+                # baseline (r15: BENCH_SEAL.json preferred)
+                "drift_baseline": {
+                    "file": drift_baseline_source,
+                    "sf": prev_detail.get("sf"),
+                    "headline_total_sec":
+                        prev_detail.get("headline_total_sec"),
+                    **({"error": prev_detail_error}
+                       if prev_detail_error else {}),
+                },
+                **detail}
     # full-fidelity committed artifact (survives any stdout truncation)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump({"sf": sf, "headline_total_sec": total, "queries": times,
-                   **detail}, f, indent=2, sort_keys=False)
+    with open(os.path.join(_repo_dir, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(artifact, f, indent=2, sort_keys=False)
+    if seal_sidecar["written"]:
+        with open(os.path.join(_repo_dir, "BENCH_SEAL.json"), "w") as f:
+            json.dump(artifact, f, indent=2, sort_keys=False)
     # detail first (own line), compact driver-parsed headline LAST —
     # the driver's tail capture truncates from the front, so the final
     # line survives intact (round-3 lesson: BENCH_r03 "parsed": null).

@@ -82,13 +82,16 @@ def find_bands(order: list[str], ratios: dict[str, float],
 
 
 def attribute(prev: dict, now: dict, threshold: float = 1.5,
-              min_band: int = 3) -> dict:
+              min_band: int = 3, baseline_source: str | None = None) -> dict:
     """The full attribution: counter diff + ratio table + band scan.
     Returns a JSON-able dict (the printable report is rendered from
-    it so tests assert on structure, not formatting)."""
+    it so tests assert on structure, not formatting). baseline_source
+    names the file `prev` was loaded from (r15: the loader prefers the
+    BENCH_SEAL.json quiet-seal sidecar) for the provenance string."""
     diff = compute_plan_counter_diff(prev, now.get("plan_counters") or {},
                                      now.get("sf"),
-                                     diagnostics=now.get("diagnostics"))
+                                     diagnostics=now.get("diagnostics"),
+                                     baseline_source=baseline_source)
     prev_t, now_t = all_times(prev), all_times(now)
     # no ratios across scales: cross-sf seconds are not comparable and
     # a consumer reading the dict (not the early-returning CLI) must

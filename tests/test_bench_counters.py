@@ -361,9 +361,12 @@ def test_committed_artifact_carries_r15_evidence_fields():
         expect = ("pass" if hq["loadavg_1min"] < hq["threshold"]
                   else "warn")
         assert hq["status"] == expect
-    # a committed SEAL must be a quiet-host seal — the gate's whole
-    # point (a warn artifact is re-drawn, not committed)
-    assert hq["status"] in ("pass", "unknown")
+    # NOTE (r15, sidecar change): the quiet-host REQUIREMENT lives on
+    # BENCH_SEAL.json now (test_committed_seal_sidecar_is_quiet below)
+    # — BENCH_DETAIL.json may legitimately carry status 'warn' after
+    # the driver's round-end rerun overwrites it on a loaded host;
+    # requiring pass here would make the suite start red every round
+    # whose driver window was noisy, through no code's fault.
 
     rsn = d["baseline"]["reference_single_node"]
     hist = rsn["early_suite_pair_history"]
@@ -387,6 +390,139 @@ def test_committed_artifact_carries_r15_evidence_fields():
             if m in rec:
                 assert f"{m}_tie_aware" in rec, (key, m)
                 assert rec[f"{m}_tie_aware"] >= rec[m], (key, m)
+
+
+def _write_json(path, obj):
+    import json
+    path.write_text(json.dumps(obj))
+
+
+def test_load_drift_baseline_prefers_seal_sidecar(tmp_path):
+    """r15 mechanization: with both files present the quiet-seal
+    sidecar wins — the driver's round-end rerun overwrites
+    BENCH_DETAIL.json with a potentially noisy window, and the r15
+    session measured exactly that (drift baseline at HEAD was the r14
+    driver's 18.38s run, not the 13.12s committed seal)."""
+    from bench import load_drift_baseline
+
+    _write_json(tmp_path / "BENCH_SEAL.json",
+                {"sf": "0.1", "headline_total_sec": 13.1})
+    _write_json(tmp_path / "BENCH_DETAIL.json",
+                {"sf": "0.1", "headline_total_sec": 18.4})
+    d, src, err = load_drift_baseline(str(tmp_path))
+    assert src == "BENCH_SEAL.json"
+    assert d["headline_total_sec"] == 13.1
+    assert err is None
+
+
+def test_load_drift_baseline_falls_back_to_detail(tmp_path):
+    from bench import load_drift_baseline
+
+    _write_json(tmp_path / "BENCH_DETAIL.json",
+                {"sf": "0.1", "headline_total_sec": 18.4})
+    d, src, err = load_drift_baseline(str(tmp_path))
+    assert src == "BENCH_DETAIL.json"
+    assert d["headline_total_sec"] == 18.4
+    assert err is None
+
+
+def test_load_drift_baseline_corrupt_seal_discloses_and_falls_back(tmp_path):
+    """ADVICE-r11 rule applied to the fallback chain: a seal sidecar
+    that EXISTS but does not parse is disclosed in the error string
+    even when the detail artifact supplies a usable baseline."""
+    from bench import compute_plan_counter_diff, load_drift_baseline
+
+    (tmp_path / "BENCH_SEAL.json").write_text("{truncated")
+    _write_json(tmp_path / "BENCH_DETAIL.json",
+                {"sf": "0.1", "headline_total_sec": 18.4,
+                 "plan_counters": {"a": dict(C1)}})
+    d, src, err = load_drift_baseline(str(tmp_path))
+    assert src == "BENCH_DETAIL.json"
+    assert d["headline_total_sec"] == 18.4
+    assert err and "BENCH_SEAL.json" in err and "JSONDecodeError" in err
+    # ...and the diff's baseline block carries the disclosure
+    diff = compute_plan_counter_diff(d, {"a": dict(C1)}, "0.1",
+                                     baseline_error=err,
+                                     baseline_source=src)
+    assert diff["baseline"]["preferred_baseline_error"] == err
+    assert "BENCH_DETAIL.json" in diff["baseline"]["source"]
+
+
+def test_load_drift_baseline_no_files_is_benign_first_run(tmp_path):
+    from bench import load_drift_baseline
+
+    d, src, err = load_drift_baseline(str(tmp_path))
+    assert d == {} and src is None and err is None
+
+
+def test_seal_vs_published_history_is_internally_consistent():
+    """The committed seal-vs-published series (r14 verdict blemish 1):
+    every entry carries both readings as positive floats, and the
+    r12-r14 rounds the verdict quoted are present."""
+    from bench import SEAL_VS_PUBLISHED_HISTORY as H
+
+    assert {"r12", "r13", "r14"} <= set(H["series"])
+    for rnd, e in H["series"].items():
+        assert {"seal", "published"} <= set(e), rnd
+        for v in e.values():
+            assert v is None or (isinstance(v, float) and v > 0), (rnd, e)
+
+
+def test_committed_seal_sidecar_is_quiet():
+    """The quiet-host REQUIREMENT, moved here from the BENCH_DETAIL
+    check: BENCH_SEAL.json is only ever written by a quiet-start full
+    sf0.1 run, so a committed sidecar that is noisy/partial means the
+    eligibility gate broke. SKIPS until the first post-sidecar seal
+    exists."""
+    import json
+    import os
+
+    import pytest
+
+    from bench import SEAL_VS_PUBLISHED_HISTORY
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SEAL.json")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_SEAL.json yet — first post-r15 seal "
+                    "writes it")
+    d = json.load(open(path))
+    assert d["sf"] == "0.1"
+    assert d["host_quiet_at_start"]["status"] == "pass"
+    assert d["seal_sidecar"]["written"] is True
+    assert d.get("plan_counters"), "sidecar must be a full run"
+    assert d.get("index_contract"), "sidecar must include the contract"
+    assert d["headline_series"] == SEAL_VS_PUBLISHED_HISTORY
+
+
+def test_committed_artifact_carries_seal_baseline_fields():
+    """BENCH_DETAIL.json (post-sidecar seals) must name which file
+    served as its drift baseline and carry the headline series +
+    sidecar decision. SKIPS when the artifact predates the r15 sidecar
+    fields."""
+    import json
+    import os
+
+    import pytest
+
+    from bench import SEAL_VS_PUBLISHED_HISTORY
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json")
+    d = json.load(open(path))
+    if "seal_sidecar" not in d:
+        pytest.skip("BENCH_DETAIL.json predates the seal-sidecar "
+                    "fields — reseal with a full bench run")
+    assert isinstance(d["seal_sidecar"]["written"], bool)
+    assert "criteria" in d["seal_sidecar"]
+    assert d["headline_series"] == SEAL_VS_PUBLISHED_HISTORY
+    db = d["drift_baseline"]
+    assert db["file"] in (None, "BENCH_SEAL.json", "BENCH_DETAIL.json")
+    # when a baseline existed its headline rides along for the reader
+    if db["file"] is not None:
+        assert "headline_total_sec" in db
 
 
 def test_identical_runs_report_all_unchanged():
