@@ -396,8 +396,12 @@ EARLY_SUITE_PAIR_HISTORY = {
         "r14_seal": 4.30,
         "r14_driver_rerun": 4.63,
         "r14_discarded_draw": 5.17,
+        # the r15 quiet-host seal draw D (the round's first committed
+        # seal, superseded intra-round by the baseline-mechanization
+        # re-seal whose own live pair sits beside this series)
+        "r15_first_seal_draw": 3.82,
     },
-    "reading": ("cold bracket ~4.3-5.2x vs the single-thread reference "
+    "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
                 "scan); the equal-warmth binding median-of-pairs reads "
                 "0.42-0.68 across the same rounds — the two series "
