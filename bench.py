@@ -211,14 +211,25 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
 
     src = baseline_source or "BENCH_DETAIL.json"
     if not (prev_counters and prev_sf == sf):
-        if baseline_error and not prev_counters:
+        if baseline_error and not prev_detail:
+            # NOTHING parsed: the error string itself names which
+            # committed file(s) failed — do not attribute the parse
+            # failure to `src`, which is None/default here (r15 review:
+            # the old wording blamed the fallback file for the
+            # preferred file's corruption)
             skipped = (f"baseline artifact unreadable ({baseline_error}) — "
-                       f"the committed previous-round {src} "
-                       "exists but did not parse; this round has NO drift "
-                       "attribution and the corrupt baseline needs "
-                       "investigation (ADVICE r11)")
+                       "a committed baseline file exists but did not "
+                       "parse; this round has NO drift attribution and "
+                       "the corrupt baseline needs investigation "
+                       "(ADVICE r11)")
         elif not prev_counters:
             skipped = "no previous artifact"
+            if baseline_error:
+                # a parseable fallback without counters, behind a
+                # corrupt preferred file — both facts disclosed
+                skipped += (f" with plan counters ({src} parsed but has "
+                            f"none; preferred-baseline error: "
+                            f"{baseline_error})")
         else:
             skipped = (f"baseline sf {prev_sf!r} != this run's {sf!r} — "
                        "counters only comparable at equal scale")
@@ -436,8 +447,8 @@ SEAL_VS_PUBLISHED_HISTORY = {
 }
 
 
-def load_drift_baseline(repo_dir: str) -> tuple[dict, str | None,
-                                                str | None]:
+def load_drift_baseline(repo_dir: str, sf: str | None = None
+                        ) -> tuple[dict, str | None, str | None]:
     """Previous-round artifact serving as the drift/plan-counter
     baseline: prefer ``BENCH_SEAL.json`` (written only by full
     quiet-start sf0.1 runs — see the seal_sidecar block in main) over
@@ -448,6 +459,14 @@ def load_drift_baseline(repo_dir: str) -> tuple[dict, str | None,
     against the noisy window — harmless that round (0/74 counters
     moved either way) but the wrong default forever.
 
+    When ``sf`` is given, a parseable candidate whose recorded sf
+    mismatches is passed over if a LATER candidate matches — otherwise
+    a committed sf0.1 seal would permanently eclipse a matching-sf
+    BENCH_DETAIL.json for runs at other scales, losing their
+    run-over-run diff (r15 review). If no candidate matches, the first
+    parseable one is returned so the diff reports the sf mismatch
+    explicitly, exactly as before.
+
     Returns ``(prev_detail, source_filename, error)``. A file that
     EXISTS but does not parse is a baseline-integrity failure to
     disclose (ADVICE r11), never a benign first run: a corrupt seal
@@ -456,18 +475,54 @@ def load_drift_baseline(repo_dir: str) -> tuple[dict, str | None,
     fallback parses, or in ``skipped`` when nothing does).
     """
     error: str | None = None
+    first: tuple[dict, str] | None = None
     for name in ("BENCH_SEAL.json", "BENCH_DETAIL.json"):
         path = os.path.join(repo_dir, name)
         try:
             with open(path) as f:
-                return json.load(f), name, error
+                detail = json.load(f)
         except FileNotFoundError:
             continue
         except Exception as exc:  # noqa: BLE001 — disclose, keep going
             msg = f"{name}: {type(exc).__name__}: {exc}"
             error = f"{error}; {msg}" if error else msg
             continue
+        if sf is None or detail.get("sf") == sf:
+            return detail, name, error
+        if first is None:
+            first = (detail, name)
+    if first is not None:
+        return first[0], first[1], error
     return {}, None, error
+
+
+def seal_sidecar_block(quiet_status: str, sf: str, full_run: bool,
+                       bands) -> dict:
+    """Eligibility decision for refreshing the BENCH_SEAL.json
+    quiet-seal sidecar, computed BEFORE the artifact is dumped so both
+    files carry the identical content including the decision itself.
+    The band condition (r15 review) covers the window the ambient
+    sentinel cannot see: a run that STARTS quiet but suffers mid-suite
+    contention shows up as contiguous counter-identical bands in its
+    own drift block — exactly the evidence the seal protocol's manual
+    discard rule reads — so a banded run must not become the preferred
+    baseline. No-baseline/no-evidence runs (bands absent or None, e.g.
+    first run or drift error) pass: a first run must be able to seed
+    the sidecar."""
+    return {
+        "written": (quiet_status == "pass" and sf == "0.1"
+                    and bool(full_run) and not bands),
+        "criteria": ("host_quiet_at_start.status == 'pass' AND sf == "
+                     "'0.1' AND full run (stress + index contract) AND "
+                     "the run's own drift block found no contiguous "
+                     "contention bands (bands are counter-identical by "
+                     "construction, so a banded run suffered a mid-"
+                     "suite host window the ambient sentinel cannot "
+                     "see; no-baseline/no-evidence runs pass) — "
+                     "eligible runs refresh BENCH_SEAL.json beside "
+                     "BENCH_DETAIL.json; noisy/banded/smoke/partial "
+                     "runs leave the committed seal baseline intact"),
+    }
 
 
 HEADLINE = [
@@ -1046,7 +1101,7 @@ def main() -> int:
     # BENCH_DETAIL.json — see load_drift_baseline's docstring.
     _repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev_detail, drift_baseline_source, prev_detail_error = \
-        load_drift_baseline(_repo_dir)
+        load_drift_baseline(_repo_dir, sf=sf)
     print(f"  drift baseline: {drift_baseline_source} "
           f"(headline={prev_detail.get('headline_total_sec')}, "
           f"error={prev_detail_error})", file=sys.stderr)
@@ -1369,7 +1424,8 @@ def main() -> int:
                      "diagnostics": diagnostics}
         drift_attribution = _ad.attribute(
             prev_detail, _now_view,
-            baseline_source=drift_baseline_source)
+            baseline_source=drift_baseline_source,
+            baseline_error=prev_detail_error)
     except Exception as e:  # diagnostic block — never fails the seal
         drift_attribution = {"error": f"{type(e).__name__}: {e}"}
     _over = drift_attribution.get("ratios_over_threshold") or {}
@@ -1763,15 +1819,9 @@ def main() -> int:
     # reads seal-vs-seal even after BENCH_DETAIL.json is overwritten.
     # Eligibility is computed BEFORE dumping so both files carry the
     # identical content including the decision itself.
-    seal_sidecar = {
-        "written": (host_quiet_at_start["status"] == "pass"
-                    and sf == "0.1" and do_stress),
-        "criteria": ("host_quiet_at_start.status == 'pass' AND sf == "
-                     "'0.1' AND full run (stress + index contract) — "
-                     "a quiet-start full run refreshes BENCH_SEAL.json "
-                     "beside BENCH_DETAIL.json; noisy/smoke/partial "
-                     "runs leave the committed seal baseline intact"),
-    }
+    seal_sidecar = seal_sidecar_block(
+        host_quiet_at_start["status"], sf, do_stress,
+        drift_attribution.get("bands"))
     artifact = {"sf": sf, "headline_total_sec": total, "queries": times,
                 "seal_sidecar": seal_sidecar,
                 # the seal-vs-published headline series (r14 verdict

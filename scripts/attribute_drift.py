@@ -82,16 +82,22 @@ def find_bands(order: list[str], ratios: dict[str, float],
 
 
 def attribute(prev: dict, now: dict, threshold: float = 1.5,
-              min_band: int = 3, baseline_source: str | None = None) -> dict:
+              min_band: int = 3, baseline_source: str | None = None,
+              baseline_error: str | None = None) -> dict:
     """The full attribution: counter diff + ratio table + band scan.
     Returns a JSON-able dict (the printable report is rendered from
     it so tests assert on structure, not formatting). baseline_source
     names the file `prev` was loaded from (r15: the loader prefers the
-    BENCH_SEAL.json quiet-seal sidecar) for the provenance string."""
+    BENCH_SEAL.json quiet-seal sidecar) for the provenance string;
+    baseline_error carries the loader's parse-failure disclosure so
+    the embedded diff applies the ADVICE-r11 rule (a corrupt committed
+    baseline must not read as a benign first run) exactly like the
+    top-level plan_counter_diff does."""
     diff = compute_plan_counter_diff(prev, now.get("plan_counters") or {},
                                      now.get("sf"),
                                      diagnostics=now.get("diagnostics"),
-                                     baseline_source=baseline_source)
+                                     baseline_source=baseline_source,
+                                     baseline_error=baseline_error)
     prev_t, now_t = all_times(prev), all_times(now)
     # no ratios across scales: cross-sf seconds are not comparable and
     # a consumer reading the dict (not the early-returning CLI) must
@@ -174,6 +180,10 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
     return {
         "comparable": comparable,
         "skipped": diff.get("skipped"),
+        # provenance passthrough (r15 review): which committed file the
+        # ratios read against, plus the loader's preferred_baseline_error
+        # disclosure when the preferred file was corrupt
+        "baseline": diff.get("baseline"),
         "counters_changed": sorted(changed),
         "unattributable": sorted(unattributable),
         "n_ratios": len(ratios),
@@ -196,10 +206,14 @@ def main() -> int:
         prev = json.load(f)
     with open(args.now) as f:
         now = json.load(f)
-    rep = attribute(prev, now, args.threshold, args.min_band)
+    rep = attribute(prev, now, args.threshold, args.min_band,
+                    baseline_source=os.path.basename(args.prev))
     if not rep["comparable"]:
         print(f"not comparable: {rep['skipped']}")
         return 0
+    base = rep.get("baseline") or {}
+    print(f"baseline: {base.get('source')} "
+          f"(headline {base.get('headline_total_sec')}s)")
     print(f"counters_changed (real plan/data moves to bisect): "
           f"{rep['counters_changed'] or 'none'}")
     if rep["unattributable"]:

@@ -287,28 +287,46 @@ def test_committed_artifact_carries_r14_evidence_fields():
     # ADVICE r14: tie the LIVE index-contract points to the static
     # block's claimed ordering — the static evidence says sf scale is
     # below the crossover and the 10x/20x design points above it; if a
-    # live seal ever contradicts that (live sf_scale crossing 1.0, or
+    # live SEAL ever contradicts that (live sf_scale crossing 1.0, or
     # live stress dropping below it), the seal must fail so the static
-    # block is re-derived rather than silently contradicted.
-    live_sf = ic.get("sf_scale") or {}
-    if live_sf.get("probe_speedup") is not None:
-        assert live_sf["probe_speedup"] < 1.0, (
-            "live sf_scale probe_speedup crossed 1.0 — re-derive the "
-            "CROSSOVER_LOCALIZATION block (scripts/"
-            "locate_index_crossover.py)")
-    for key in ("stress_x10", "stress_x20"):
-        live = ic.get(key) or {}
-        if live.get("probe_speedup") is not None:
-            assert live["probe_speedup"] > 1.0, (
-                f"live {key} probe_speedup fell below 1.0 — the sealed "
-                "crossover claim no longer holds; re-derive the block")
+    # block is re-derived rather than silently contradicted. Gated to
+    # seal artifacts only (r15 review): BENCH_DETAIL.json may be a
+    # driver rerun from a loaded host whose sub-second probe timings
+    # straddle 1.0 — that is host noise on a non-seal artifact, not a
+    # contradiction of the sealed claim (the same rationale that moved
+    # the quiet-host requirement to the sidecar); the sidecar test
+    # applies these same asserts unconditionally. Artifacts that
+    # predate the sidecar field are builder seals by protocol.
+    if d.get("seal_sidecar", {"written": True})["written"]:
+        live_sf = ic.get("sf_scale") or {}
+        if live_sf.get("probe_speedup") is not None:
+            assert live_sf["probe_speedup"] < 1.0, (
+                "live sf_scale probe_speedup crossed 1.0 — re-derive "
+                "the CROSSOVER_LOCALIZATION block (scripts/"
+                "locate_index_crossover.py)")
+        for key in ("stress_x10", "stress_x20"):
+            live = ic.get(key) or {}
+            if live.get("probe_speedup") is not None:
+                assert live["probe_speedup"] > 1.0, (
+                    f"live {key} probe_speedup fell below 1.0 — the "
+                    "sealed crossover claim no longer holds; re-derive "
+                    "the block")
 
     rsn = d["baseline"]["reference_single_node"]
     esp = rsn["early_suite_pair"]
-    assert {"suite_position", "spark_sec", "ref_sec",
-            "ratio"} <= set(esp)
-    assert (abs(esp["ratio"] - esp["spark_sec"] / esp["ref_sec"])
-            < 0.05 * max(1.0, esp["ratio"]))
+    # the pair is a guarded diagnostic (ADVICE r14): an exception
+    # records {'error': ...} and a zero ref timing records ratio=None —
+    # both are disclosed shapes, not integrity failures (r15 review:
+    # the old asserts crashed with TypeError/ZeroDivisionError on
+    # exactly the shapes the guard deliberately produces)
+    if "error" not in esp:
+        assert {"suite_position", "spark_sec", "ref_sec",
+                "ratio"} <= set(esp)
+        if esp["ratio"] is not None and esp["ref_sec"]:
+            assert (abs(esp["ratio"] - esp["spark_sec"] / esp["ref_sec"])
+                    < 0.05 * max(1.0, esp["ratio"]))
+        else:
+            assert esp["ratio"] is None and not esp["ref_sec"]
     assert "suite_position" in rsn["paired_interleaved"]
 
     da = d.get("drift_attribution") or {}
@@ -370,7 +388,11 @@ def test_committed_artifact_carries_r15_evidence_fields():
 
     rsn = d["baseline"]["reference_single_node"]
     hist = rsn["early_suite_pair_history"]
-    assert hist == EARLY_SUITE_PAIR_HISTORY
+    # subset-compatibility, not byte-equality (r15 review): the
+    # constant grows by one entry per sealed round, and the committed
+    # artifact necessarily predates any append made after its seal
+    for k, v in hist["series"].items():
+        assert EARLY_SUITE_PAIR_HISTORY["series"].get(k) == v, k
     assert {"r14_seal", "r14_driver_rerun",
             "r14_discarded_draw"} <= set(hist["series"])
     assert all(isinstance(v, float) and v > 0
@@ -448,6 +470,91 @@ def test_load_drift_baseline_corrupt_seal_discloses_and_falls_back(tmp_path):
     assert "BENCH_DETAIL.json" in diff["baseline"]["source"]
 
 
+def test_load_drift_baseline_sf_aware_fallback(tmp_path):
+    """r15 review: a committed sf0.1 seal must not eclipse a
+    matching-sf BENCH_DETAIL.json for runs at other scales — the
+    loader passes over a parseable sf-mismatched candidate when a
+    later candidate matches, else returns the first parseable one so
+    the diff reports the mismatch explicitly."""
+    from bench import load_drift_baseline
+
+    _write_json(tmp_path / "BENCH_SEAL.json",
+                {"sf": "0.1", "headline_total_sec": 13.5})
+    _write_json(tmp_path / "BENCH_DETAIL.json",
+                {"sf": "0.05", "headline_total_sec": 6.2})
+    # run at sf0.05: the detail artifact matches, the seal does not
+    d, src, err = load_drift_baseline(str(tmp_path), sf="0.05")
+    assert src == "BENCH_DETAIL.json" and d["sf"] == "0.05"
+    # run at sf0.1: the seal matches and wins
+    d, src, _ = load_drift_baseline(str(tmp_path), sf="0.1")
+    assert src == "BENCH_SEAL.json" and d["sf"] == "0.1"
+    # run at a scale NEITHER matches: first parseable returned so the
+    # diff's sf-mismatch skip names the right baseline
+    d, src, _ = load_drift_baseline(str(tmp_path), sf="0.01")
+    assert src == "BENCH_SEAL.json" and d["sf"] == "0.1"
+    # no sf requested: preference order unchanged
+    d, src, _ = load_drift_baseline(str(tmp_path))
+    assert src == "BENCH_SEAL.json"
+
+
+def test_attribute_discloses_corrupt_baseline(tmp_path):
+    """r15 review: the embedded drift block must apply the ADVICE-r11
+    rule like the top-level diff — a corrupt committed baseline is not
+    a benign first run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "attribute_drift",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "attribute_drift.py"))
+    ad = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ad)
+
+    now = {"sf": "0.1", "queries": {"a": 1.0},
+           "plan_counters": {"a": dict(C1)}}
+    rep = ad.attribute({}, now,
+                       baseline_error="BENCH_SEAL.json: JSONDecodeError: x")
+    assert not rep["comparable"]
+    assert "unreadable" in rep["skipped"]
+    assert "BENCH_SEAL.json" in rep["skipped"]
+    # without the error the same shape is a benign first run
+    rep2 = ad.attribute({}, now)
+    assert rep2["skipped"] == "no previous artifact"
+
+
+def test_skipped_message_blames_the_corrupt_file_not_the_fallback():
+    """r15 review: seal corrupt + detail parsed-but-counterless must
+    not claim the DETAIL file 'did not parse' — both facts disclosed,
+    each attributed to the right file."""
+    d = compute_plan_counter_diff(
+        {"sf": "0.1", "headline_total_sec": 18.4}, {"a": dict(C1)}, "0.1",
+        baseline_error="BENCH_SEAL.json: JSONDecodeError: x",
+        baseline_source="BENCH_DETAIL.json")
+    s = d["skipped"]
+    assert "no previous artifact with plan counters" in s
+    assert "BENCH_DETAIL.json parsed" in s
+    assert "BENCH_SEAL.json: JSONDecodeError" in s
+    assert "did not parse" not in s.split("(")[0]
+
+
+def test_seal_sidecar_block_regimes():
+    """The sidecar eligibility gate across its four axes: quiet start,
+    sf, full run, and the run's own band evidence (r15 review: a
+    quiet-START run with mid-suite contention bands must not become
+    the preferred baseline)."""
+    from bench import seal_sidecar_block as b
+
+    assert b("pass", "0.1", True, [])["written"] is True
+    assert b("pass", "0.1", True, None)["written"] is True  # no evidence
+    assert b("pass", "0.1", True,
+             [{"queries": ["x", "y", "z"]}])["written"] is False
+    assert b("warn", "0.1", True, [])["written"] is False
+    assert b("pass", "0.01", True, [])["written"] is False
+    assert b("pass", "0.1", False, [])["written"] is False
+    assert b("unknown", "0.1", True, [])["written"] is False
+
+
 def test_load_drift_baseline_no_files_is_benign_first_run(tmp_path):
     from bench import load_drift_baseline
 
@@ -493,7 +600,22 @@ def test_committed_seal_sidecar_is_quiet():
     assert d["seal_sidecar"]["written"] is True
     assert d.get("plan_counters"), "sidecar must be a full run"
     assert d.get("index_contract"), "sidecar must include the contract"
-    assert d["headline_series"] == SEAL_VS_PUBLISHED_HISTORY
+    # compatibility-subset, NOT byte-equality (r15 review): the
+    # constant's own comment instructs appending an entry when a
+    # round's driver number lands, but only a quiet-start full run can
+    # refresh the sidecar — byte-equality would brick the suite until
+    # the host happens to be quiet. Every round the sidecar DOES carry
+    # must match the constant exactly; the constant may have grown.
+    sealed_series = d["headline_series"]["series"]
+    for rnd, entry in sealed_series.items():
+        assert entry == SEAL_VS_PUBLISHED_HISTORY["series"].get(rnd), rnd
+    # the live-vs-static crossover ordering (ADVICE r14) applies to the
+    # SEAL unconditionally — this artifact is by definition a quiet
+    # full run, so a contradiction here is real, not driver noise
+    ic = d["index_contract"]
+    assert ic["sf_scale"]["probe_speedup"] < 1.0
+    assert ic["stress_x10"]["probe_speedup"] > 1.0
+    assert ic["stress_x20"]["probe_speedup"] > 1.0
 
 
 def test_committed_artifact_carries_seal_baseline_fields():
@@ -517,7 +639,10 @@ def test_committed_artifact_carries_seal_baseline_fields():
                     "fields — reseal with a full bench run")
     assert isinstance(d["seal_sidecar"]["written"], bool)
     assert "criteria" in d["seal_sidecar"]
-    assert d["headline_series"] == SEAL_VS_PUBLISHED_HISTORY
+    # subset-compatibility, same rationale as the sidecar test: the
+    # constant may gain rounds after this artifact was written
+    for rnd, entry in d["headline_series"]["series"].items():
+        assert entry == SEAL_VS_PUBLISHED_HISTORY["series"].get(rnd), rnd
     db = d["drift_baseline"]
     assert db["file"] in (None, "BENCH_SEAL.json", "BENCH_DETAIL.json")
     # when a baseline existed its headline rides along for the reader
