@@ -4024,18 +4024,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         their oracle-checked exact twins riding along (rule 4a):
     #         dedup_minhash (twin minhash_sigs),
     #         approx_value_percentiles (twin value_percentiles).
-    # 30-50:  21 more r13-green window queries rotating back in (rule 1
-    #         — taking 21 now leaves 25 to lead r16), in ledger order:
-    #         cohort_retention .. scrub_pii.
-    # (No rule-2 pins this round: the r15 diffs touch bench.py — the
-    # host_quiet_at_start seal gate, early_suite_pair_history, the
+    # 30-47:  18 more r13-green window queries rotating back in (rule
+    #         1), in ledger order: cohort_retention .. doc_fingerprints.
+    # 48-50:  rule-2 pins, added LATE in r15 when a streaming-module
+    #         review pass fixed real bugs on these queries' execution
+    #         paths (NULL-ts session-state corruption, fixed-sink-name
+    #         collision, sink-view snapshot semantics):
+    #         dedup_exact_stream, sessionize_stream,
+    #         events_hourly_stream (all r14-green; enrich_stream, whose
+    #         runner also changed, was already in-window at slot 11).
+    #         They displaced the last three r13-green fills
+    #         (sessionize, salted_event_totals, scrub_pii), which move
+    #         to the head of the tail and lead r16 — their newest
+    #         external row stays r13, so the <=3-round cadence claim is
+    #         unchanged.
+    # (The rest of the r15 diffs touch bench.py — the
+    # host_quiet_at_start seal gate, the BENCH_SEAL.json sidecar +
+    # sf-aware drift-baseline loader, early_suite_pair_history, the
     # early-pair try/except guard and the tie-aware recall column in
     # the sealed crossover block — plus scripts/ and tests/ (incl. the
-    # new fixed-matrix PCA eigen-oracle, test-only); no registry
-    # query's execution path changes. This registry reordering itself
+    # new fixed-matrix PCA eigen-oracle, test-only); no other registry
+    # query's execution path changes. Registry reordering itself
     # changes no query code.)
-    # Tail 51-75: the 25 remaining r13-green — LEAD the r16 window
-    #         (listed first in the tail, in ledger order:
+    # Tail 51-78: the 28 r13-green — LEAD the r16 window (listed first
+    #         in the tail: sessionize, salted_event_totals, scrub_pii
+    #         (displaced rule-2 fills), then ledger order
     #         click_purchase_interval .. dedup_keep_rows). No rule-4
     #         residents among them.
     # Tail 76-125: the 50 r14-green window queries rotating out (rule 3
@@ -4096,10 +4109,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "quality_score": q_quality_score,
     "doc_fingerprints": q_doc_fingerprints,
+    # 48-50: rule-2 pins (late-r15 streaming review fixes — the NULL-ts
+    # filter in sessionize_stream, the per-call sink name + snapshot in
+    # the windowed-counts runner, and the sink snapshot in the dedup
+    # runner changed these queries' execution paths, so they re-verify
+    # in-window; enrich_stream, whose runner also changed, was already
+    # in-window at slot 11). The three r13-green fills they displace
+    # (sessionize, salted_event_totals, scrub_pii) move to the head of
+    # the tail and lead r16 with the other r13-green — cadence intact:
+    # after r15 no query's newest external row is older than r13.
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    # --- 51-75 (now 28 rows): r13-green remainder — LEAD the r16
+    # window (rule 1), displaced rule-2 fills first
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
-    # --- 51-75: r13-green remainder — LEAD the r16 window (rule 1)
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -4131,12 +4157,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
-    "dedup_exact_stream": q_dedup_exact_stream,
     "fuzzy_match_customers": q_fuzzy_match_customers,
     "fuzzy_match_d2": q_fuzzy_match_d2,
     "entity_clusters": q_entity_clusters,
-    "sessionize_stream": q_sessionize_stream,
-    "events_hourly_stream": q_events_hourly_stream,
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_near_keep": q_dedup_near_keep,

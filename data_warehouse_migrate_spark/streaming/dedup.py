@@ -110,4 +110,10 @@ def run_dedup_exact_stream(spark: SparkSession, source_path: str,
     q = (deduped.writeStream.format("memory").queryName(sink)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(sink)
+    # snapshot + drop the sink view: returning spark.table(sink) leaked
+    # one full result copy in driver memory per invocation (r15 review)
+    from data_warehouse_migrate_spark.streaming.windows import (
+        snapshot_memory_sink,
+    )
+
+    return snapshot_memory_sink(spark, sink)

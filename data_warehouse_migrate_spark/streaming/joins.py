@@ -83,14 +83,21 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
 
 def run_enrich_stream(spark, source_path: str, dim: DataFrame,
                       on: list[str], select_cols: list[str] | None = None,
-                      how: str = "left") -> DataFrame:
+                      how: str = "left",
+                      ts_cols: list[str] | None = None) -> DataFrame:
     """Execute ``enrich_stream`` end-to-end over a parquet file source
     (availableNow trigger, memory sink — the real streaming engine) and
     return the enriched rows as a batch DataFrame.
 
     Stateless stream-static join: no watermark, no timers — the query
     terminates on its own when the source drains, and the result equals
-    the batch join, which is what the SQL oracle checks."""
+    the batch join, which is what the SQL oracle checks.
+
+    ``ts_cols`` names the event-time column(s) to normalize from
+    nanos-as-long parquet (default ``["ts"]`` — previously hardcoded,
+    r15 review: a source whose event time is named anything else flowed
+    through as raw nanos longs while every sibling runner returned
+    timestamps)."""
     import uuid
 
     from data_warehouse_migrate_spark.sources.readers import (
@@ -101,7 +108,8 @@ def run_enrich_stream(spark, source_path: str, dim: DataFrame,
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = normalize_nano_timestamps(open_file_stream(spark, source_path),
-                                       ["ts"])
+                                       ts_cols if ts_cols is not None
+                                       else ["ts"])
     out = enrich_stream(stream, dim, on, how)
     if select_cols:
         out = out.select(*select_cols)
@@ -109,4 +117,10 @@ def run_enrich_stream(spark, source_path: str, dim: DataFrame,
     q = (out.writeStream.format("memory").queryName(sink)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(sink)
+    # snapshot + drop the sink view: returning spark.table(sink) leaked
+    # one full result copy in driver memory per invocation (r15 review)
+    from data_warehouse_migrate_spark.streaming.windows import (
+        snapshot_memory_sink,
+    )
+
+    return snapshot_memory_sink(spark, sink)

@@ -245,6 +245,11 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         if not ts_parts:
             return
         ts = ts_parts[0] if len(ts_parts) == 1 else pd.concat(ts_parts)
+        # belt-and-braces twin of the pre-exchange isNotNull filter: a
+        # NaT that slipped through converts to int64 min below, not NaN
+        ts = ts.dropna()
+        if ts.empty:
+            return
         # normalize to ns first — Arrow may deliver datetime64[us], whose
         # int64 view is µs, silently breaking the //1000 below
         micros = np.sort(
@@ -266,10 +271,34 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
     # narrow BEFORE the stateful exchange: the operator reads only
     # (user, ts), so any other event column would ride the shuffle and
     # the Arrow->Python transfer for nothing — at 100 TB that's the
-    # difference between shuffling two columns and shuffling the table
-    return (events.select(user_col, ts_col).groupBy(user_col)
+    # difference between shuffling two columns and shuffling the table.
+    # NULL-timestamp events are dropped here (a NULL event time belongs
+    # to no session — the package's standing temporal-NULL contract):
+    # inside the stateful fn a NaT converts to the int64-min sentinel
+    # and would enter state as an epoch ~-292,000-years "event", then
+    # raise OutOfBoundsDatetime when the garbage session is emitted
+    # (r15 review); the filter also reaches the scan as a pushed
+    # IsNotNull on NULL-free sources, costing nothing.
+    return (events.select(user_col, ts_col)
+            .filter(F.col(ts_col).isNotNull()).groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def snapshot_memory_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Materialize a memory-sink temp view into a local-relation
+    DataFrame and DROP the view (r15 review). ``spark.table(sink)`` is
+    lazy, so returning it directly (the runners' old shape) (a) pinned
+    every invocation's full result set in driver memory for the
+    session's lifetime — the bench drives these runners each round —
+    and (b) was not the snapshot its name promised: anything reusing
+    the view name later silently swaps the data under the returned
+    frame. The memory sink already holds all rows in the driver, so
+    the collect copies bounded data the sink was sized for anyway."""
+    view = spark.table(sink)
+    rows = view.collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, view.schema)
 
 
 def run_sessionize_stream(spark: SparkSession, source_path: str,
@@ -375,12 +404,23 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     t_started = _time.time()
     t_drained = None
+    # recentProgress is a RING BUFFER (default cap 100 entries): a drain
+    # with more micro-batches than the cap would evict early entries and
+    # a plain sum could never reach `expected`, timing out a fully
+    # drained query (r15 review). Accumulating per-batchId across polls
+    # is eviction-proof at the 50ms poll cadence.
+    seen_batch_rows: dict = {}
+
+    def _processed() -> int:
+        for p in (q.recentProgress or []):
+            seen_batch_rows[p["batchId"]] = p["numInputRows"]
+        return sum(seen_batch_rows.values())
+
     try:
         deadline = _time.time() + wait_sec
         processed = 0
         while _time.time() < deadline:
-            processed = sum(p["numInputRows"]
-                            for p in (q.recentProgress or []))
+            processed = _processed()
             if processed >= expected:
                 break
             if q.exception() is not None:  # crashed — don't wait the clock
@@ -401,8 +441,7 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
             # exception instead of misdiagnosing it as a timeout; stale
             # metrics from a previous run are cleared on every failure
             # path.
-            processed = sum(p["numInputRows"]
-                            for p in (q.recentProgress or []))
+            processed = _processed()
             if processed < expected:
                 LAST_STREAM_STATE.clear()
                 failure = q.exception()
@@ -443,7 +482,7 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
             import shutil
 
             shutil.rmtree(ckpt_dir, ignore_errors=True)
-    return spark.table(sink)
+    return snapshot_memory_sink(spark, sink)
 
 
 def _capture_stream_metrics(progress) -> None:
@@ -567,7 +606,14 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
                 F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"))
            .select(F.col("w.start").alias("window_start"), group_col,
                    "n_events", F.col("sum_dec").cast("double").alias("sum_value")))
-    sink = "dwms_stream_windowed_counts"
+    # unique sink per invocation (r15 review): a fixed name collides
+    # across concurrent calls — the second start() fails with "query
+    # with that name is already active" — and silently swaps an earlier
+    # call's result table otherwise (the hazard streaming/dedup.py
+    # documents); every sibling runner already uses a per-call name
+    import uuid as _uuid
+
+    sink = f"dwms_stream_wc_{_uuid.uuid4().hex[:12]}"
     q = (agg.writeStream.format("memory").queryName(sink)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -579,9 +625,7 @@ def run_windowed_counts_stream(spark: SparkSession, source_path: str,
         _capture_stream_metrics(q.recentProgress or [])
     except Exception:  # metrics are best-effort, never fail the query
         LAST_STREAM_STATE.clear()
-    # snapshot the memory sink: the temp view disappears when the next
-    # stream reuses the name
-    return spark.table(sink)
+    return snapshot_memory_sink(spark, sink)
 
 
 def streaming_windowed_counts(spark: SparkSession, source_path: str,
@@ -603,7 +647,20 @@ def streaming_windowed_counts(spark: SparkSession, source_path: str,
     # withWatermark requires TIMESTAMP (LTZ) — parquet timestamp[us]
     # without timezone arrives as TIMESTAMP_NTZ; the session is pinned to
     # UTC so this cast is a constant (zero) offset on event time
-    stream = (spark.readStream.format(fmt).schema(schema).load(source_path)
+    # normalize BEFORE the cast (r15 review): sibling runners pin
+    # spark.sql.legacy.parquet.nanosAsLong session-wide, so the repo's
+    # nanos-timestamp parquet reads ts back as BIGINT — a blind
+    # cast('timestamp') on epoch-nanos longs overflows under ANSI or
+    # silently reads nanos as seconds (the exact bug the dedup module's
+    # comment warns about); normalize_nano_timestamps is a no-op on
+    # schemas whose ts is already a timestamp
+    from data_warehouse_migrate_spark.sources.readers import (
+        normalize_nano_timestamps,
+    )
+
+    stream = (normalize_nano_timestamps(
+                  spark.readStream.format(fmt).schema(schema)
+                  .load(source_path), [ts_col])
               .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
               .withWatermark(ts_col, watermark))
     return (stream

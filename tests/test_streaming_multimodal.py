@@ -510,3 +510,122 @@ def test_capture_stream_metrics_empty_progress_clears():
     W.LAST_STREAM_STATE["stale"] = 1
     W._capture_stream_metrics([])
     assert W.LAST_STREAM_STATE == {}
+
+
+def test_sessionize_stream_drops_null_timestamps(spark, tmp_path):
+    """r15 review: a NULL event time must not enter session state — a
+    NaT converts to the int64-min sentinel inside the stateful fn,
+    building an epoch ~-292,000-years 'session' that crashes with
+    OutOfBoundsDatetime when emitted. NULL-ts events belong to no
+    session (the package's temporal-NULL contract, matching how the
+    batch twin treats them as gap-openers rather than events at the
+    minimum instant)."""
+    from data_warehouse_migrate_spark.streaming.windows import (
+        run_sessionize_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (1, None),                       # must be dropped, not epoch-min
+        (1, "2024-01-01 11:30:00"),      # >30min gap closes the session
+        (2, None), (3, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "null_ts_src")
+    df.write.parquet(src)
+    out = run_sessionize_stream(spark, src, wait_sec=120).collect()
+    sessions = {(r.user_id, str(r.session_start), str(r.session_end),
+                 r.n_events) for r in out}
+    # the ONLY gap-closed session: user 1's first two events; user 1's
+    # 11:30 event and user 3's singleton stay open (no closing gap),
+    # user 2 had only a NULL-ts event and must produce nothing
+    assert sessions == {(1, "2024-01-01 10:00:00",
+                         "2024-01-01 10:10:00", 2)}
+
+
+def test_streaming_windowed_counts_nanos_long_schema(spark, sf_dir,
+                                                     tmp_path):
+    """r15 review: the session pins nanosAsLong, so the repo's own
+    events parquet reads ts back as BIGINT — streaming_windowed_counts
+    must normalize before its timestamp cast instead of interpreting
+    epoch-nanos as seconds (windows ~50,000 years out) or overflowing
+    under ANSI."""
+    import uuid
+
+    # synthesize the nanos-as-long shape explicitly (the driver's own
+    # events.parquet is micros-annotated, which nanosAsLong leaves as a
+    # timestamp): ts as raw epoch-NANOS longs, the exact dtype a
+    # nanos-annotated parquet presents under the session's pinned conf
+    raw = (spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000)
+           .withColumn("ts", (F.unix_micros(F.col("ts").cast("timestamp"))
+                              * F.lit(1000)).cast("long")))
+    assert dict(raw.dtypes)["ts"] == "bigint"
+    src = str(tmp_path / "nanos_src")
+    raw.write.parquet(src)
+    schema = spark.read.parquet(src).schema  # ts: bigint (raw nanos)
+    stream = streaming_windowed_counts(spark, src, schema, "ts", "1 hour",
+                                       "event_type", watermark="2 hours")
+    sink = f"t_nanos_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table(sink)
+    batch = tumbling_window_agg(
+        normalize_nano_timestamps(spark.read.parquet(src), ["ts"]),
+        "ts", "1 hour", ["event_type"], {"*": "count"})
+    # every emitted window matches the batch twin — if nanos were read
+    # as seconds the join keys would be ~50,000 years apart and nothing
+    # would match (append mode may hold back windows inside the
+    # watermark; whatever is emitted must be exact)
+    joined = got.join(batch, ["window_start", "event_type"])
+    assert joined.count() == got.count()
+    assert joined.filter(F.col("n_events") != F.col("count_all")).count() == 0
+    spark.catalog.dropTempView(sink)
+
+
+def test_stream_runner_snapshots_survive_and_views_are_dropped(
+        spark, events, tmp_path):
+    """r15 review: runners must return true snapshots — the old
+    spark.table(sink) return leaked one live view per invocation
+    (driver memory for the session's lifetime) and a later run reusing
+    the name silently swapped the data under the earlier result; the
+    windowed-counts runner used a FIXED name, making the swap certain."""
+    from data_warehouse_migrate_spark.streaming.windows import (
+        run_windowed_counts_stream,
+    )
+
+    src = str(tmp_path / "wc_src")
+    events.limit(500).write.parquet(src)
+    out1 = run_windowed_counts_stream(spark, src)
+    n1 = out1.count()
+    leaked = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("dwms_stream_")]
+    assert leaked == [], f"runner leaked sink views: {leaked}"
+    # a second run must not disturb the first result (old fixed-name
+    # behavior re-pointed out1 at the new run's table)
+    src2 = str(tmp_path / "wc_src2")
+    events.limit(100).write.parquet(src2)
+    out2 = run_windowed_counts_stream(spark, src2)
+    assert out1.count() == n1
+    assert out2.count() <= n1
+
+
+def test_run_enrich_stream_ts_cols_parameter(spark, events, tmp_path):
+    """r15 review: the event-time column(s) to normalize are a
+    parameter (default ['ts']) — a source whose event time has another
+    name must come back as a timestamp, not raw nanos longs."""
+    from data_warehouse_migrate_spark.streaming.joins import (
+        run_enrich_stream,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    ev = events.limit(200).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")).drop("ts")
+    ev.write.parquet(src)
+    dim = (ev.select("user_id").distinct()
+           .withColumn("segment", F.pmod(F.col("user_id"), F.lit(3))))
+    out = run_enrich_stream(spark, src, dim, on=["user_id"],
+                            ts_cols=["event_ts"])
+    assert dict(out.dtypes)["event_ts"].startswith("timestamp")
+    assert out.count() == 200
