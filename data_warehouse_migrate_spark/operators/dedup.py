@@ -49,8 +49,20 @@ def _materialize(df: DataFrame) -> DataFrame:
     persist does NOT dedupe concurrent computation: within one action the
     scheduler runs independent branches in parallel and each populates the
     cache separately. MEMORY_AND_DISK spills under pressure and recomputes
-    on executor loss, so it is safe at cluster scale; the driver's
-    ContextCleaner unpersists when the plan is garbage-collected."""
+    on executor loss, so it is safe at cluster scale.
+
+    Lifecycle (r15 review): the cached plan lives until the SESSION drops
+    it — Spark's CacheManager holds DataFrame caches strongly, so unlike
+    raw RDDs they are NOT freed when the Python handle is GC'd (the
+    ContextCleaner only reaps weakly-reachable RDDs/broadcasts/shuffles).
+    Unpersisting here is impossible by construction: the persisted subtree
+    IS part of the returned (still-lazy) plan. The design center — one
+    batch job per corpus pass, session exits at the end — never notices;
+    a long-lived session invoking these operators repeatedly should call
+    ``spark.catalog.clearCache()`` between corpus passes (worst case
+    before that is disk-spilled blocks, not OOM). The iterative operator
+    where the entry is both large and short-lived exposes an explicit
+    ``diag['unpersist']`` callable instead (``operators/entity.py``)."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -176,7 +176,15 @@ def apply_delta_jdbc(delta: DataFrame, key_cols: list[str],
     stage = stage_table or f"{table}_dwms_stage"
 
     # bulk-stage the delta (drop/recreate: a stale stage from a failed
-    # run must not leak schema or rows into this one). dbtable, truncate
+    # run must not leak schema or rows into this one). The stage name is
+    # a FIXED derivative of the target (r15 review, disclosed): two
+    # CONCURRENT syncs into the same target table would fight over one
+    # stage — but concurrent MERGEs into one target are already a
+    # caller-serialization contract (they deadlock or double-apply at
+    # the engine level regardless of staging), so a unique-suffix stage
+    # would hide, not fix, the real constraint. Sequential re-runs are
+    # safe: overwrite drop/recreates, and the finally below drops the
+    # stage even on a failed apply. dbtable, truncate
     # and the change_type DDL are set AFTER the options loop — module
     # convention (read_table/write_table do the same) so a stray
     # 'dbtable'/'createTableColumnTypes' in caller options cannot
