@@ -24,11 +24,21 @@ pays Spark's expand for multi-column DISTINCT — #cols × rows map-side,
 still one shuffle at distinct-value volume). Checksums shuffle only
 (group, partial-xor) rows. No UDFs, no driver data paths.
 
-Rendering contract: hashed values are ``concat_ws('|', cast AS string)``
-— deterministic across engines for integer/string/date columns. Floats
-and timestamps render engine-specifically; round/format them to strings
-explicitly before checksumming (documented, not hidden: a checksum over
-unpinned float rendering would "verify" nothing).
+Rendering contract: each value renders as ``N`` when NULL, else
+``V<len>:<cast AS string>`` (length-prefixed), and the fields join with
+``|``. The encoding is INJECTIVE — parsing is unambiguous left-to-right
+('N' or 'V', digits to the first ':', then exactly that many chars),
+so distinct row tuples always render distinctly. A bare
+``concat_ws('|')`` is not (r15 review): a delimiter character shifting
+across an adjacent column boundary — ``('x|', 'y')`` vs
+``('x', '|y')`` — renders identically, and a literal NUL value
+collided with the old ``chr(0)`` NULL token, so a corrupted migration
+in exactly those shapes would have checksum-verified. Cast renderings
+must still agree across engines, which pins the column set to
+integer/string/date/boolean/decimal. Floats and timestamps render
+engine-specifically; round/format them to strings explicitly before
+checksumming (documented, not hidden: a checksum over unpinned float
+rendering would "verify" nothing).
 """
 
 from __future__ import annotations
@@ -38,11 +48,19 @@ from pyspark.sql import functions as F
 
 # 60-bit md5 prefix — the engine's shared cross-engine hash primitive
 # (same construction as functions.text.md5_prefix_int; DuckDB twin:
-# CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))
-def _row_hash(cols: list[str], null_token: str = "\x00") -> Column:
-    rendered = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(null_token))
-               for c in cols])
+# CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) — over the
+# INJECTIVE row rendering documented in the module docstring:
+# per field 'N' (NULL) | 'V' + length + ':' + value, joined with '|'.
+def _field_render(c: str) -> Column:
+    v = F.col(c).cast("string")
+    return F.when(
+        F.col(c).isNull(), F.lit("N")
+    ).otherwise(F.concat(F.lit("V"), F.length(v).cast("string"),
+                         F.lit(":"), v))
+
+
+def _row_hash(cols: list[str]) -> Column:
+    rendered = F.concat_ws("|", *[_field_render(c) for c in cols])
     return F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("bigint")
 
 
@@ -54,8 +72,10 @@ def group_checksum(df: DataFrame, key_cols: list[str],
     """(key..., n_rows, checksum) per group: checksum = Σ of the 60-bit
     md5 hashes of each row's rendered ``value_cols``, summed as exact
     DECIMAL and reduced mod 2⁶⁰ (identical integer arithmetic in any
-    engine). NULL renders as a reserved token distinct from the empty
-    string. Pass ``key_cols=[]`` for one whole-table fingerprint row.
+    engine). Rows render through the module's injective length-prefixed
+    encoding (see the module docstring), so NULL, empty string, and any
+    delimiter-bearing value are all distinguishable by construction.
+    Pass ``key_cols=[]`` for one whole-table fingerprint row.
 
     Compare source vs destination frames with a full-outer join on the
     keys: any (count, checksum) mismatch localizes the divergence to a

@@ -3111,8 +3111,12 @@ def q_migration_checksum(spark, sf_dir):
 O_MIGRATION_CHECKSUM = """
 SELECT o_orderstatus, count(*) AS n_rows,
        CAST(sum(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
-                 coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
-                 coalesce(o_orderpriority, chr(0)))), 1, 15)) AS BIGINT)
+                 CASE WHEN o_orderkey IS NULL THEN 'N'
+                      ELSE concat('V', CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR),
+                                  ':', CAST(o_orderkey AS VARCHAR)) END,
+                 CASE WHEN o_orderpriority IS NULL THEN 'N'
+                      ELSE concat('V', CAST(length(o_orderpriority) AS VARCHAR),
+                                  ':', o_orderpriority) END)), 1, 15)) AS BIGINT)
                 AS DECIMAL(38,0)))
             % 1152921504606846976 AS BIGINT) AS checksum
 FROM orders GROUP BY o_orderstatus
@@ -4024,8 +4028,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         their oracle-checked exact twins riding along (rule 4a):
     #         dedup_minhash (twin minhash_sigs),
     #         approx_value_percentiles (twin value_percentiles).
-    # 30-47:  18 more r13-green window queries rotating back in (rule
-    #         1), in ledger order: cohort_retention .. doc_fingerprints.
+    # 30-46:  17 more r13-green window queries rotating back in (rule
+    #         1), in ledger order: cohort_retention .. quality_score.
+    #    47:  rule-2 pin, added LATE in r15 when the checksum-injectivity
+    #         fix (operators/validate.py length-prefixed row rendering +
+    #         oracle updated in lockstep) changed migration_checksum's
+    #         execution path; it displaced doc_fingerprints (r13-green,
+    #         code untouched) to the head of the tail.
     # 48-50:  rule-2 pins, added LATE in r15 when a streaming-module
     #         review pass fixed real bugs on these queries' execution
     #         paths (NULL-ts session-state corruption, fixed-sink-name
@@ -4033,24 +4042,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         dedup_exact_stream, sessionize_stream,
     #         events_hourly_stream (all r14-green; enrich_stream, whose
     #         runner also changed, was already in-window at slot 11).
-    #         They displaced the last three r13-green fills
+    #         They displaced three r13-green fills
     #         (sessionize, salted_event_totals, scrub_pii), which move
-    #         to the head of the tail and lead r16 — their newest
+    #         to the head of the tail (with doc_fingerprints, displaced
+    #         by the checksum pin above) and lead r16 — their newest
     #         external row stays r13, so the <=3-round cadence claim is
     #         unchanged.
     # (The rest of the r15 diffs touch bench.py — the
     # host_quiet_at_start seal gate, the BENCH_SEAL.json sidecar +
     # sf-aware drift-baseline loader, early_suite_pair_history, the
     # early-pair try/except guard and the tie-aware recall column in
-    # the sealed crossover block — plus scripts/ and tests/ (incl. the
-    # new fixed-matrix PCA eigen-oracle, test-only); no other registry
-    # query's execution path changes. Registry reordering itself
-    # changes no query code.)
-    # Tail 51-78: the 28 r13-green — LEAD the r16 window (listed first
-    #         in the tail: sessionize, salted_event_totals, scrub_pii
-    #         (displaced rule-2 fills), then ledger order
-    #         click_purchase_interval .. dedup_keep_rows). No rule-4
-    #         residents among them.
+    # the sealed crossover block — plus operators/validate.py (the
+    # checksum-injectivity fix behind the slot-47 pin), scripts/ and
+    # tests/ (incl. the new fixed-matrix PCA eigen-oracle, test-only);
+    # no registry query outside the four pins has its execution path
+    # changed. Registry reordering itself changes no query code.)
+    # Tail 51-79: the 29 r13-green — LEAD the r16 window (listed first
+    #         in the tail: sessionize, salted_event_totals, scrub_pii,
+    #         doc_fingerprints (displaced rule-2 fills), then ledger
+    #         order click_purchase_interval .. dedup_keep_rows). No
+    #         rule-4 residents among them.
     # Tail 76-125: the 50 r14-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
     #         this round). Rows-only rule-4 residents embedding_lsh_ann,
@@ -4108,7 +4119,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cast_source_schema": q_cast_source_schema,
     "events_hourly": q_events_hourly,
     "quality_score": q_quality_score,
-    "doc_fingerprints": q_doc_fingerprints,
+    # 47: rule-2 pin (late-r15 checksum-injectivity fix — group_checksum's
+    # row rendering became length-prefixed/injective, changing this
+    # query's execution path AND its oracle in lockstep; it re-verifies
+    # in-window). The r13-green fill it displaces (doc_fingerprints,
+    # untouched code) moves to the head of the tail with the three
+    # streaming-displaced fills and leads r16 — newest external row
+    # stays r13, cadence claim unchanged.
+    "migration_checksum": q_migration_checksum,
     # 48-50: rule-2 pins (late-r15 streaming review fixes — the NULL-ts
     # filter in sessionize_stream, the per-call sink name + snapshot in
     # the windowed-counts runner, and the sink snapshot in the dedup
@@ -4121,11 +4139,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_stream": q_dedup_exact_stream,
     "sessionize_stream": q_sessionize_stream,
     "events_hourly_stream": q_events_hourly_stream,
-    # --- 51-75 (now 28 rows): r13-green remainder — LEAD the r16
+    # --- 51-75 (now 29 rows): r13-green remainder — LEAD the r16
     # window (rule 1), displaced rule-2 fills first
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
+    "doc_fingerprints": q_doc_fingerprints,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
     "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -4133,7 +4152,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
-    "migration_checksum": q_migration_checksum,
     "profile_orders": q_profile_orders,
     "hash_sample_orders": q_hash_sample_orders,
     "train_eval_split": q_train_eval_split,

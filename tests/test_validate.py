@@ -73,3 +73,38 @@ def test_checksum_does_not_cancel_duplicate_pairs(spark):
     # and duplicates accumulate: {A} vs {A,A} differ too
     c1 = group_checksum(a.limit(1), [], ["v"]).first().checksum
     assert c1 != ca
+
+
+def test_checksum_rendering_is_injective_under_delimiter_shift(spark):
+    # r15 review regression: under the old concat_ws('|') rendering a
+    # delimiter character shifting across an adjacent column boundary —
+    # ('x|', 'y') vs ('x', '|y') — rendered identically, so a migration
+    # that corrupted rows in exactly that shape checksum-verified. The
+    # length-prefixed encoding must distinguish them.
+    a = spark.createDataFrame([("x|", "y")], "c1 string, c2 string")
+    b = spark.createDataFrame([("x", "|y")], "c1 string, c2 string")
+    ca = group_checksum(a, [], ["c1", "c2"]).first().checksum
+    cb = group_checksum(b, [], ["c1", "c2"]).first().checksum
+    assert ca != cb
+
+
+def test_checksum_nul_value_differs_from_null(spark):
+    # r15 review regression: a literal NUL character collided with the
+    # old chr(0) NULL sentinel; the 'N' vs 'V<len>:' field forms cannot.
+    a = spark.createDataFrame([(1, "\x00")], "id long, v string")
+    b = spark.createDataFrame([(1, None)], "id long, v string")
+    ca = group_checksum(a, [], ["id", "v"]).first().checksum
+    cb = group_checksum(b, [], ["id", "v"]).first().checksum
+    assert ca != cb
+
+
+def test_checksum_value_mimicking_encoding_differs(spark):
+    # the encoding is self-delimiting: a VALUE that spells out another
+    # row's full rendering ('V1:x|V1:y') must not collide with the
+    # two-column row it mimics — lengths pin field extents exactly.
+    a = spark.createDataFrame([("x", "y")], "c1 string, c2 string")
+    b = spark.createDataFrame([("x|V1:y",)], "c1 string").withColumn(
+        "c2", F.lit(None).cast("string"))
+    ca = group_checksum(a, [], ["c1", "c2"]).first().checksum
+    cb = group_checksum(b, [], ["c1", "c2"]).first().checksum
+    assert ca != cb
