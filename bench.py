@@ -411,6 +411,9 @@ EARLY_SUITE_PAIR_HISTORY = {
         # seal, superseded intra-round by the baseline-mechanization
         # re-seal whose own live pair sits beside this series)
         "r15_first_seal_draw": 3.82,
+        # the round's last committed seal (post checksum-injectivity
+        # fix; headline 11.161 — best on record): best cold reading yet
+        "r15_final_seal": 3.364,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
