@@ -500,32 +500,39 @@ class MigrationJob:
         from pyspark import StorageLevel
 
         delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
-        counts = {r.change_type: int(r.n_rows)
-                  for r in delta_counts(delta).collect()}
-        changed = delta.filter(F.col("change_type") != "unchanged")
-        n_changed = sum(v for k, v in counts.items() if k != "unchanged")
-        out: dict[str, Any] = {
-            "status": "success",
-            "incremental": True,
-            "destination": self.destination_path,
-            "delta_counts": counts,
-            "rows_applied": n_changed,
-        }
-        if n_changed:
-            if self.destination_format == "jdbc":
-                # in-place server-side apply: stage + MERGE (or the
-                # DELETE+INSERT fallback) — no snapshot rewrite
-                out["jdbc_apply"] = apply_delta_jdbc(
-                    delta, key_cols, self.destination_jdbc or {},
-                    self.destination_path, use_merge=jdbc_merge,
-                    n_changed=n_changed)
-            else:
-                nxt = apply_delta(dest, changed, key_cols).localCheckpoint()
-                write_table(nxt, self.destination_path,
-                            fmt=self.destination_format,
-                            mode=MigrationMode.OVERWRITE,
-                            partition_by=self.write_partition_by or None)
-        delta.unpersist()
+        try:
+            counts = {r.change_type: int(r.n_rows)
+                      for r in delta_counts(delta).collect()}
+            changed = delta.filter(F.col("change_type") != "unchanged")
+            n_changed = sum(v for k, v in counts.items()
+                            if k != "unchanged")
+            out: dict[str, Any] = {
+                "status": "success",
+                "incremental": True,
+                "destination": self.destination_path,
+                "delta_counts": counts,
+                "rows_applied": n_changed,
+            }
+            if n_changed:
+                if self.destination_format == "jdbc":
+                    # in-place server-side apply: stage + MERGE (or the
+                    # DELETE+INSERT fallback) — no snapshot rewrite
+                    out["jdbc_apply"] = apply_delta_jdbc(
+                        delta, key_cols, self.destination_jdbc or {},
+                        self.destination_path, use_merge=jdbc_merge,
+                        n_changed=n_changed)
+                else:
+                    nxt = apply_delta(
+                        dest, changed, key_cols).localCheckpoint()
+                    write_table(nxt, self.destination_path,
+                                fmt=self.destination_format,
+                                mode=MigrationMode.OVERWRITE,
+                                partition_by=self.write_partition_by
+                                or None)
+        finally:
+            # a failing apply must not leave the delta cached (run_scd2
+            # holds the same contract)
+            delta.unpersist()
         return out
 
     # ------------------------------------------------------------------

@@ -6,10 +6,12 @@ signatures, partitioning — is real and tested. Image decode is soft-wired:
 an explicit ``decode_fn`` always wins; ``fake_decode=True`` pins the
 deterministic fake (byte-statistics pseudo-features — what the oracle-
 checked query uses, so its results never depend on installed libraries);
-otherwise PIL is auto-detected when importable, and absent all three the
-stub raises NotImplementedError at evaluation time (clearly marked per
-project brief). WAV audio decode (``decode_audio_features``) is REAL —
-stdlib ``wave`` header+PCM parse, no third-party dependency.
+otherwise PIL is auto-detected when importable, falling back to the
+always-available pure-Python ``builtin_decode_fn`` (uncompressed BMP +
+binary PPM/PGM — r15 verdict item 7), so a REAL decode path exists in
+every environment and no unreachable stub remains. WAV audio decode
+(``decode_audio_features``) is likewise REAL — stdlib ``wave``
+header+PCM parse, no third-party dependency.
 
 Scale notes: media bytes dominate row size — ``mapInPandas`` streams Arrow
 batches so a partition never needs to hold decoded frames for more than one
@@ -110,6 +112,121 @@ def pil_decode_fn() -> Callable[[bytes], dict] | None:
     return _decode
 
 
+def builtin_decode_fn() -> Callable[[bytes], dict]:
+    """An always-available REAL image decoder — pure Python + numpy, no
+    third-party codec: uncompressed BMP (BI_RGB, 24-bit true-color and
+    8-bit palette) and binary netpbm (P6 PPM / P5 PGM, maxval < 256).
+    This is the last tier of ``decode_image_features``' resolution, so
+    the engine decodes real pixels even in environments without PIL
+    (this sandbox). Unsupported variants raise ``ValueError`` — the
+    per-item guard in the decode loop turns that into a NULL-features
+    row, per the engine's T3 cast contract.
+
+    Feature convention mirrors ``pil_decode_fn``: dimensions, integer
+    micro-unit mean of the grayscale plane (luma ``(299R+587G+114B)//
+    1000`` for color sources), and a 4-dim summary
+    ``[n_bytes % 251, min, max, last grayscale byte]`` — deterministic
+    integer arithmetic throughout.
+    """
+    import struct
+
+    import numpy as np
+
+    def _gray_features(content: bytes, width: int, height: int,
+                       gray: "np.ndarray") -> dict:
+        n = int(gray.size)
+        mean = (int(gray.sum()) * 1_000_000 // n) / 1e6 if n else 0.0
+        return {
+            "width": width, "height": height, "mean_byte": mean,
+            "feature": [float(len(content) % 251),
+                        float(int(gray.min()) if n else 0),
+                        float(int(gray.max()) if n else 0),
+                        float(int(gray[-1]) if n else 0)],
+        }
+
+    def _luma(rgb: "np.ndarray") -> "np.ndarray":
+        r = rgb[..., 0].astype(np.uint32)
+        g = rgb[..., 1].astype(np.uint32)
+        b = rgb[..., 2].astype(np.uint32)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+    def _decode_bmp(content: bytes) -> dict:
+        if len(content) < 54:
+            raise ValueError("truncated BMP header")
+        (off,) = struct.unpack_from("<I", content, 10)
+        hdr, w, h = struct.unpack_from("<Iii", content, 14)
+        _planes, bpp = struct.unpack_from("<HH", content, 26)
+        (comp,) = struct.unpack_from("<I", content, 30)
+        if hdr < 40 or comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP variant (need uncompressed "
+                             "BI_RGB, 8- or 24-bit)")
+        height = abs(h)
+        stride = (w * (bpp // 8) + 3) & ~3
+        if off + stride * height > len(content):
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(content, dtype=np.uint8, count=stride * height,
+                             offset=off).reshape(height, stride)
+        if h > 0:  # positive height = bottom-up rows; normalize top-down
+            rows = rows[::-1]
+        if bpp == 24:
+            bgr = rows[:, :w * 3].reshape(height, w, 3)
+            gray = _luma(bgr[..., ::-1])
+        else:
+            pal_off = 14 + hdr
+            n_pal = (off - pal_off) // 4
+            if n_pal <= 0:
+                raise ValueError("8-bit BMP without a palette")
+            pal = np.frombuffer(content, dtype=np.uint8, count=n_pal * 4,
+                                offset=pal_off).reshape(n_pal, 4)
+            idx = rows[:, :w]
+            if int(idx.max()) >= n_pal:
+                raise ValueError("palette index out of range")
+            gray = _luma(pal[:, :3][..., ::-1])[idx]
+        return _gray_features(content, w, height, gray.ravel())
+
+    def _decode_pnm(content: bytes) -> dict:
+        # header: magic, then 3 ASCII ints (width height maxval) with
+        # arbitrary whitespace and '#' comments, then ONE whitespace
+        # byte before the binary raster
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(content) and content[pos:pos + 1].isspace():
+                pos += 1
+            if content[pos:pos + 1] == b"#":
+                nl = content.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PNM header")
+                pos = nl + 1
+                continue
+            start = pos
+            while (pos < len(content)
+                   and not content[pos:pos + 1].isspace()):
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PNM header")
+            vals.append(int(content[start:pos]))
+        pos += 1
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            raise ValueError("unsupported PNM (need 1-byte samples)")
+        nch = 3 if content[:2] == b"P6" else 1
+        if pos + w * h * nch > len(content):
+            raise ValueError("truncated PNM raster")
+        px = np.frombuffer(content, dtype=np.uint8, count=w * h * nch,
+                           offset=pos)
+        gray = _luma(px.reshape(h, w, 3)) if nch == 3 else px.reshape(h, w)
+        return _gray_features(content, w, h, gray.ravel())
+
+    def _decode(content: bytes) -> dict:
+        if content[:2] == b"BM":
+            return _decode_bmp(content)
+        if content[:2] in (b"P5", b"P6"):
+            return _decode_pnm(content)
+        raise ValueError("builtin decoder handles BMP/PPM/PGM only")
+
+    return _decode
+
+
 def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
                           decode_fn: Callable[[bytes], dict] | None = None,
                           fake_decode: bool = False,
@@ -123,19 +240,17 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
     ``fake_decode=True`` pins the deterministic byte-statistics fake (the
     oracle-checked registry query uses this, so its results are identical
     whether or not an image library is installed); otherwise PIL is
-    auto-detected via ``pil_decode_fn``; absent all three, evaluation
-    raises NotImplementedError (clearly marked stub per project brief).
+    auto-detected via ``pil_decode_fn``, falling back to the
+    always-available pure-Python ``builtin_decode_fn`` (uncompressed
+    BMP + binary PPM/PGM) — so a decoder always resolves and undecodable
+    blobs become NULL-features rows via the per-item guard instead of a
+    NotImplementedError stub.
     """
     if decode_fn is None:
         if fake_decode:
             decode_fn = _fake_decode
         else:
-            decode_fn = pil_decode_fn()
-        if decode_fn is None:
-            def decode_fn(_: bytes) -> dict:
-                raise NotImplementedError(
-                    "media decode requires an image library not present in "
-                    "this environment; pass decode_fn= or fake_decode=True")
+            decode_fn = pil_decode_fn() or builtin_decode_fn()
 
     fn = decode_fn
     src = df.select(F.col(id_col).cast("long").alias("id"),
@@ -155,9 +270,9 @@ def decode_image_features(df: DataFrame, binary_col: str, id_col: str,
                 content = bytes(content) if content is not None else b""
                 # per-item guard (same T3 contract as the audio path):
                 # one corrupt/NULL blob yields a NULL-features row, it
-                # must never fail the batch. NotImplementedError (the
-                # no-decoder stub) still propagates — that is a setup
-                # error, not a data error.
+                # must never fail the batch. NotImplementedError (an
+                # explicit decode_fn signalling missing setup) still
+                # propagates — that is a setup error, not a data error.
                 try:
                     d = fn(content)
                 except NotImplementedError:

@@ -38,7 +38,13 @@ must still agree across engines, which pins the column set to
 integer/string/date/boolean/decimal. Floats and timestamps render
 engine-specifically; round/format them to strings explicitly before
 checksumming (documented, not hidden: a checksum over unpinned float
-rendering would "verify" nothing).
+rendering would "verify" nothing). The length prefix adds one more
+cross-engine pin: both engines' ``length()`` must count the same units
+over the cast string. Spark's ``length`` and DuckDB's ``length`` both
+count Unicode code points (not bytes, not UTF-16 units), so ASCII and
+multibyte text agree; an engine whose ``length`` is byte-based (e.g.
+``octet_length`` semantics) would need the rendering swapped to its
+code-point function before the checksums are comparable.
 """
 
 from __future__ import annotations

@@ -346,6 +346,33 @@ def test_run_incremental_sync(spark, tmp_path):
     assert r3["rows_applied"] == 0 and r3["delta_counts"] == {"unchanged": 100}
 
 
+def test_run_incremental_unpersists_on_failing_apply(spark, tmp_path):
+    """r15 verdict item 4: a failing apply must not leave the persisted
+    delta cached (try/finally around the delta lifecycle). Failure
+    injection: the evolved source DROPPED a destination column, so
+    apply_delta's dest-schema projection raises after the delta was
+    persisted and counted."""
+    import pytest as _pytest
+
+    src1 = str(tmp_path / "unp_src1")
+    src2 = str(tmp_path / "unp_src2")
+    dst = str(tmp_path / "unp_dst")
+    spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b")], "k long, v double, s string"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(1, 9.0), (2, 2.0)], "k long, v double").write.parquet(src2)
+    MigrationJob(source_path=src1, destination_path=dst,
+                 mode="overwrite").run_incremental(spark, ["k"])
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with _pytest.raises(Exception):
+        MigrationJob(source_path=src2,
+                     destination_path=dst).run_incremental(spark, ["k"])
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before  # no cached delta survives the failure
+
+
 def test_run_incremental_jdbc_guard_precedes_probe(spark, tmp_path):
     """The subset-source guard fires BEFORE any JDBC work: a limited
     source must be refused for a JDBC destination too (it would classify

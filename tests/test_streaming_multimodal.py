@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_migrate_spark.operators.multimodal import (
     attach_media_columns,
+    builtin_decode_fn,
     decode_image_features,
     sample_frames,
 )
@@ -127,11 +128,100 @@ def test_attach_media_columns(binary_df):
     assert r.media_meta.width is None
 
 
-def test_decode_stub_raises_without_fake(binary_df):
-    import py4j
-    with pytest.raises(Exception) as e:
-        decode_image_features(binary_df, "content", "id").collect()
-    assert "NotImplementedError" in str(e.value) or "decode" in str(e.value)
+def _bmp24_bytes(pixels):
+    """Minimal uncompressed 24-bit BMP from top-down (r,g,b) rows."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(pixels):  # BMP stores bottom-up
+        rb = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raster += rb + b"\0" * (stride - len(rb))
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                      0, 0, 0, 0)
+    return hdr + dib + raster
+
+
+def _bmp8_bytes(idx_rows, palette):
+    """Minimal 8-bit palette BMP from top-down index rows."""
+    import struct
+
+    h, w = len(idx_rows), len(idx_rows[0])
+    stride = (w + 3) & ~3
+    raster = b""
+    for row in reversed(idx_rows):
+        raster += bytes(row) + b"\0" * (stride - w)
+    palb = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    off = 54 + len(palb)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster),
+                      0, 0, len(palette), 0)
+    return hdr + dib + palb + raster
+
+
+def test_builtin_decoder_roundtrip():
+    # r15 verdict item 7: generated BMP/PPM/PGM bytes decode through the
+    # always-available pure-Python tier to hand-computed luma features
+    dec = builtin_decode_fn()
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    lum = [(r * 299 + g * 587 + b * 114) // 1000
+           for row in px for (r, g, b) in row]
+    want_mean = (sum(lum) * 1_000_000 // len(lum)) / 1e6
+
+    bmp = dec(_bmp24_bytes(px))
+    assert (bmp["width"], bmp["height"]) == (3, 2)
+    assert bmp["mean_byte"] == want_mean
+    assert bmp["feature"][1:] == [float(min(lum)), float(max(lum)),
+                                  float(lum[-1])]
+
+    # P6 PPM of the SAME pixels (with a header comment) must produce the
+    # same plane-derived values; only the n_bytes term differs
+    p6 = (f"P6\n# c\n3 2\n255\n".encode()
+          + b"".join(bytes(p) for row in px for p in row))
+    ppm = dec(p6)
+    assert (ppm["width"], ppm["height"], ppm["mean_byte"]) == (3, 2, want_mean)
+    assert ppm["feature"][1:] == bmp["feature"][1:]
+
+    # P5 PGM: raw grayscale, exact micro-unit mean
+    p5 = b"P5\n2 2 255\n" + bytes([0, 128, 255, 7])
+    pgm = dec(p5)
+    assert (pgm["width"], pgm["height"]) == (2, 2)
+    assert pgm["mean_byte"] == (390 * 1_000_000 // 4) / 1e6
+    assert pgm["feature"][1:] == [0.0, 255.0, 7.0]
+
+    # 8-bit palette BMP decodes through the palette's luma
+    pal = [(0, 0, 0), (255, 255, 255), (200, 100, 50)]
+    idx = [[0, 1, 2], [2, 1, 0]]
+    lum8 = [(r * 299 + g * 587 + b * 114) // 1000 for (r, g, b) in pal]
+    flat = [lum8[i] for row in idx for i in row]
+    b8 = dec(_bmp8_bytes(idx, pal))
+    assert (b8["width"], b8["height"]) == (3, 2)
+    assert b8["mean_byte"] == (sum(flat) * 1_000_000 // len(flat)) / 1e6
+
+    # unsupported formats raise ValueError (→ NULL row via per-item guard)
+    for bad in (b"\x89PNG\r\n\x1a\n....", b"BM" + b"\0" * 10,
+                b"P6\n3 2\n65535\n" + b"\0" * 36):
+        with pytest.raises(ValueError):
+            dec(bad)
+
+
+def test_default_decode_uses_builtin_tier(spark):
+    # no explicit decode_fn, no fake_decode: PIL-or-builtin resolves, so
+    # real BMP bytes decode and garbage bytes become NULL-features rows
+    # (the NotImplementedError stub branch is gone — r15 verdict item 7)
+    px = [[(9, 9, 9), (200, 150, 100)]]
+    rows = [(1, _bmp24_bytes(px)), (2, b"not an image at all")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in decode_image_features(df, "content", "id").collect()}
+    assert (out[1].width, out[1].height) == (2, 1)
+    if not _has_pil():  # builtin tier: exact floor-div luma mean
+        lum = [(r * 299 + g * 587 + b * 114) // 1000 for (r, g, b) in px[0]]
+        assert out[1].mean_byte == (sum(lum) * 1_000_000 // 2) / 1e6
+    assert out[2].width is None and out[2].feature is None
+    assert out[2].n_bytes == len(b"not an image at all")
 
 
 def test_fake_decode_deterministic(binary_df):
