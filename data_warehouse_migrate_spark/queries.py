@@ -4014,133 +4014,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r15 window composition (registry FROZEN at 125 — zero new entries;
+    # r16 window composition (registry FROZEN at 125 — zero new entries;
     # with this window green, no query's newest external row is older
-    # than r13 — the fifth refresh cycle stays on the <=3-round
-    # cadence):
-    #  1-25:  the 25 r12-green remainder — the oldest newest-rows in the
-    #         registry — lead (rule 1; committed by the r14 ledger and
-    #         r14 verdict item 1), in ledger order: vocab_topk ..
-    #         funnel_events. No rule-4 residents among them.
-    # 26-29:  the two rule-4 rows-only residents last refreshed r13
-    #         (due by r16 — taken a round early for slack, r14 verdict
-    #         item 2, the same move that worked in r13 and r14) with
-    #         their oracle-checked exact twins riding along (rule 4a):
-    #         dedup_minhash (twin minhash_sigs),
-    #         approx_value_percentiles (twin value_percentiles).
-    # 30-46:  17 more r13-green window queries rotating back in (rule
-    #         1), in ledger order: cohort_retention .. quality_score.
-    #    47:  rule-2 pin, added LATE in r15 when the checksum-injectivity
-    #         fix (operators/validate.py length-prefixed row rendering +
-    #         oracle updated in lockstep) changed migration_checksum's
-    #         execution path; it displaced doc_fingerprints (r13-green,
-    #         code untouched) to the head of the tail.
-    # 48-50:  rule-2 pins, added LATE in r15 when a streaming-module
-    #         review pass fixed real bugs on these queries' execution
-    #         paths (NULL-ts session-state corruption, fixed-sink-name
-    #         collision, sink-view snapshot semantics):
-    #         dedup_exact_stream, sessionize_stream,
-    #         events_hourly_stream (all r14-green; enrich_stream, whose
-    #         runner also changed, was already in-window at slot 11).
-    #         They displaced three r13-green fills
-    #         (sessionize, salted_event_totals, scrub_pii), which move
-    #         to the head of the tail (with doc_fingerprints, displaced
-    #         by the checksum pin above) and lead r16 — their newest
-    #         external row stays r13, so the <=3-round cadence claim is
-    #         unchanged.
-    # (The rest of the r15 diffs touch bench.py — the
-    # host_quiet_at_start seal gate, the BENCH_SEAL.json sidecar +
-    # sf-aware drift-baseline loader, early_suite_pair_history, the
-    # early-pair try/except guard and the tie-aware recall column in
-    # the sealed crossover block — plus operators/validate.py (the
-    # checksum-injectivity fix behind the slot-47 pin), scripts/ and
-    # tests/ (incl. the new fixed-matrix PCA eigen-oracle, test-only);
-    # no registry query outside the four pins has its execution path
-    # changed. Registry reordering itself changes no query code.)
-    # Tail 51-79: the 29 r13-green — LEAD the r16 window (listed first
-    #         in the tail: sessionize, salted_event_totals, scrub_pii,
-    #         doc_fingerprints (displaced rule-2 fills), then ledger
-    #         order click_purchase_interval .. dedup_keep_rows). No
-    #         rule-4 residents among them.
-    # Tail 76-125: the 50 r14-green window queries rotating out (rule 3
+    # than r14 — the sixth refresh cycle stays on the <=3-round cadence):
+    #  1-28:  the 28 r13-green — the oldest newest-rows in the registry —
+    #         lead (rule 1; committed by the r15 ledger and r15 verdict
+    #         item 1): the four rule-2-displaced fills first (sessionize,
+    #         salted_event_totals, scrub_pii, doc_fingerprints), then
+    #         ledger order click_purchase_interval .. dedup_keep_rows.
+    #         (The r15 ledger's "29 rows" label was a miscount — ADVICE
+    #         r15 item 1; the block has always held 28. Slot labels here
+    #         are derived from the actual counts.)
+    # 29-36:  the five rule-4 rows-only residents last refreshed r14
+    #         (due by r17 — taken a round early for slack, r15 verdict
+    #         item 2, the same move that worked r13-r15) with their
+    #         oracle-checked exact twins riding along (rule 4a):
+    #         approx_distinct_users (twin distinct_users_exact),
+    #         embedding_lsh_ann + embedding_ivf (shared exact twin
+    #         embedding_topk), embedding_near_dup (twin
+    #         embedding_near_dup_exact), and embedding_pca (twin-less;
+    #         its cell-exact contract is the committed fixed-matrix
+    #         eigen-oracle in tests/test_similarity.py, r15).
+    # 37-50:  14 r14-green window queries rotating back in (rule 1), in
+    #         ledger order: dedup_simhash .. embedding_quantize.
+    #         multimodal_decode (ledger slot 39) doubles as the rule-2
+    #         pin for this round's decode_image_features change (the
+    #         always-available builtin BMP/PNM decoder tier, r15 verdict
+    #         item 7 — the registry query pins fake_decode=True, so its
+    #         results are unchanged by construction; it re-verifies
+    #         in-window regardless, per rule 2's function granularity).
+    # (The round's other code diffs touch MigrationJob.run_incremental
+    # — try/finally around the delta persist/apply, r15 verdict item 4 —
+    # which NO registry query calls (q_incremental_migrate drives
+    # operators/delta.snapshot_delta directly; the method is covered by
+    # tests/test_migrate.py incl. a new failing-apply unpersist
+    # regression and the live Derby suite), bench.py (seal-eligibility
+    # mechanization), and tests/scripts — no other registry query's
+    # execution path changes, so no further rule-2 pins.)
+    # Tail 51-75: the 25 r14-green remainder — LEAD the r17 window
+    #         (rule 1), in ledger order: embedding_truncate ..
+    #         unigram_logprob. No rule-4 residents among them.
+    # Tail 76-125: the 50 r15-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
-    #         this round). Rows-only rule-4 residents embedding_lsh_ann,
-    #         embedding_ivf, embedding_near_dup, embedding_pca and
-    #         approx_distinct_users were refreshed r14 — due by r17;
-    #         dedup_minhash and approx_value_percentiles refresh THIS
-    #         round (r15) — due by r18.
-    # --- 1-25: r12-green remainder leads (rule 1; per the r14 ledger)
-    "vocab_topk": q_vocab_topk,
-    "contamination_check": q_contamination_check,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "doc_repetition": q_doc_repetition,
-    "chunk_documents": q_chunk_documents,
-    "pmi_collocations": q_pmi_collocations,
-    "bigram_logprob": q_bigram_logprob,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
-    "semantic_dedup": q_semantic_dedup,
-    "clean_corpus": q_clean_corpus,
-    "gopher_quality": q_gopher_quality,
-    "token_budget_sample": q_token_budget_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "repeated_spans": q_repeated_spans,
-    "strip_spans": q_strip_spans,
-    "span_decontaminate": q_span_decontaminate,
-    "hard_negatives": q_hard_negatives,
-    "temperature_mixture": q_temperature_mixture,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "corpus_stats": q_corpus_stats,
-    "fluency_band": q_fluency_band,
-    "funnel_events": q_funnel_events,
-    # --- 26-29: rule-4 rows-only residents (due r16, taken early) with
-    #            their exact twins riding along (rule 4a)
-    "dedup_minhash": q_dedup_minhash,
-    "minhash_sigs": q_minhash_sigs,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "value_percentiles": q_value_percentiles,
-    # --- 30-50: r13-green, rotating back in (rule 1; 21 of 46)
-    "cohort_retention": q_cohort_retention,
-    "last_touch_attribution": q_last_touch_attribution,
-    "local_supplier_volume": q_local_supplier_volume,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "event_zscore": q_event_zscore,
-    "salted_event_join": q_salted_event_join,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly": q_events_hourly,
-    "quality_score": q_quality_score,
-    # 47: rule-2 pin (late-r15 checksum-injectivity fix — group_checksum's
-    # row rendering became length-prefixed/injective, changing this
-    # query's execution path AND its oracle in lockstep; it re-verifies
-    # in-window). The r13-green fill it displaces (doc_fingerprints,
-    # untouched code) moves to the head of the tail with the three
-    # streaming-displaced fills and leads r16 — newest external row
-    # stays r13, cadence claim unchanged.
-    "migration_checksum": q_migration_checksum,
-    # 48-50: rule-2 pins (late-r15 streaming review fixes — the NULL-ts
-    # filter in sessionize_stream, the per-call sink name + snapshot in
-    # the windowed-counts runner, and the sink snapshot in the dedup
-    # runner changed these queries' execution paths, so they re-verify
-    # in-window; enrich_stream, whose runner also changed, was already
-    # in-window at slot 11). The three r13-green fills they displace
-    # (sessionize, salted_event_totals, scrub_pii) move to the head of
-    # the tail and lead r16 with the other r13-green — cadence intact:
-    # after r15 no query's newest external row is older than r13.
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "sessionize_stream": q_sessionize_stream,
-    "events_hourly_stream": q_events_hourly_stream,
-    # --- 51-75 (now 29 rows): r13-green remainder — LEAD the r16
-    # window (rule 1), displaced rule-2 fills first
+    #         this round), in r15 window order. Rows-only rule-4
+    #         residents dedup_minhash and approx_value_percentiles were
+    #         refreshed r15 — due by r18; the five refreshed THIS round
+    #         (r16) are due by r19.
+    # --- 1-28: r13-green leads (rule 1; per the r15 ledger, displaced
+    #            rule-2 fills first)
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
@@ -4169,7 +4090,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "default_backfill": q_default_backfill,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_rows": q_dedup_keep_rows,
-    # --- 76-125: r14-green window queries rotating out (rule 3)
+    # --- 29-36: rule-4 rows-only residents (due r17, taken early) with
+    #            their exact twins riding along (rule 4a)
+    "approx_distinct_users": q_approx_distinct_users,
+    "distinct_users_exact": q_distinct_users_exact,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "embedding_pca": q_embedding_pca,
+    # --- 37-50: r14-green, rotating back in (rule 1; 14 of 47) —
+    #            multimodal_decode is also this round's rule-2 pin
     "dedup_simhash": q_dedup_simhash,
     "line_dedup": q_line_dedup,
     "multimodal_decode": q_multimodal_decode,
@@ -4184,6 +4116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dest_projection": q_dest_projection,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize": q_embedding_quantize,
+    # --- 51-75: r14-green remainder — LEAD the r17 window (rule 1)
     "embedding_truncate": q_embedding_truncate,
     "event_type_pivot": q_event_type_pivot,
     "frame_sample": q_frame_sample,
@@ -4192,14 +4125,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_partition_multi": q_latest_partition_multi,
     "mapping_computed": q_mapping_computed,
     "mapping_defaults": q_mapping_defaults,
-    "distinct_users_exact": q_distinct_users_exact,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_pca": q_embedding_pca,
-    "approx_distinct_users": q_approx_distinct_users,
-    "embedding_topk": q_embedding_topk,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "mapping_format": q_mapping_format,
     "mapping_rename_reorder": q_mapping_rename_reorder,
     "null_policy_fill": q_null_policy_fill,
@@ -4217,6 +4142,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_preservation": q_string_preservation,
     "top_orders_per_cust": q_top_orders_per_cust,
     "unigram_logprob": q_unigram_logprob,
+    # --- 76-125: r15-green window queries rotating out (rule 3)
+    "vocab_topk": q_vocab_topk,
+    "contamination_check": q_contamination_check,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
+    "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "semantic_dedup": q_semantic_dedup,
+    "clean_corpus": q_clean_corpus,
+    "gopher_quality": q_gopher_quality,
+    "token_budget_sample": q_token_budget_sample,
+    "mixture_upsample": q_mixture_upsample,
+    "repeated_spans": q_repeated_spans,
+    "strip_spans": q_strip_spans,
+    "span_decontaminate": q_span_decontaminate,
+    "hard_negatives": q_hard_negatives,
+    "temperature_mixture": q_temperature_mixture,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_stats": q_corpus_stats,
+    "fluency_band": q_fluency_band,
+    "funnel_events": q_funnel_events,
+    "dedup_minhash": q_dedup_minhash,
+    "minhash_sigs": q_minhash_sigs,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "value_percentiles": q_value_percentiles,
+    "cohort_retention": q_cohort_retention,
+    "last_touch_attribution": q_last_touch_attribution,
+    "local_supplier_volume": q_local_supplier_volume,
+    "dedup_clusters": q_dedup_clusters,
+    "simhash": q_simhash,
+    "event_zscore": q_event_zscore,
+    "salted_event_join": q_salted_event_join,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "migration_checksum": q_migration_checksum,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "sessionize_stream": q_sessionize_stream,
+    "events_hourly_stream": q_events_hourly_stream,
 }
 
 

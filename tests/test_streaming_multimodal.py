@@ -701,6 +701,52 @@ def test_stream_runner_snapshots_survive_and_views_are_dropped(
     assert out2.count() <= n1
 
 
+def test_windowed_counts_stream_concurrent_invocations(
+        spark, events, tmp_path):
+    """r15 verdict item 5: two runner invocations GENUINELY in flight
+    (barrier-synchronized threads) must both complete and return their
+    own correct snapshots — the per-call uuid sink means no 'query name
+    already active' failure and no cross-call result swap. Windows of
+    different sizes make the two results distinguishable, so a swap
+    cannot pass the exactness check."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_warehouse_migrate_spark.streaming.windows import (
+        run_windowed_counts_stream,
+    )
+
+    src = str(tmp_path / "wc_conc_src")
+    events.limit(600).write.parquet(src)
+    barrier = threading.Barrier(2, timeout=120)
+
+    def run(window):
+        barrier.wait()  # both queries start together
+        out = run_windowed_counts_stream(spark, src, window=window)
+        return {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+                for r in out.collect()}
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(run, "1 hour")
+        f2 = ex.submit(run, "30 minutes")
+        got1, got2 = f1.result(timeout=300), f2.result(timeout=300)
+
+    def batch(window):
+        out = (spark.read.parquet(src)
+               .groupBy(F.window("ts", window).alias("w"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).alias("s")))
+        return {(r.w.start, r.event_type): (r.n, float(r.s))
+                for r in out.collect()}
+
+    assert got1 == batch("1 hour")
+    assert got2 == batch("30 minutes")
+    assert got1 != got2  # distinguishable — a swapped result cannot pass
+    leaked = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("dwms_stream_")]
+    assert leaked == []
+
+
 def test_run_enrich_stream_ts_cols_parameter(spark, events, tmp_path):
     """r15 review: the event-time column(s) to normalize are a
     parameter (default ['ts']) — a source whose event time has another
