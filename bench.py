@@ -439,15 +439,41 @@ SEAL_VS_PUBLISHED_HISTORY = {
         "r12": {"seal": 11.947, "published": 11.947},
         "r13": {"seal": 11.608, "published": 16.393},
         "r14": {"seal": 13.116, "published": 18.381},
+        "r15": {"seal": 11.161, "published": 11.656},
     },
-    "reading": ("quiet-host seals 11.6-13.1s across r12-r14 while the "
-                "driver's round-end reruns read 11.9 -> 16.4 -> 18.4 — "
-                "every divergence attributed to host contention with 0 "
-                "of 74 plan counters moved (drift_attribution blocks in "
-                "the r13/r14 artifacts); the seal series is the "
-                "code-health signal, the published series includes the "
-                "driver window's host state"),
+    "reading": ("quiet-host seals 11.2-13.1s across r12-r15 while the "
+                "driver's round-end reruns read 11.9 -> 16.4 -> 18.4 -> "
+                "11.7 — every divergence attributed to host contention "
+                "with 0 of 74 plan counters moved (drift_attribution "
+                "blocks in the r13-r15 artifacts); the seal series is "
+                "the code-health signal, the published series includes "
+                "the driver window's host state"),
 }
+
+# Diffuse-slowness discard (r15 verdict item 3): a run can start quiet
+# AND stay band-free yet be diffusely slow — co-tenant drag spread
+# thinly across the suite (r15 seal draw 5: 19.9s headline, ambient
+# 0.10, bands=[], 4/74 scattered). The operator discarded that draw by
+# reading the headline against the committed seal series; this constant
+# mechanizes the rule: an eligible seal's headline must sit within K x
+# the committed seal-series median. K=1.25 clears every committed seal
+# on record (11.161-13.625 vs median ~11.8) and reproducibly rejects
+# the draw-5 shape. A genuine engine-wide slowdown would also trip it —
+# intentionally: such a run must not silently become the drift baseline;
+# appending the round's (slower) entries to the series moves the median
+# and is the explicit, reviewed override path.
+DIFFUSE_SLOWNESS_K = 1.25
+
+
+def _seal_series_median() -> float | None:
+    seals = sorted(e["seal"] for e in
+                   SEAL_VS_PUBLISHED_HISTORY["series"].values()
+                   if e.get("seal") is not None)
+    if not seals:
+        return None
+    mid = len(seals) // 2
+    return (seals[mid] if len(seals) % 2
+            else (seals[mid - 1] + seals[mid]) / 2)
 
 
 def load_drift_baseline(repo_dir: str, sf: str | None = None
@@ -500,7 +526,8 @@ def load_drift_baseline(repo_dir: str, sf: str | None = None
 
 
 def seal_sidecar_block(quiet_status: str, sf: str, full_run: bool,
-                       bands) -> dict:
+                       bands, headline_total_sec: float | None = None
+                       ) -> dict:
     """Eligibility decision for refreshing the BENCH_SEAL.json
     quiet-seal sidecar, computed BEFORE the artifact is dumped so both
     files carry the identical content including the decision itself.
@@ -511,20 +538,47 @@ def seal_sidecar_block(quiet_status: str, sf: str, full_run: bool,
     discard rule reads — so a banded run must not become the preferred
     baseline. No-baseline/no-evidence runs (bands absent or None, e.g.
     first run or drift error) pass: a first run must be able to seed
-    the sidecar."""
+    the sidecar.
+
+    The fifth axis (r15 verdict item 3) mechanizes the last manual
+    discard: DIFFUSE slowness — quiet start, band-free, yet the whole
+    suite dragged (r15 draw 5) — is rejected by reading the headline
+    against the committed seal series: eligible runs need
+    ``headline_total_sec <= DIFFUSE_SLOWNESS_K x median(seal series)``.
+    An empty series (bootstrap) passes, like the band no-evidence rule;
+    a missing headline on an otherwise-full run fails closed."""
+    med = _seal_series_median()
+    if med is None:
+        not_diffusely_slow = True  # bootstrap: no series to read against
+    elif headline_total_sec is None:
+        not_diffusely_slow = not full_run  # only smoke runs lack one
+    else:
+        not_diffusely_slow = (headline_total_sec
+                              <= DIFFUSE_SLOWNESS_K * med)
     return {
         "written": (quiet_status == "pass" and sf == "0.1"
-                    and bool(full_run) and not bands),
+                    and bool(full_run) and not bands
+                    and not_diffusely_slow),
+        "diffuse_slowness": {
+            "headline_total_sec": headline_total_sec,
+            "seal_series_median": med,
+            "k": DIFFUSE_SLOWNESS_K,
+            "passed": bool(not_diffusely_slow),
+        },
         "criteria": ("host_quiet_at_start.status == 'pass' AND sf == "
                      "'0.1' AND full run (stress + index contract) AND "
                      "the run's own drift block found no contiguous "
                      "contention bands (bands are counter-identical by "
                      "construction, so a banded run suffered a mid-"
                      "suite host window the ambient sentinel cannot "
-                     "see; no-baseline/no-evidence runs pass) — "
-                     "eligible runs refresh BENCH_SEAL.json beside "
-                     "BENCH_DETAIL.json; noisy/banded/smoke/partial "
-                     "runs leave the committed seal baseline intact"),
+                     "see; no-baseline/no-evidence runs pass) AND "
+                     "headline_total_sec <= DIFFUSE_SLOWNESS_K x the "
+                     "committed seal-series median (the r15 draw-5 "
+                     "manual discard, mechanized: quiet band-free runs "
+                     "can still be diffusely slow) — eligible runs "
+                     "refresh BENCH_SEAL.json beside BENCH_DETAIL.json; "
+                     "noisy/banded/slow/smoke/partial runs leave the "
+                     "committed seal baseline intact"),
     }
 
 
@@ -835,6 +889,92 @@ def bench_multi_batch_stream(spark, sf_dir: str, n_batches: int = 4) -> dict:
                     "rows_updated_series",
                     "start_ms", "drain_ms", "stop_ms")},
     }
+
+
+def run_hot_bucket_stress(spark, sf_dir: str, m_hot: int = 4096,
+                          n_background: int = 2000) -> dict:
+    """Live hot-bucket draw for the banded dedup family (r15 verdict
+    item 6): the 512-member spill guard (operators/dedup._bucket_pairs)
+    is unit-tested but had never appeared in a sealed artifact on a
+    degenerate corpus. Two legs, both deterministic:
+
+    1. REAL OPERATOR, guard on its default path: ``simhash_near_pairs``
+       over ``m_hot`` byte-identical copies of one sf document planted
+       in a distinct background corpus — all ``bands`` band keys of the
+       copies collide, so the guard MUST engage (diag.hot_buckets ==
+       bands, diag.max_bucket >= m_hot — organic background members may
+       share the clone band key) and the run must still complete
+       and emit exactly the m_hot-choose-2 intra-clone pairs plus any
+       organic near-dups among/against the background.
+    2. GUARD UNIT A/B on one identical synthetic hot bucket: the same
+       (band, band_key) frame driven through ``_bucket_pairs`` with the
+       guard engaged (512 → streamed equi-self-join) and disengaged
+       (threshold above m_hot → single-task in-array B²/2 expansion).
+       Equal pair counts prove the paths agree; the wall-time pair
+       measures what the guard buys — the off-path materializes all
+       m_hot²/2 pairs inside ONE task (the OOM shape at corpus scale;
+       m_hot is sized so the off-path is survivable here), the on-path
+       streams them across the join's partitions.
+
+    The m_hot²/2 candidate volume itself is irreducible for identical
+    documents (the module docstring's standing advice: collapse exact
+    duplicates BEFORE banding); what the guard bounds is per-task
+    memory, which is what the A/B times witness.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migrate_spark.operators.dedup import (
+        _bucket_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one_text = (docs.orderBy("doc_id").limit(1)
+                .select("text").first()["text"])
+    background = (docs.orderBy("doc_id").limit(n_background)
+                  .select(F.col("doc_id").cast("long").alias("doc_id"),
+                          "text"))
+    clones = spark.range(m_hot).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(one_text).alias("text"))
+    corpus = (background.unionByName(clones)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    n_docs = corpus.count()
+    out: dict = {"m_hot": m_hot, "corpus_rows": n_docs,
+                 "intra_clone_pairs": m_hot * (m_hot - 1) // 2}
+
+    diag: dict = {}
+    t0 = time.perf_counter()
+    n_pairs = simhash_near_pairs(corpus, "text", "doc_id",
+                                 max_hamming=3, bands=4,
+                                 diag=diag).count()
+    out["operator_guard_on"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "output_pairs": n_pairs, **diag,
+        "guard_engaged": diag.get("hot_buckets", 0) > 0,
+    }
+    corpus.unpersist()
+
+    # leg 2: one synthetic hot bucket, identical inputs, guard A/B
+    bucket = spark.range(m_hot).select(
+        F.lit(0).alias("band"), F.lit(1).alias("band_key"),
+        F.col("id"))
+    ab = {}
+    for label, mbs in (("on", 512), ("off", 1 << 40)):
+        d: dict = {}
+        t0 = time.perf_counter()
+        n = _bucket_pairs(bucket, ["id"], max_bucket_size=mbs,
+                          diag=d).count()
+        ab[f"guard_{label}"] = {"sec": round(time.perf_counter() - t0, 3),
+                                "pairs": n,
+                                "hot_buckets": d.get("hot_buckets")}
+    out["bucket_unit_ab"] = ab
+    out["paths_agree"] = (ab["guard_on"]["pairs"]
+                          == ab["guard_off"]["pairs"]
+                          == out["intra_clone_pairs"])
+    print(f"  hot_bucket_contract: {out}", file=sys.stderr)
+    return out
 
 
 def run_stress(spark, sf_dir: str, factor: int) -> dict:
@@ -1325,6 +1465,11 @@ def main() -> int:
     # 10× duplicate-heavy stress (PLANS.md protocol, machine-readable).
     stress = run_stress(spark, sf_dir, factor) if do_stress else None
 
+    # degenerate-corpus hot-bucket contract (r15 verdict item 6): the
+    # 512-member spill guard engaging live, with a unit-level guard A/B
+    hot_bucket_contract = (run_hot_bucket_stress(spark, sf_dir)
+                           if do_stress else None)
+
     # Scale crossover: Spark's fixed per-query scheduling floor dominates
     # the flagship at sub-second scale (ratio > 1 vs the sequential pandas
     # loop); the loop scales linearly with rows and Spark doesn't. Measure
@@ -1731,6 +1876,7 @@ def main() -> int:
         "diagnostics": diagnostics,
         "index_contract": index_contract,
         "stress": stress,
+        "hot_bucket_contract": hot_bucket_contract,
         "scale_crossover": {
             "workload": "flagship migrate_pipeline vs the reference's "
                         "sequential 10k-rows/batch pandas loop, both on "
@@ -1824,7 +1970,7 @@ def main() -> int:
     # identical content including the decision itself.
     seal_sidecar = seal_sidecar_block(
         host_quiet_at_start["status"], sf, do_stress,
-        drift_attribution.get("bands"))
+        drift_attribution.get("bands"), headline_total_sec=total)
     artifact = {"sf": sf, "headline_total_sec": total, "queries": times,
                 "seal_sidecar": seal_sidecar,
                 # the seal-vs-published headline series (r14 verdict

@@ -539,12 +539,16 @@ def test_skipped_message_blames_the_corrupt_file_not_the_fallback():
 
 
 def test_seal_sidecar_block_regimes():
-    """The sidecar eligibility gate across its four axes: quiet start,
-    sf, full run, and the run's own band evidence (r15 review: a
+    """The sidecar eligibility gate across its five axes: quiet start,
+    sf, full run, the run's own band evidence (r15 review: a
     quiet-START run with mid-suite contention bands must not become
-    the preferred baseline)."""
-    from bench import seal_sidecar_block as b
+    the preferred baseline), and diffuse slowness vs the committed
+    seal-series median (r15 verdict item 3)."""
+    from functools import partial
 
+    from bench import seal_sidecar_block
+
+    b = partial(seal_sidecar_block, headline_total_sec=12.0)
     assert b("pass", "0.1", True, [])["written"] is True
     assert b("pass", "0.1", True, None)["written"] is True  # no evidence
     assert b("pass", "0.1", True,
@@ -553,6 +557,44 @@ def test_seal_sidecar_block_regimes():
     assert b("pass", "0.01", True, [])["written"] is False
     assert b("pass", "0.1", False, [])["written"] is False
     assert b("unknown", "0.1", True, [])["written"] is False
+
+
+def test_seal_sidecar_diffuse_slowness_axis():
+    """r15 verdict item 3: the draw-5 shape — quiet start, band-free,
+    full run, headline 19.9s — must be mechanically rejected, while
+    every committed seal headline on record stays eligible, and the
+    decision evidence rides in the block."""
+    from bench import (
+        DIFFUSE_SLOWNESS_K,
+        SEAL_VS_PUBLISHED_HISTORY,
+        _seal_series_median,
+        seal_sidecar_block as b,
+    )
+
+    med = _seal_series_median()
+    assert med is not None and 11.0 < med < 14.0
+    # the r15 draw-5 discard, reproduced mechanically
+    d5 = b("pass", "0.1", True, [], headline_total_sec=19.9)
+    assert d5["written"] is False
+    assert d5["diffuse_slowness"]["passed"] is False
+    assert d5["diffuse_slowness"]["seal_series_median"] == med
+    assert d5["diffuse_slowness"]["k"] == DIFFUSE_SLOWNESS_K
+    # every committed seal on record clears the gate
+    for sec in [e["seal"] for e in
+                SEAL_VS_PUBLISHED_HISTORY["series"].values()] + [13.625]:
+        assert b("pass", "0.1", True, [],
+                 headline_total_sec=sec)["written"] is True, sec
+    # boundary: exactly K x median is eligible, just above is not
+    assert b("pass", "0.1", True, [],
+             headline_total_sec=DIFFUSE_SLOWNESS_K * med)["written"] is True
+    assert b("pass", "0.1", True, [],
+             headline_total_sec=DIFFUSE_SLOWNESS_K * med + 0.001
+             )["written"] is False
+    # a full run with no headline fails closed; a smoke run's missing
+    # headline doesn't flip the (already ineligible) decision's axis
+    assert b("pass", "0.1", True, [])["diffuse_slowness"]["passed"] is False
+    assert b("pass", "0.1", True, [])["written"] is False
+    assert b("pass", "0.1", False, [])["diffuse_slowness"]["passed"] is True
 
 
 def test_load_drift_baseline_no_files_is_benign_first_run(tmp_path):
@@ -616,6 +658,17 @@ def test_committed_seal_sidecar_is_quiet():
     assert ic["sf_scale"]["probe_speedup"] < 1.0
     assert ic["stress_x10"]["probe_speedup"] > 1.0
     assert ic["stress_x20"]["probe_speedup"] > 1.0
+    # hot-bucket contract (r15 verdict item 6): once a post-r16 seal
+    # carries the block, the guard must have ENGAGED live on the
+    # degenerate corpus and both pair paths must have agreed exactly
+    hb = d.get("hot_bucket_contract")
+    if hb is not None:
+        assert hb["operator_guard_on"]["guard_engaged"] is True
+        assert hb["operator_guard_on"]["hot_buckets"] >= 1
+        assert hb["operator_guard_on"]["max_bucket"] >= hb["m_hot"]
+        assert hb["paths_agree"] is True
+        assert (hb["bucket_unit_ab"]["guard_on"]["pairs"]
+                == hb["intra_clone_pairs"])
 
 
 def test_committed_artifact_carries_seal_baseline_fields():
