@@ -414,6 +414,9 @@ EARLY_SUITE_PAIR_HISTORY = {
         # the round's last committed seal (post checksum-injectivity
         # fix; headline 11.161 — best on record): best cold reading yet
         "r15_final_seal": 3.364,
+        # first-draw-eligible r16 seal (headline 11.481, second-best;
+        # the five-axis gate's first live pass)
+        "r16_seal": 4.925,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
