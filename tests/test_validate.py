@@ -98,6 +98,43 @@ def test_checksum_nul_value_differs_from_null(spark):
     assert ca != cb
 
 
+def test_checksum_length_semantics_agree_cross_engine(spark):
+    # ADVICE r15 item 2: the length prefix pins a cross-engine contract —
+    # both engines' length() must count CODE POINTS over the rendered
+    # string. Verify live on multibyte text (2-byte é, 3-byte ✓, 4-byte
+    # surrogate-pair emoji): Spark length == DuckDB length == Python
+    # code points, and the full checksum matches the DuckDB oracle
+    # rendering on the same rows.
+    import duckdb
+
+    vals = ["héllo", "日本語テキスト", "émoji \U0001f44d", "ascii"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v string")
+    got = {r.v: r.ln for r in
+           df.select("v", F.length("v").alias("ln")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        duck_len = con.execute("SELECT length(?)", [v]).fetchone()[0]
+        assert got[v] == duck_len == len(v), v
+
+    spark_sum = group_checksum(df, [], ["id", "v"]).first().checksum
+    duck_rows = ", ".join(
+        f"({i}, '{v}')" for i, v in enumerate(vals))
+    duck_sum = con.execute(f"""
+        WITH t(id, v) AS (VALUES {duck_rows}),
+        r AS (SELECT concat_ws('|',
+                CASE WHEN id IS NULL THEN 'N'
+                     ELSE concat('V', length(CAST(id AS VARCHAR)), ':',
+                                 CAST(id AS VARCHAR)) END,
+                CASE WHEN v IS NULL THEN 'N'
+                     ELSE concat('V', length(v), ':', v) END) AS s
+             FROM t)
+        SELECT CAST(SUM(CAST(CAST(concat('0x', substr(md5(s), 1, 15))
+                   AS BIGINT) AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        FROM r""").fetchone()[0]
+    assert spark_sum == duck_sum
+
+
 def test_checksum_value_mimicking_encoding_differs(spark):
     # the encoding is self-delimiting: a VALUE that spells out another
     # row's full rendering ('V1:x|V1:y') must not collide with the
