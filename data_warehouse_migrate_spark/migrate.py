@@ -672,19 +672,22 @@ class MigrationJob:
         version_keys = [*key_cols, from_col]
         delta = snapshot_delta(nxt, hist, version_keys).persist(
             StorageLevel.MEMORY_AND_DISK)
-        counts = {r.change_type: int(r.n_rows) for r in
-                  (delta.groupBy("change_type").agg(
-                      F.count("*").alias("n_rows")).collect())}
-        opened = counts.get("insert", 0)
-        closed = counts.get("update", 0)
-        out: dict[str, Any] = {
-            "status": "success", "scd2": True, "first_run": False,
-            "destination": self.destination_path,
-            "batch_date": batch_date,
-            "versions_opened": opened, "versions_closed": closed,
-            "history_rows": sum(counts.values()),
-        }
         try:
+            # the counting job sits INSIDE the try (same contract as
+            # run_incremental, r16): a failure materializing the delta
+            # must not leave it cached either
+            counts = {r.change_type: int(r.n_rows) for r in
+                      (delta.groupBy("change_type").agg(
+                          F.count("*").alias("n_rows")).collect())}
+            opened = counts.get("insert", 0)
+            closed = counts.get("update", 0)
+            out: dict[str, Any] = {
+                "status": "success", "scd2": True, "first_run": False,
+                "destination": self.destination_path,
+                "batch_date": batch_date,
+                "versions_opened": opened, "versions_closed": closed,
+                "history_rows": sum(counts.values()),
+            }
             if opened or closed:
                 if self.destination_format == "jdbc":
                     changed = delta.filter(
