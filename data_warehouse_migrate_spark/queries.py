@@ -4035,14 +4035,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         embedding_near_dup_exact), and embedding_pca (twin-less;
     #         its cell-exact contract is the committed fixed-matrix
     #         eigen-oracle in tests/test_similarity.py, r15).
-    # 37-50:  14 r14-green window queries rotating back in (rule 1), in
-    #         ledger order: dedup_simhash .. embedding_quantize.
+    # 37-49:  13 r14-green window queries rotating back in (rule 1), in
+    #         ledger order: dedup_simhash .. embedding_centroids.
     #         multimodal_decode (ledger slot 39) doubles as the rule-2
     #         pin for this round's decode_image_features change (the
     #         always-available builtin BMP/PNM decoder tier, r15 verdict
     #         item 7 — the registry query pins fake_decode=True, so its
     #         results are unchanged by construction; it re-verifies
     #         in-window regardless, per rule 2's function granularity).
+    #    50:  rule-2 pin, added LATE in r16: run_sessionize_stream's
+    #         session-conf save/override/restore became atomic under
+    #         concurrency (_SESSION_CONF_LOCK around query start — two
+    #         in-flight calls could interleave the capture and
+    #         permanently re-point spark.sql.shuffle.partitions),
+    #         changing sessionize_stream's execution path; it re-verifies
+    #         in-window. The r14-green fill it displaces
+    #         (embedding_quantize, code untouched) moves to the head of
+    #         the tail and leads r17 — its newest external row stays
+    #         r14, cadence claim unchanged.
     # (The round's other code diffs touch MigrationJob.run_incremental
     # — try/finally around the delta persist/apply, r15 verdict item 4 —
     # which NO registry query calls (q_incremental_migrate drives
@@ -4115,8 +4125,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_keep": q_dedup_near_keep,
     "dest_projection": q_dest_projection,
     "embedding_centroids": q_embedding_centroids,
+    # 50: rule-2 pin (late-r16 concurrency fix on the sessionize runner)
+    "sessionize_stream": q_sessionize_stream,
+    # --- 51-76: r14-green remainder — LEAD the r17 window (rule 1),
+    #            displaced fill first
     "embedding_quantize": q_embedding_quantize,
-    # --- 51-75: r14-green remainder — LEAD the r17 window (rule 1)
     "embedding_truncate": q_embedding_truncate,
     "event_type_pivot": q_event_type_pivot,
     "frame_sample": q_frame_sample,
@@ -4142,7 +4155,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_preservation": q_string_preservation,
     "top_orders_per_cust": q_top_orders_per_cust,
     "unigram_logprob": q_unigram_logprob,
-    # --- 76-125: r15-green window queries rotating out (rule 3)
+    # --- 77-125: r15-green window queries rotating out (rule 3;
+    #             49 minus the slot-50 sessionize_stream pin)
     "vocab_topk": q_vocab_topk,
     "contamination_check": q_contamination_check,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4191,7 +4205,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "migration_checksum": q_migration_checksum,
     "dedup_exact_stream": q_dedup_exact_stream,
-    "sessionize_stream": q_sessionize_stream,
     "events_hourly_stream": q_events_hourly_stream,
 }
 

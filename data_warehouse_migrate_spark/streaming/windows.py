@@ -11,8 +11,15 @@ trigger.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# serializes the session-conf save/override/restore window around
+# streaming-query starts (see run_sessionize_stream) — the only place
+# the package mutates a session conf it must put back
+_SESSION_CONF_LOCK = threading.Lock()
 
 
 def tumbling_window_agg(df: DataFrame, ts_col: str, window: str = "1 hour",
@@ -396,20 +403,31 @@ def run_sessionize_stream(spark: SparkSession, source_path: str,
               .outputMode("append").trigger(availableNow=True))
     if ckpt_dir:
         writer = writer.option("checkpointLocation", ckpt_dir)
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     # lifecycle decomposition (r7 verdict item 5): the one-shot drain's
     # wall time = start (plan + state-store init) + drain (micro-batch
     # execution + poll latency) + stop (query shutdown). Recorded into
     # LAST_STREAM_STATE so BENCH_DETAIL can show which part is the fixed
     # per-query floor that a long-running stream amortizes away.
     t0 = _time.time()
-    try:
+    if state_partitions:
+        # the capture/set/start/restore of the SESSION-shared shuffle-
+        # partition conf must be atomic across threads (r16): two
+        # concurrent runner calls interleaving here would capture each
+        # other's override as "previous" and permanently re-point the
+        # session's conf (A saves 32→sets 16; B saves 16; A restores 32;
+        # B restores 16). The lock covers only query START — a streaming
+        # query's state layout is fixed by the conf it starts under —
+        # so drains still overlap freely.
+        with _SESSION_CONF_LOCK:
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
+            try:
+                q = writer.start()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    else:
         q = writer.start()
-    finally:
-        if state_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     t_started = _time.time()
     t_drained = None
     # recentProgress is a RING BUFFER (default cap 100 entries): a drain
@@ -569,7 +587,9 @@ def _capture_stream_metrics(progress) -> None:
 
 #: lifecycle metrics of the most recent STREAMING RUNNER call in this
 #: process — run_sessionize_stream or run_windowed_counts_stream both
-#: fill (and clear) it (ADVICE r10; filled best-effort, see capture above)
+#: fill (and clear) it (ADVICE r10; filled best-effort, see capture
+#: above). Concurrent runner calls are last-writer-wins here by design:
+#: the dict is bench diagnostics, never part of a returned result.
 LAST_STREAM_STATE: dict = {}
 
 

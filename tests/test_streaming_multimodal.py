@@ -747,6 +747,55 @@ def test_windowed_counts_stream_concurrent_invocations(
     assert leaked == []
 
 
+def test_sessionize_stream_concurrent_invocations(spark, events, tmp_path):
+    """r16: the stateful runner's session-conf save/override/restore is
+    atomic under concurrency (_SESSION_CONF_LOCK) — two in-flight calls
+    with DIFFERENT state_partitions overrides must both return exact
+    gap-closed sessions AND leave spark.sql.shuffle.partitions exactly
+    where it started (the unlocked interleaving could permanently
+    re-point the session at either override)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_warehouse_migrate_spark.streaming.windows import (
+        run_sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_conc_src")
+    events.limit(1500).write.parquet(src)
+    conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    barrier = threading.Barrier(2, timeout=120)
+
+    def run(gap, sp):
+        barrier.wait()
+        out = run_sessionize_stream(spark, src, gap_minutes=gap,
+                                    state_partitions=sp)
+        return {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in out.collect()}
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(run, 30, 8)
+        f2 = ex.submit(run, 5, 12)
+        got30, got5 = f1.result(timeout=300), f2.result(timeout=300)
+
+    assert spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+
+    def expected(gap):
+        rows = sessionize(spark.read.parquet(src), "user_id", "ts",
+                          gap_minutes=gap).collect()
+        last = {}
+        for r in rows:
+            cur = last.get(r.user_id)
+            if cur is None or r.session_start > cur.session_start:
+                last[r.user_id] = r
+        return {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in rows if r is not last[r.user_id]}
+
+    assert got30 == expected(30)
+    assert got5 == expected(5)
+    assert got30 != got5  # distinguishable — a swap cannot pass
+
+
 def test_run_enrich_stream_ts_cols_parameter(spark, events, tmp_path):
     """r15 review: the event-time column(s) to normalize are a
     parameter (default ['ts']) — a source whose event time has another
