@@ -417,6 +417,10 @@ EARLY_SUITE_PAIR_HISTORY = {
         # first-draw-eligible r16 seal (headline 11.481, second-best;
         # the five-axis gate's first live pass)
         "r16_seal": 4.925,
+        # the round's last committed seal (post sessionize-lock fix,
+        # headline 12.582; draw 2 between them was band-discarded with
+        # 0/74 counters moved — the lock is plan-neutral, measured)
+        "r16_final_seal": 4.588,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
