@@ -479,3 +479,72 @@ def test_bigrams_match_python_reference(spark, texts):
         return [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
 
     assert got == [ref(t) for t in texts]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_builtin_decoder_containers_agree_with_luma_reference(data):
+    """builtin_decode_fn (r16): for ARBITRARY small images, a 24-bit BMP
+    and a P6 PPM of the SAME pixels both decode to the hand-computed
+    integer-luma statistics — and an 8-bit palette BMP / P5 PGM of the
+    grayscale plane reproduces them. Pure-Python property (no Spark
+    job per example)."""
+    import struct
+
+    from data_warehouse_migrate_spark.operators.multimodal import (
+        builtin_decode_fn,
+    )
+
+    dec = builtin_decode_fn()
+    w = data.draw(st.integers(1, 8), label="w")
+    h = data.draw(st.integers(1, 8), label="h")
+    flat = data.draw(st.lists(
+        st.tuples(*[st.integers(0, 255)] * 3),
+        min_size=w * h, max_size=w * h), label="pixels")
+    px = [flat[r * w:(r + 1) * w] for r in range(h)]
+    topdown = data.draw(st.booleans(), label="topdown_bmp")
+
+    lum = [(r * 299 + g * 587 + b * 114) // 1000
+           for row in px for (r, g, b) in row]
+    want = ((sum(lum) * 1_000_000 // len(lum)) / 1e6,
+            min(lum), max(lum), lum[-1])
+
+    def check(d):
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["mean_byte"], *map(int, d["feature"][1:])) == want
+
+    # 24-bit BMP, both row orders (negative height = top-down storage)
+    stride = (w * 3 + 3) & ~3
+    rows_src = px if topdown else list(reversed(px))
+    raster = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        + b"\0" * (stride - w * 3) for row in rows_src)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if topdown else h,
+                      1, 24, 0, len(raster), 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54) + dib + raster
+    check(dec(bmp))
+
+    # P6 PPM of the same pixels (with a header comment)
+    p6 = (f"P6\n# c\n{w} {h}\n255\n".encode()
+          + b"".join(bytes(p) for row in px for p in row))
+    check(dec(p6))
+
+    # P5 PGM of the luma plane: same stats by construction
+    p5 = f"P5\n{w} {h} 255\n".encode() + bytes(lum)
+    check(dec(p5))
+
+    # 8-bit palette BMP whose palette IS the gray ramp of this image's
+    # distinct luma values
+    ramp = sorted(set(lum))
+    idx_of = {v: i for i, v in enumerate(ramp)}
+    stride8 = (w + 3) & ~3
+    raster8 = b"".join(
+        bytes(idx_of[lum[r * w + c]] for c in range(w))
+        + b"\0" * (stride8 - w) for r in reversed(range(h)))
+    palb = b"".join(bytes((v, v, v, 0)) for v in ramp)
+    off = 54 + len(palb)
+    dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster8),
+                       0, 0, len(ramp), 0)
+    bmp8 = (b"BM" + struct.pack("<IHHI", off + len(raster8), 0, 0, off)
+            + dib8 + palb + raster8)
+    check(dec(bmp8))
