@@ -122,11 +122,13 @@ def builtin_decode_fn() -> Callable[[bytes], dict]:
     per-item guard in the decode loop turns that into a NULL-features
     row, per the engine's T3 cast contract.
 
-    Feature convention mirrors ``pil_decode_fn``: dimensions, integer
-    micro-unit mean of the grayscale plane (luma ``(299R+587G+114B)//
-    1000`` for color sources), and a 4-dim summary
-    ``[n_bytes % 251, min, max, last grayscale byte]`` — deterministic
-    integer arithmetic throughout.
+    Feature convention matches ``pil_decode_fn`` EXACTLY (r16 ADVICE
+    item 1): dimensions, integer micro-unit mean of the grayscale plane
+    — luma via PIL's rounded ITU-R 601-2 fixed-point transform
+    ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` for color sources,
+    so the same image yields bit-identical features whichever tier
+    resolves — and a 4-dim summary ``[n_bytes % 251, min, max, last
+    grayscale byte]``. Deterministic integer arithmetic throughout.
     """
     import struct
 
@@ -145,10 +147,13 @@ def builtin_decode_fn() -> Callable[[bytes], dict]:
         }
 
     def _luma(rgb: "np.ndarray") -> "np.ndarray":
+        # PIL's convert("L") fixed-point transform (Convert.c L24 macro):
+        # rounded, not floored — max term fits uint32 (255*65536 + 0x8000)
         r = rgb[..., 0].astype(np.uint32)
         g = rgb[..., 1].astype(np.uint32)
         b = rgb[..., 2].astype(np.uint32)
-        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+            np.uint8)
 
     def _decode_bmp(content: bytes) -> dict:
         if len(content) < 54:
@@ -173,7 +178,12 @@ def builtin_decode_fn() -> Callable[[bytes], dict]:
             gray = _luma(bgr[..., ::-1])
         else:
             pal_off = 14 + hdr
-            n_pal = (off - pal_off) // 4
+            # biClrUsed (offset 46, present for any biSize >= 40) bounds
+            # the palette; files may pad between palette and pixel data,
+            # so (off - pal_off) // 4 alone can over-count and map indices
+            # into non-palette bytes (r16 ADVICE item 3)
+            (clr_used,) = struct.unpack_from("<I", content, 46)
+            n_pal = min(clr_used or 256, (off - pal_off) // 4)
             if n_pal <= 0:
                 raise ValueError("8-bit BMP without a palette")
             pal = np.frombuffer(content, dtype=np.uint8, count=n_pal * 4,
@@ -205,13 +215,26 @@ def builtin_decode_fn() -> Callable[[bytes], dict]:
             if start == pos:
                 raise ValueError("truncated PNM header")
             vals.append(int(content[start:pos]))
+        # exactly ONE whitespace byte separates maxval from the raster;
+        # anything else (a comment, EOF) would silently shift the raster
+        # read, so it must raise instead (r16 ADVICE item 2). A CRLF pair
+        # from a text-mode writer counts as one separator.
+        sep = content[pos:pos + 1]
+        if not sep.isspace():
+            raise ValueError("PNM maxval must be followed by one "
+                             "whitespace byte")
         pos += 1
+        if sep == b"\r" and content[pos:pos + 1] == b"\n":
+            pos += 1
         w, h, maxval = vals
         if w <= 0 or h <= 0 or not 0 < maxval < 256:
             raise ValueError("unsupported PNM (need 1-byte samples)")
         nch = 3 if content[:2] == b"P6" else 1
-        if pos + w * h * nch > len(content):
-            raise ValueError("truncated PNM raster")
+        # exact-length check: trailing bytes mean either a multi-image
+        # PNM (only the first would decode) or a misparsed header — both
+        # are safer as a NULL row than a silently-wrong decode
+        if pos + w * h * nch != len(content):
+            raise ValueError("PNM raster length mismatch")
         px = np.frombuffer(content, dtype=np.uint8, count=w * h * nch,
                            offset=pos)
         gray = _luma(px.reshape(h, w, 3)) if nch == 3 else px.reshape(h, w)

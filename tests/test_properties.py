@@ -504,7 +504,7 @@ def test_builtin_decoder_containers_agree_with_luma_reference(data):
     px = [flat[r * w:(r + 1) * w] for r in range(h)]
     topdown = data.draw(st.booleans(), label="topdown_bmp")
 
-    lum = [(r * 299 + g * 587 + b * 114) // 1000
+    lum = [(r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16  # PIL's L
            for row in px for (r, g, b) in row]
     want = ((sum(lum) * 1_000_000 // len(lum)) / 1e6,
             min(lum), max(lum), lum[-1])

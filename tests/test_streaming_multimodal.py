@@ -161,14 +161,19 @@ def _bmp8_bytes(idx_rows, palette):
     return hdr + dib + palb + raster
 
 
+def _pil_luma(r, g, b):
+    """PIL convert("L")'s rounded fixed-point ITU-R 601-2 transform —
+    the builtin tier matches it bit-exactly (r16 ADVICE item 1)."""
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
 def test_builtin_decoder_roundtrip():
     # r15 verdict item 7: generated BMP/PPM/PGM bytes decode through the
     # always-available pure-Python tier to hand-computed luma features
     dec = builtin_decode_fn()
     px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
           [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
-    lum = [(r * 299 + g * 587 + b * 114) // 1000
-           for row in px for (r, g, b) in row]
+    lum = [_pil_luma(r, g, b) for row in px for (r, g, b) in row]
     want_mean = (sum(lum) * 1_000_000 // len(lum)) / 1e6
 
     bmp = dec(_bmp24_bytes(px))
@@ -195,7 +200,7 @@ def test_builtin_decoder_roundtrip():
     # 8-bit palette BMP decodes through the palette's luma
     pal = [(0, 0, 0), (255, 255, 255), (200, 100, 50)]
     idx = [[0, 1, 2], [2, 1, 0]]
-    lum8 = [(r * 299 + g * 587 + b * 114) // 1000 for (r, g, b) in pal]
+    lum8 = [_pil_luma(r, g, b) for (r, g, b) in pal]
     flat = [lum8[i] for row in idx for i in row]
     b8 = dec(_bmp8_bytes(idx, pal))
     assert (b8["width"], b8["height"]) == (3, 2)
@@ -208,6 +213,61 @@ def test_builtin_decoder_roundtrip():
             dec(bad)
 
 
+def test_builtin_decoder_bmp8_palette_padding():
+    # r16 ADVICE item 3: a gap between palette and pixel data must not
+    # inflate the palette — biClrUsed (offset 46) bounds it, so indices
+    # can't map into the padding bytes
+    import struct
+
+    dec = builtin_decode_fn()
+    pal = [(0, 0, 0), (255, 255, 255), (200, 100, 50)]
+    idx = [[0, 1, 2], [2, 1, 0]]
+    h, w = len(idx), len(idx[0])
+    stride = (w + 3) & ~3
+    raster = b"".join(bytes(row) + b"\0" * (stride - w)
+                      for row in reversed(idx))
+    palb = b"".join(bytes((b, g, r, 0)) for (r, g, b) in pal)
+    pad = b"\xff" * 8  # padding a naive (off - pal_off) // 4 would absorb
+    off = 54 + len(palb) + len(pad)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster),
+                      0, 0, len(pal), 0)
+    out = dec(hdr + dib + palb + pad + raster)
+    lum8 = [_pil_luma(r, g, b) for (r, g, b) in pal]
+    flat = [lum8[i] for row in idx for i in row]
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["mean_byte"] == (sum(flat) * 1_000_000 // len(flat)) / 1e6
+    assert out["feature"][1:] == [float(min(flat)), float(max(flat)),
+                                  float(flat[-1])]
+    # an index beyond biClrUsed's bound still raises, padding or not
+    bad_raster = bytes([len(pal), 0, 0, 0]) * h
+    bad = (b"BM" + struct.pack("<IHHI", off + len(bad_raster), 0, 0, off)
+           + dib + palb + pad + bad_raster)
+    with pytest.raises(ValueError):
+        dec(bad)
+
+
+def test_builtin_decoder_pnm_separator_strictness():
+    # r16 ADVICE item 2: the byte after maxval must be whitespace — a
+    # comment there would silently shift the raster read, so it raises;
+    # a CRLF pair (text-mode writer) counts as ONE separator; trailing
+    # bytes after the raster are a misparse signal, not silent data
+    dec = builtin_decode_fn()
+    raster = bytes([0, 128, 255, 7])
+
+    crlf = b"P5\n2 2 255\r\n" + raster
+    out = dec(crlf)
+    assert (out["width"], out["height"]) == (2, 2)
+    assert out["mean_byte"] == (390 * 1_000_000 // 4) / 1e6
+
+    with pytest.raises(ValueError):  # comment between maxval and raster
+        dec(b"P5\n2 2 255# c\n" + raster)
+    with pytest.raises(ValueError):  # trailing junk after the raster
+        dec(b"P5\n2 2 255\n" + raster + b"\0")
+    with pytest.raises(ValueError):  # header runs to EOF
+        dec(b"P5\n2 2 255")
+
+
 def test_default_decode_uses_builtin_tier(spark):
     # no explicit decode_fn, no fake_decode: PIL-or-builtin resolves, so
     # real BMP bytes decode and garbage bytes become NULL-features rows
@@ -217,9 +277,10 @@ def test_default_decode_uses_builtin_tier(spark):
     df = spark.createDataFrame(rows, "id long, content binary")
     out = {r.id: r for r in decode_image_features(df, "content", "id").collect()}
     assert (out[1].width, out[1].height) == (2, 1)
-    if not _has_pil():  # builtin tier: exact floor-div luma mean
-        lum = [(r * 299 + g * 587 + b * 114) // 1000 for (r, g, b) in px[0]]
-        assert out[1].mean_byte == (sum(lum) * 1_000_000 // 2) / 1e6
+    # both real tiers share PIL's rounded luma, so the expected mean no
+    # longer depends on whether PIL is installed (r16 ADVICE item 1)
+    lum = [_pil_luma(r, g, b) for (r, g, b) in px[0]]
+    assert out[1].mean_byte == (sum(lum) * 1_000_000 // 2) / 1e6
     assert out[2].width is None and out[2].feature is None
     assert out[2].n_bytes == len(b"not an image at all")
 
