@@ -363,7 +363,18 @@ def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
                             continue
                         nch, rate = w.getnchannels(), w.getframerate()
                         nfr = w.getnframes()
-                        pcm = np.frombuffer(w.readframes(nfr),
+                        raw = w.readframes(nfr)
+                        # getnframes() is the DECLARED data-chunk size;
+                        # a chunk that overruns EOF (truncation, bogus
+                        # size field) still "opens" but delivers fewer
+                        # bytes — that would silently report a wrong
+                        # n_samples/duration, so treat it as undecodable
+                        # (same misparse rule as the PNM raster check)
+                        if len(raw) != nfr * sw * nch:
+                            rows.append((rid, len(content), None, None,
+                                         None, None, None))
+                            continue
+                        pcm = np.frombuffer(raw,
                                             dtype=dtypes[sw]).astype(np.float64)
                         if sw == 1:
                             pcm -= 128.0  # 8-bit WAV is unsigned

@@ -4014,64 +4014,138 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   The full cell-exact parity suite (tests/test_oracle_parity.py)
     #   runs locally every round regardless of window position.
     #
-    # r16 window composition (registry FROZEN at 125 — zero new entries;
+    # r17 window composition (registry FROZEN at 125 — zero new entries;
     # with this window green, no query's newest external row is older
-    # than r14 — the sixth refresh cycle stays on the <=3-round cadence):
-    #  1-28:  the 28 r13-green — the oldest newest-rows in the registry —
-    #         lead (rule 1; committed by the r15 ledger and r15 verdict
-    #         item 1): the four rule-2-displaced fills first (sessionize,
-    #         salted_event_totals, scrub_pii, doc_fingerprints), then
-    #         ledger order click_purchase_interval .. dedup_keep_rows.
-    #         (The r15 ledger's "29 rows" label was a miscount — ADVICE
-    #         r15 item 1; the block has always held 28. Slot labels here
-    #         are derived from the actual counts.)
-    # 29-36:  the five rule-4 rows-only residents last refreshed r14
-    #         (due by r17 — taken a round early for slack, r15 verdict
-    #         item 2, the same move that worked r13-r15) with their
-    #         oracle-checked exact twins riding along (rule 4a):
-    #         approx_distinct_users (twin distinct_users_exact),
-    #         embedding_lsh_ann + embedding_ivf (shared exact twin
-    #         embedding_topk), embedding_near_dup (twin
-    #         embedding_near_dup_exact), and embedding_pca (twin-less;
-    #         its cell-exact contract is the committed fixed-matrix
-    #         eigen-oracle in tests/test_similarity.py, r15).
-    # 37-49:  13 r14-green window queries rotating back in (rule 1), in
-    #         ledger order: dedup_simhash .. embedding_centroids.
-    #         multimodal_decode (ledger slot 39) doubles as the rule-2
-    #         pin for this round's decode_image_features change (the
-    #         always-available builtin BMP/PNM decoder tier, r15 verdict
-    #         item 7 — the registry query pins fake_decode=True, so its
-    #         results are unchanged by construction; it re-verifies
-    #         in-window regardless, per rule 2's function granularity).
-    #    50:  rule-2 pin, added LATE in r16: run_sessionize_stream's
-    #         session-conf save/override/restore became atomic under
-    #         concurrency (_SESSION_CONF_LOCK around query start — two
-    #         in-flight calls could interleave the capture and
-    #         permanently re-point spark.sql.shuffle.partitions),
-    #         changing sessionize_stream's execution path; it re-verifies
-    #         in-window. The r14-green fill it displaces
-    #         (embedding_quantize, code untouched) moves to the head of
-    #         the tail and leads r17 — its newest external row stays
-    #         r14, cadence claim unchanged.
-    # (The round's other code diffs touch MigrationJob.run_incremental
-    # — try/finally around the delta persist/apply, r15 verdict item 4 —
-    # which NO registry query calls (q_incremental_migrate drives
-    # operators/delta.snapshot_delta directly; the method is covered by
-    # tests/test_migrate.py incl. a new failing-apply unpersist
-    # regression and the live Derby suite), bench.py (seal-eligibility
-    # mechanization), and tests/scripts — no other registry query's
-    # execution path changes, so no further rule-2 pins.)
-    # Tail 51-75: the 25 r14-green remainder — LEAD the r17 window
-    #         (rule 1), in ledger order: embedding_truncate ..
-    #         unigram_logprob. No rule-4 residents among them.
-    # Tail 76-125: the 50 r15-green window queries rotating out (rule 3
+    # than r15 — the seventh refresh cycle stays on the <=3-round
+    # cadence):
+    #  1-26:  the 26 r14-green remainder — the oldest newest-rows in the
+    #         registry — lead (rule 1; committed by the r16 ledger and
+    #         r16 verdict item 1): the late-r16 displaced fill
+    #         embedding_quantize first, then ledger order
+    #         embedding_truncate .. unigram_logprob.
+    # 27-30:  the two rule-4 rows-only residents last refreshed r15
+    #         (due by r18 — taken a round early for slack, r16 verdict
+    #         item 5, the same move that has worked since r13) with
+    #         their oracle-checked exact twins riding along (rule 4a):
+    #         dedup_minhash (twin minhash_sigs) and
+    #         approx_value_percentiles (twin value_percentiles).
+    #    31:  multimodal_decode — decoder-adjacent pin for this round's
+    #         builtin_decode_fn changes (PIL-rounded luma, strict PNM
+    #         separator + exact raster length, biClrUsed palette bound —
+    #         r16 ADVICE items 1-3). Strictly, rule 2 does NOT bind: the
+    #         registry query pins fake_decode=True, so the changed
+    #         functions are not on its execution path (function
+    #         granularity) and its results are unchanged by
+    #         construction; it re-verifies in-window anyway, same
+    #         belt-and-braces call as r16's decoder-tier round.
+    # 32-50:  19 r15-green window queries rotating back in (rule 1), in
+    #         r15 window order: vocab_topk .. span_decontaminate.
+    # (The round's only other package diff is decode_audio_features'
+    # declared-vs-actual frame-count check — NO registry query calls it
+    # (audio decode has no oracle-able query; it is covered by
+    # test_streaming_multimodal incl. the new malformed-RIFF suite) —
+    # so no further rule-2 pins.)
+    # Tail 51-76: the 26 r15-green remainder — LEAD the r18 window
+    #         (rule 1), in r15 window order: hard_negatives ..
+    #         events_hourly_stream. No rule-4 residents among them.
+    # Tail 77-125: the 49 r16-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
-    #         this round), in r15 window order. Rows-only rule-4
-    #         residents dedup_minhash and approx_value_percentiles were
-    #         refreshed r15 — due by r18; the five refreshed THIS round
-    #         (r16) are due by r19.
-    # --- 1-28: r13-green leads (rule 1; per the r15 ledger, displaced
-    #            rule-2 fills first)
+    #         this round; 50 minus the multimodal_decode pin kept
+    #         in-window), in r16 window order. Rows-only rule-4
+    #         residents refreshed r16 (approx_distinct_users,
+    #         embedding_lsh_ann, embedding_ivf, embedding_near_dup,
+    #         embedding_pca) are due by r19; dedup_minhash and
+    #         approx_value_percentiles refresh THIS round (r17) — due
+    #         by r20.
+    # --- 1-26: r14-green remainder leads (rule 1; displaced fill
+    #           first, then ledger order)
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
+    "event_type_pivot": q_event_type_pivot,
+    "frame_sample": q_frame_sample,
+    "inf_cleanup": q_inf_cleanup,
+    "late_ship_orders": q_late_ship_orders,
+    "latest_partition_multi": q_latest_partition_multi,
+    "mapping_computed": q_mapping_computed,
+    "mapping_defaults": q_mapping_defaults,
+    "mapping_format": q_mapping_format,
+    "mapping_rename_reorder": q_mapping_rename_reorder,
+    "null_policy_fill": q_null_policy_fill,
+    "order_priority_counts": q_order_priority_counts,
+    "props_json_extract": q_props_json_extract,
+    "pseudonymize_customers": q_pseudonymize_customers,
+    "quality_band_filter": q_quality_band_filter,
+    "region_rollup": q_region_rollup,
+    "revenue_rollup": q_revenue_rollup,
+    "rolling_event_features": q_rolling_event_features,
+    "running_total": q_running_total,
+    "scan_orderby_limit": q_scan_orderby_limit,
+    "set_ops_users": q_set_ops_users,
+    "shipping_priority": q_shipping_priority,
+    "string_preservation": q_string_preservation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "unigram_logprob": q_unigram_logprob,
+    # --- 27-30: rule-4 rows-only residents (due r18, taken early)
+    #            with their exact twins riding along (rule 4a)
+    "dedup_minhash": q_dedup_minhash,
+    "minhash_sigs": q_minhash_sigs,
+    "approx_value_percentiles": q_approx_value_percentiles,
+    "value_percentiles": q_value_percentiles,
+    # --- 31: decoder-adjacent pin (r16 ADVICE items 1-3; see the
+    #         composition note — rule 2 does not strictly bind)
+    "multimodal_decode": q_multimodal_decode,
+    # --- 32-50: r15-green, rotating back in (rule 1; 19 of 49), in
+    #            r15 window order
+    "vocab_topk": q_vocab_topk,
+    "contamination_check": q_contamination_check,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
+    "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "semantic_dedup": q_semantic_dedup,
+    "clean_corpus": q_clean_corpus,
+    "gopher_quality": q_gopher_quality,
+    "token_budget_sample": q_token_budget_sample,
+    "mixture_upsample": q_mixture_upsample,
+    "repeated_spans": q_repeated_spans,
+    "strip_spans": q_strip_spans,
+    "span_decontaminate": q_span_decontaminate,
+    # --- 51-76: r15-green remainder — LEAD the r18 window (rule 1),
+    #            in r15 window order
+    "hard_negatives": q_hard_negatives,
+    "temperature_mixture": q_temperature_mixture,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_stats": q_corpus_stats,
+    "fluency_band": q_fluency_band,
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
+    "last_touch_attribution": q_last_touch_attribution,
+    "local_supplier_volume": q_local_supplier_volume,
+    "dedup_clusters": q_dedup_clusters,
+    "simhash": q_simhash,
+    "event_zscore": q_event_zscore,
+    "salted_event_join": q_salted_event_join,
+    "asof_order_price": q_asof_order_price,
+    "range_join_clicks": q_range_join_clicks,
+    "mixture_sample": q_mixture_sample,
+    "incremental_migrate": q_incremental_migrate,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "metadata_probes": q_metadata_probes,
+    "cast_source_schema": q_cast_source_schema,
+    "events_hourly": q_events_hourly,
+    "quality_score": q_quality_score,
+    "migration_checksum": q_migration_checksum,
+    "dedup_exact_stream": q_dedup_exact_stream,
+    "events_hourly_stream": q_events_hourly_stream,
+    # --- 77-125: r16-green window queries rotating out (rule 3; 49 =
+    #             50 minus the multimodal_decode pin), in r16 window
+    #             order
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
@@ -4100,8 +4174,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "default_backfill": q_default_backfill,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_rows": q_dedup_keep_rows,
-    # --- 29-36: rule-4 rows-only residents (due r17, taken early) with
-    #            their exact twins riding along (rule 4a)
     "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_exact": q_distinct_users_exact,
     "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -4110,11 +4182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "embedding_pca": q_embedding_pca,
-    # --- 37-50: r14-green, rotating back in (rule 1; 14 of 47) —
-    #            multimodal_decode is also this round's rule-2 pin
     "dedup_simhash": q_dedup_simhash,
     "line_dedup": q_line_dedup,
-    "multimodal_decode": q_multimodal_decode,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
     "fuzzy_match_customers": q_fuzzy_match_customers,
@@ -4125,87 +4194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_keep": q_dedup_near_keep,
     "dest_projection": q_dest_projection,
     "embedding_centroids": q_embedding_centroids,
-    # 50: rule-2 pin (late-r16 concurrency fix on the sessionize runner)
     "sessionize_stream": q_sessionize_stream,
-    # --- 51-76: r14-green remainder — LEAD the r17 window (rule 1),
-    #            displaced fill first
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_truncate": q_embedding_truncate,
-    "event_type_pivot": q_event_type_pivot,
-    "frame_sample": q_frame_sample,
-    "inf_cleanup": q_inf_cleanup,
-    "late_ship_orders": q_late_ship_orders,
-    "latest_partition_multi": q_latest_partition_multi,
-    "mapping_computed": q_mapping_computed,
-    "mapping_defaults": q_mapping_defaults,
-    "mapping_format": q_mapping_format,
-    "mapping_rename_reorder": q_mapping_rename_reorder,
-    "null_policy_fill": q_null_policy_fill,
-    "order_priority_counts": q_order_priority_counts,
-    "props_json_extract": q_props_json_extract,
-    "pseudonymize_customers": q_pseudonymize_customers,
-    "quality_band_filter": q_quality_band_filter,
-    "region_rollup": q_region_rollup,
-    "revenue_rollup": q_revenue_rollup,
-    "rolling_event_features": q_rolling_event_features,
-    "running_total": q_running_total,
-    "scan_orderby_limit": q_scan_orderby_limit,
-    "set_ops_users": q_set_ops_users,
-    "shipping_priority": q_shipping_priority,
-    "string_preservation": q_string_preservation,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "unigram_logprob": q_unigram_logprob,
-    # --- 77-125: r15-green window queries rotating out (rule 3;
-    #             49 minus the slot-50 sessionize_stream pin)
-    "vocab_topk": q_vocab_topk,
-    "contamination_check": q_contamination_check,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "doc_repetition": q_doc_repetition,
-    "chunk_documents": q_chunk_documents,
-    "pmi_collocations": q_pmi_collocations,
-    "bigram_logprob": q_bigram_logprob,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
-    "semantic_dedup": q_semantic_dedup,
-    "clean_corpus": q_clean_corpus,
-    "gopher_quality": q_gopher_quality,
-    "token_budget_sample": q_token_budget_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "repeated_spans": q_repeated_spans,
-    "strip_spans": q_strip_spans,
-    "span_decontaminate": q_span_decontaminate,
-    "hard_negatives": q_hard_negatives,
-    "temperature_mixture": q_temperature_mixture,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "corpus_stats": q_corpus_stats,
-    "fluency_band": q_fluency_band,
-    "funnel_events": q_funnel_events,
-    "dedup_minhash": q_dedup_minhash,
-    "minhash_sigs": q_minhash_sigs,
-    "approx_value_percentiles": q_approx_value_percentiles,
-    "value_percentiles": q_value_percentiles,
-    "cohort_retention": q_cohort_retention,
-    "last_touch_attribution": q_last_touch_attribution,
-    "local_supplier_volume": q_local_supplier_volume,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "event_zscore": q_event_zscore,
-    "salted_event_join": q_salted_event_join,
-    "asof_order_price": q_asof_order_price,
-    "range_join_clicks": q_range_join_clicks,
-    "mixture_sample": q_mixture_sample,
-    "incremental_migrate": q_incremental_migrate,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "metadata_probes": q_metadata_probes,
-    "cast_source_schema": q_cast_source_schema,
-    "events_hourly": q_events_hourly,
-    "quality_score": q_quality_score,
-    "migration_checksum": q_migration_checksum,
-    "dedup_exact_stream": q_dedup_exact_stream,
-    "events_hourly_stream": q_events_hourly_stream,
 }
 
 

@@ -394,6 +394,47 @@ def test_decode_audio_features_sample_widths(spark):
     assert out[2].n_bytes == len(w24)
 
 
+def test_decode_audio_features_malformed_riff(spark):
+    """r16 verdict item 8: blobs that LOOK like RIFF/WAVE but carry a
+    corrupt chunk structure must become NULL-features rows, not fail the
+    batch — this is the docstring's never-fail contract on the paths
+    where stdlib ``wave`` raises wave.Error/EOFError/RuntimeError
+    (non-PCM format tag, truncation mid-chunk, chunk size overrunning
+    EOF, missing data chunk)."""
+    import struct
+
+    from data_warehouse_migrate_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    good = _wav_bytes(rate=8000, n=800)
+
+    def fmt_chunk(tag):
+        return (b"fmt " + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", tag, 1, 8000, 16000, 2, 16))
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+    non_pcm = riff(fmt_chunk(85)  # MP3 format tag — wave.Error
+                   + b"data" + struct.pack("<I", 4) + b"\0" * 4)
+    truncated = good[:30]  # cut inside the fmt chunk
+    # data chunk whose declared size runs far past EOF (odd, too)
+    overrun = riff(fmt_chunk(1) + b"data" + struct.pack("<I", 0xFFFFFF1)
+                   + b"\0" * 8)
+    no_data = riff(fmt_chunk(1))  # fmt but no data chunk
+    garbage_chunks = riff(b"\xff" * 3)  # too short to even be a chunk header
+
+    rows = [(0, good), (1, non_pcm), (2, truncated), (3, overrun),
+            (4, no_data), (5, garbage_chunks)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in decode_audio_features(df, "content", "id").collect()}
+    assert out[0].sample_rate == 8000 and out[0].n_samples == 800
+    for i, blob in rows[1:]:
+        assert out[i].sample_rate is None and out[i].rms is None, i
+        assert out[i].n_bytes == len(blob)
+
+
 def test_sample_frames(binary_df):
     out = sample_frames(binary_df, "content", "id", every_n_bytes=40, max_frames=4)
     rows = out.filter(F.col("id") == 4).orderBy("frame_idx").collect()
