@@ -447,14 +447,19 @@ SEAL_VS_PUBLISHED_HISTORY = {
         "r13": {"seal": 11.608, "published": 16.393},
         "r14": {"seal": 13.116, "published": 18.381},
         "r15": {"seal": 11.161, "published": 11.656},
+        # r16 published started at ambient loadavg 7.22 (host_quiet_at_
+        # start: warn) with a contiguous contention band; the live
+        # attribute_drift read on the pair: 0/74 plan counters moved
+        "r16": {"seal": 12.582, "published": 13.522},
     },
-    "reading": ("quiet-host seals 11.2-13.1s across r12-r15 while the "
+    "reading": ("quiet-host seals 11.2-13.1s across r12-r16 while the "
                 "driver's round-end reruns read 11.9 -> 16.4 -> 18.4 -> "
-                "11.7 — every divergence attributed to host contention "
-                "with 0 of 74 plan counters moved (drift_attribution "
-                "blocks in the r13-r15 artifacts); the seal series is "
-                "the code-health signal, the published series includes "
-                "the driver window's host state"),
+                "11.7 -> 13.5 — every divergence attributed to host "
+                "contention with 0 of 74 plan counters moved "
+                "(drift_attribution blocks in the r13-r16 artifacts); "
+                "the seal series is the code-health signal, the "
+                "published series includes the driver window's host "
+                "state"),
 }
 
 # Diffuse-slowness discard (r15 verdict item 3): a run can start quiet

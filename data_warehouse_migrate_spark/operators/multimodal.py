@@ -399,6 +399,12 @@ def sample_frames(df: DataFrame, binary_col: str, id_col: str,
     rows — one row per sampled offset. The byte-slicing stands in for real
     frame extraction; offsets/partitioning/explode shape are the real
     pattern. Pure JVM expressions (no UDF)."""
+    if every_n_bytes <= 0 or max_frames <= 0:
+        # fail at call time, not rows-deep as an executor-side
+        # DIVIDE_BY_ZERO (same eager-validation convention as
+        # attach_media_columns)
+        raise ValueError("every_n_bytes and max_frames must be positive "
+                         f"(got {every_n_bytes}, {max_frames})")
     n = F.length(F.col(binary_col))
     n_frames = F.least(F.greatest((n / every_n_bytes).cast("int"), F.lit(1)),
                        F.lit(max_frames))

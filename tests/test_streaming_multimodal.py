@@ -435,6 +435,15 @@ def test_decode_audio_features_malformed_riff(spark):
         assert out[i].n_bytes == len(blob)
 
 
+def test_sample_frames_rejects_nonpositive_params(binary_df):
+    # degenerate parameters fail at call time with a clear message, not
+    # rows-deep in the job as an executor-side DIVIDE_BY_ZERO
+    for kw in ({"every_n_bytes": 0}, {"every_n_bytes": -8},
+               {"max_frames": 0}):
+        with pytest.raises(ValueError, match="must be positive"):
+            sample_frames(binary_df, "content", "id", **kw)
+
+
 def test_sample_frames(binary_df):
     out = sample_frames(binary_df, "content", "id", every_n_bytes=40, max_frames=4)
     rows = out.filter(F.col("id") == 4).orderBy("frame_idx").collect()
