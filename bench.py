@@ -421,6 +421,11 @@ EARLY_SUITE_PAIR_HISTORY = {
         # headline 12.582; draw 2 between them was band-discarded with
         # 0/74 counters moved — the lock is plan-neutral, measured)
         "r16_final_seal": 4.588,
+        # r17 committed seal (draw 3, headline 13.370; draw 1 passed
+        # the gate at 13.822 but was operator-discarded for the
+        # post-replay drain confound, draw 2 was band-withheld at
+        # 14.297 — 0/74 counters moved on every draw)
+        "r17_seal": 4.265,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
