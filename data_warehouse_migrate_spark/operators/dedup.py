@@ -373,6 +373,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     blow-up there means the threshold/shingle choice, not the data
     volume, is the problem.
     """
+    if n < 1:
+        raise ValueError(f"shingle size n must be >= 1 (got {n})")
+    if max_shingle_freq is not None and max_shingle_freq < 1:
+        # 0 is falsy and silently DISABLED the cap; negatives dropped
+        # every shingle and silently returned zero pairs on any corpus.
+        # Neither is a meaningful frequency bound — pass None to disable.
+        raise ValueError(
+            f"max_shingle_freq must be >= 1 when given (got "
+            f"{max_shingle_freq})")
     from pyspark.sql import Window as W
 
     # persist + size in ONE job: the sizing aggregate is itself the
@@ -487,7 +496,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, k: int = 16) -> DataFrame:
-    """(id, shingles, sig: array<long>[k]) MinHash signatures."""
+    """(id, shingles, sig: array<long>[k]) MinHash signatures.
+
+    Invalid sizes fail HERE, eagerly (the attach_media_columns
+    convention): k=0 builds an empty signature whose band hash later
+    fails analysis with an opaque arity error, and n=0 shingles are
+    meaningless — neither should surface rows-deep on an executor.
+    """
+    from data_warehouse_migrate_spark.functions.text import MINHASH_A
+
+    if n < 1:
+        raise ValueError(f"shingle size n must be >= 1 (got {n})")
+    if not 1 <= k <= len(MINHASH_A):
+        raise ValueError(f"k must be in [1, {len(MINHASH_A)}] — one affine "
+                         f"permutation per signature element (got {k})")
     sets = _shingle_sets(df, text_col, id_col, n)
     return sets.withColumn("sig", minhash_signature(F.col("shingles"), k))
 
@@ -503,7 +525,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     1-(1-J^r)^b. Candidates are generated per band bucket (groupBy-join,
     shuffle on band hash — never all-pairs), then exact-verified.
     """
-    assert k % bands == 0
+    if not 1 <= bands <= k:
+        raise ValueError(f"bands must be in [1, k={k}] (got {bands})")
+    if k % bands:
+        raise ValueError(f"k must divide evenly into bands — r = k/bands "
+                         f"rows per band (got k={k}, bands={bands})")
     r = k // bands
     # persist + size in ONE job: the sizing aggregate over the (persisted)
     # frame is itself the materializing action — a separate count would
@@ -557,6 +583,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash) fingerprints (60-bit default) — oracle-twinnable in SQL."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] — the md5-prefix token "
+                         f"hash has 60 usable bits (got {bits})")
     return df.select(F.col(id_col).alias("id"),
                      simhash(F.col(text_col), bits).alias("simhash"))
 
@@ -573,6 +602,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     32768 keeps buckets tiny — then expands pairs in-bucket and filters
     hamming BEFORE the dedup shuffle (candidates that fail the radius
     never hit a distinct)."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0 (got {max_hamming})")
+    if not 1 <= bands <= bits:
+        # bands > bits makes every band slice 0 bits wide — ALL
+        # fingerprints share the single empty-key bucket and the banded
+        # join silently degenerates to all-pairs (correct output through
+        # the hamming filter, corpus² cost: the exact failure mode
+        # banding exists to prevent). bands=0 divided by zero.
+        raise ValueError(f"bands must be in [1, bits={bits}] (got {bands})")
     fp = simhash_fingerprints(spread_input(df), text_col, id_col, bits)
     width = bits // bands
     mask = (1 << width) - 1
@@ -1023,6 +1061,16 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     ``diag`` (bench-only) receives cells / max_cell / pairs eagerly.
     """
     import math
+
+    if n_cells < 1:
+        # n_cells=0 used to seed ZERO centroids on a NON-empty corpus,
+        # which routed into the empty-corpus early-return — the operator
+        # silently returned an EMPTY kept corpus (total data loss) for a
+        # parameter typo. Fail at call time instead.
+        raise ValueError(f"n_cells must be >= 1 (got {n_cells})")
+    if max_bucket_size < 1:
+        raise ValueError(
+            f"max_bucket_size must be >= 1 (got {max_bucket_size})")
 
     from data_warehouse_migrate_spark.functions.vectors import dot, normalize
     from data_warehouse_migrate_spark.operators.similarity import (

@@ -50,6 +50,10 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float,
     is a pure integer comparison — portable and pushdown-friendly (a
     narrow filter, no shuffle; at 100 TB this is a scan predicate).
     ``salt`` per stage when chaining samplers (see ``_draw``)."""
+    if not 0.0 <= fraction <= 1.0:
+        # out-of-range fractions silently kept nothing (<0) or everything
+        # (>1) — a keep probability, not a clamp; fail at call time
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
     threshold = int(fraction * HASH_SPACE)
     return df.filter(_draw(id_col, salt) < F.lit(threshold))
 
@@ -62,6 +66,18 @@ def train_eval_split(df: DataFrame, id_col: str, n_buckets: int = 100,
     "eval", the rest "train". Adding data never moves an existing row
     across splits — membership depends only on the row's own id. Pure
     projection: no shuffle, no state."""
+    if n_buckets < 1:
+        # pmod(h, 0) is NULL, which falls through every WHEN — n_buckets=0
+        # silently labeled the whole corpus "train"
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    if eval_buckets < 0 or test_buckets < 0:
+        raise ValueError(f"eval_buckets/test_buckets must be >= 0 (got "
+                         f"{eval_buckets}, {test_buckets})")
+    if eval_buckets + test_buckets > n_buckets:
+        # a negative train range silently relabels train rows as eval
+        raise ValueError(
+            f"eval_buckets + test_buckets must be <= n_buckets (got "
+            f"{eval_buckets} + {test_buckets} > {n_buckets})")
     bucket = F.pmod(_draw(id_col), F.lit(n_buckets))
     eval_lo = n_buckets - test_buckets - eval_buckets
     test_lo = n_buckets - test_buckets
@@ -92,6 +108,10 @@ def weighted_bernoulli_sample(df: DataFrame, id_col: str, weight_col: str,
     decimal operands, so engines with different float rounding still select
     identical rows. Weights are taken at cent precision (2 decimal
     places). Narrow filter, no shuffle."""
+    if not max_weight > 0:
+        # max_weight <= 0 makes every keep "probability" >= 1 for any
+        # positively-weighted row — the filter silently kept everything
+        raise ValueError(f"max_weight must be > 0 (got {max_weight})")
     w_cents = F.round(F.col(weight_col) * 100, 0).cast("decimal(38,0)")
     # round, not truncate: int(0.29 * 100) is 28 — a truncated W would
     # inflate every keep probability (and push weight==max_weight past 1)
@@ -126,6 +146,11 @@ def shuffle_corpus(df: DataFrame, id_col: str, salt: str = "v1",
     sorts, and the written shards ARE the training order. Collision odds
     at 2⁻⁶⁰ per pair leave ties broken by id — still deterministic.
     """
+    if n_shards is not None and n_shards < 1:
+        # 0 is falsy and silently fell back to defaultParallelism — an
+        # explicit shard count of zero is a mistake, not a default request
+        raise ValueError(
+            f"n_shards must be >= 1 when given (got {n_shards})")
     key = _draw(id_col, salt)
     n = n_shards or df.sparkSession.sparkContext.defaultParallelism
     return (df.withColumn("shuffle_key", key)

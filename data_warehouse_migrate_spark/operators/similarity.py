@@ -31,12 +31,23 @@ def _resolve_planes(corpus: DataFrame, n_planes: int | None,
     MUST size identically or probes land in the wrong buckets."""
     import math
 
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1 (got {bands})")
     if n_planes is None:
         n = corpus.count()
         r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
         n_planes = bands * r
+    if n_planes < bands:
+        # r = n_planes/bands < 1 means 0-bit band keys: every vector in
+        # one bucket per table — the probe join silently degenerates to
+        # all-pairs (the exact blow-up banding exists to prevent)
+        raise ValueError(
+            f"n_planes must be >= bands (got n_planes={n_planes}, "
+            f"bands={bands})")
     r = n_planes // bands
-    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    if bands * r != n_planes:
+        raise ValueError(f"n_planes must divide evenly into bands (got "
+                         f"n_planes={n_planes}, bands={bands})")
     return n_planes, r
 
 
@@ -139,6 +150,12 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
     """
     from data_warehouse_migrate_spark.functions.vectors import normalize
 
+    if k < 1:
+        # k=0 used to collect zero seeds and raise the EMPTY-CORPUS error
+        # on a perfectly good corpus — misleading at 3am; say what's wrong
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
     # NULL / empty vectors — and vectors CONTAINING a NULL element —
     # would poison everything downstream (a NULL seed breaks list(); a
     # NULL element makes the decimal element-sum silently skip rows, so
@@ -367,6 +384,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     (cells ≈ sqrt(rows) is the usual IVF sizing) so each cell stays a
     bounded slice.
     """
+    if n_cells < 1:
+        # zero "lowid" centroids built a malformed empty-array argmax that
+        # failed analysis with an opaque extract error; zero "kmeans"
+        # centroids raised the misleading empty-corpus message
+        raise ValueError(f"n_cells must be >= 1 (got {n_cells})")
+    if nprobe < 1:
+        # slice(..., 1, 0) probes NO cells: every query silently returns
+        # zero neighbors — empty output from a parameter typo, not data
+        raise ValueError(f"nprobe must be >= 1 (got {nprobe})")
     if centroids == "kmeans":
         cents = kmeans_centroids(corpus, corpus_vec, corpus_id,
                                  k=n_cells, n_iter=kmeans_iter)
@@ -442,6 +468,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
+    if not 0 <= probe_bits <= 2:
+        # _probe_keys enumerates 0-, 1- and 2-flip probes; a larger value
+        # would silently probe only 2 flips — refuse rather than under-probe
+        raise ValueError(f"probe_bits must be 0, 1 or 2 (got {probe_bits})")
+    if max_bucket_size is not None and max_bucket_size < 1:
+        raise ValueError(
+            f"max_bucket_size must be >= 1 when given (got {max_bucket_size})")
     n_planes, r = _resolve_planes(corpus, n_planes, bands)
 
     def _indexed(df, id_name, vec_name, out_id, out_vec):
@@ -560,6 +593,11 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     from data_warehouse_migrate_spark.functions.vectors import band_keys_sql
     from data_warehouse_migrate_spark.operators.dedup import _probe_keys
 
+    if not 0 <= probe_bits <= 2:
+        raise ValueError(f"probe_bits must be 0, 1 or 2 (got {probe_bits})")
+    if max_bucket_size is not None and max_bucket_size < 1:
+        raise ValueError(
+            f"max_bucket_size must be >= 1 when given (got {max_bucket_size})")
     spark = queries.sparkSession
     props = {r["key"]: r["value"] for r in
              spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()}

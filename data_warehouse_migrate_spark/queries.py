@@ -4038,25 +4038,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         granularity) and its results are unchanged by
     #         construction; it re-verifies in-window anyway, same
     #         belt-and-braces call as r16's decoder-tier round.
-    # 32-50:  19 r15-green window queries rotating back in (rule 1), in
-    #         r15 window order: vocab_topk .. span_decontaminate.
-    # (The round's only other package diff is decode_audio_features'
-    # declared-vs-actual frame-count check — NO registry query calls it
-    # (audio decode has no oracle-able query; it is covered by
-    # test_streaming_multimodal incl. the new malformed-RIFF suite) —
-    # so no further rule-2 pins.)
-    # Tail 51-76: the 26 r15-green remainder — LEAD the r18 window
+    # 32-38:  7 r15-green window queries rotating back in (rule 1 —
+    #         the first five unpinned in r15 window order, plus the two
+    #         rule-2 pins dedup_ngram_jaccard and semantic_dedup whose
+    #         operators gained validation this round).
+    # 39-50:  12 rule-2 pins for the r17 EAGER-VALIDATION leg: this
+    #         round adds call-time ValueError guards to
+    #         dedup.{minhash_signatures,minhash_lsh_pairs,
+    #         ngram_jaccard_pairs,simhash_fingerprints,
+    #         simhash_near_pairs,semantic_dedup},
+    #         similarity.{_resolve_planes,kmeans_centroids,ivf_topk,
+    #         lsh_topk,lsh_topk_indexed} and sampling.{hash_sample,
+    #         train_eval_split,weighted_bernoulli_sample,
+    #         shuffle_corpus} — every registry query on those paths is
+    #         pinned in-window: cross_corpus_dedup, dedup_clusters,
+    #         dedup_near_keep, simhash, dedup_simhash, embedding_topk,
+    #         embedding_lsh_ann, embedding_ivf, hash_sample_orders,
+    #         train_eval_split, weighted_sample_orders, shuffle_corpus.
+    #         embedding_lsh_ann/embedding_ivf are rows-only rule-4
+    #         residents (refreshed here → due r20) with exact twin
+    #         embedding_topk riding along (rule 4a). The audio-decode
+    #         diff (decode_audio_features frame-count check) pins
+    #         nothing — no registry query calls it (covered by
+    #         test_streaming_multimodal).
+    # Tail 51-74: the 24 remaining r15-green remainder (26 minus the
+    #         dedup_clusters/simhash pins) — LEAD the r18 window
     #         (rule 1), in r15 window order: hard_negatives ..
     #         events_hourly_stream. No rule-4 residents among them.
-    # Tail 77-125: the 49 r16-green window queries rotating out (rule 3
+    # Tail 75-86: the 12 r15-green displaced from slots 32-50 by the
+    #         validation pins (code untouched — newest row stays r15):
+    #         bigram_logprob .. span_decontaminate. They also lead r18.
+    # Tail 87-125: the 39 r16-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
-    #         this round; 50 minus the multimodal_decode pin kept
-    #         in-window), in r16 window order. Rows-only rule-4
-    #         residents refreshed r16 (approx_distinct_users,
-    #         embedding_lsh_ann, embedding_ivf, embedding_near_dup,
-    #         embedding_pca) are due by r19; dedup_minhash and
-    #         approx_value_percentiles refresh THIS round (r17) — due
-    #         by r20.
+    #         this round; 50 minus the multimodal_decode pin minus the
+    #         ten validation pins), in r16 window order. Rows-only
+    #         rule-4 residents refreshed r16 (approx_distinct_users,
+    #         embedding_near_dup, embedding_pca) are due by r19;
+    #         dedup_minhash, approx_value_percentiles, embedding_lsh_ann
+    #         and embedding_ivf refresh THIS round (r17) — due by r20.
     # --- 1-26: r14-green remainder leads (rule 1; displaced fill
     #           first, then ledger order)
     "embedding_quantize": q_embedding_quantize,
@@ -4094,7 +4113,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 31: decoder-adjacent pin (r16 ADVICE items 1-3; see the
     #         composition note — rule 2 does not strictly bind)
     "multimodal_decode": q_multimodal_decode,
-    # --- 32-50: r15-green, rotating back in (rule 1; 19 of 49), in
+    # --- 32-38: r15-green, rotating back in (rule 1; 5 + the two
+    #            rule-2 pins dedup_ngram_jaccard / semantic_dedup), in
     #            r15 window order
     "vocab_topk": q_vocab_topk,
     "contamination_check": q_contamination_check,
@@ -4102,21 +4122,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "chunk_documents": q_chunk_documents,
     "pmi_collocations": q_pmi_collocations,
-    "bigram_logprob": q_bigram_logprob,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "jdbc_roundtrip": q_jdbc_roundtrip,
-    "enrich_stream": q_enrich_stream,
     "semantic_dedup": q_semantic_dedup,
-    "clean_corpus": q_clean_corpus,
-    "gopher_quality": q_gopher_quality,
-    "token_budget_sample": q_token_budget_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "repeated_spans": q_repeated_spans,
-    "strip_spans": q_strip_spans,
-    "span_decontaminate": q_span_decontaminate,
-    # --- 51-76: r15-green remainder — LEAD the r18 window (rule 1),
-    #            in r15 window order
+    # --- 39-50: rule-2 pins for the r17 eager-validation leg — every
+    #            registry query whose execution path includes a function
+    #            that gained call-time parameter validation this round
+    #            (dedup: minhash/ngram-jaccard/simhash/semantic_dedup;
+    #            similarity: _resolve_planes/lsh/ivf/kmeans; sampling:
+    #            hash_sample/train_eval_split/weighted/shuffle_corpus).
+    #            embedding_lsh_ann and embedding_ivf are rows-only
+    #            rule-4 residents (refreshed here → due r20) with their
+    #            exact twin embedding_topk riding along (rule 4a).
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
+    "simhash": q_simhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "hash_sample_orders": q_hash_sample_orders,
+    "train_eval_split": q_train_eval_split,
+    "weighted_sample_orders": q_weighted_sample_orders,
+    "shuffle_corpus": q_shuffle_corpus,
+    # --- 51-74: r15-green remainder (24 = 26 minus the dedup_clusters
+    #            and simhash validation pins above) — LEAD the r18
+    #            window (rule 1), in r15 window order
     "hard_negatives": q_hard_negatives,
     "temperature_mixture": q_temperature_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4126,8 +4156,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "last_touch_attribution": q_last_touch_attribution,
     "local_supplier_volume": q_local_supplier_volume,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
     "event_zscore": q_event_zscore,
     "salted_event_join": q_salted_event_join,
     "asof_order_price": q_asof_order_price,
@@ -4143,8 +4171,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "migration_checksum": q_migration_checksum,
     "dedup_exact_stream": q_dedup_exact_stream,
     "events_hourly_stream": q_events_hourly_stream,
-    # --- 77-125: r16-green window queries rotating out (rule 3; 49 =
-    #             50 minus the multimodal_decode pin), in r16 window
+    # --- 75-86: r15-green displaced from slots 32-50 by the validation
+    #            pins (code untouched this round — their newest row stays
+    #            r15) — they ALSO lead the r18 window, in r15 window
+    #            order
+    "bigram_logprob": q_bigram_logprob,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
+    "enrich_stream": q_enrich_stream,
+    "clean_corpus": q_clean_corpus,
+    "gopher_quality": q_gopher_quality,
+    "token_budget_sample": q_token_budget_sample,
+    "mixture_upsample": q_mixture_upsample,
+    "repeated_spans": q_repeated_spans,
+    "strip_spans": q_strip_spans,
+    "span_decontaminate": q_span_decontaminate,
+    # --- 87-125: r16-green window queries rotating out (rule 3; 39 =
+    #             50 minus the multimodal_decode pin minus the ten
+    #             validation pins pulled back in above), in r16 window
     #             order
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
@@ -4152,18 +4197,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "click_purchase_interval": q_click_purchase_interval,
     "curriculum_buckets": q_curriculum_buckets,
-    "cross_corpus_dedup": q_cross_corpus_dedup,
     "hypertable_rollup": q_hypertable_rollup,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "profile_orders": q_profile_orders,
-    "hash_sample_orders": q_hash_sample_orders,
-    "train_eval_split": q_train_eval_split,
     "stratified_sample": q_stratified_sample,
-    "weighted_sample_orders": q_weighted_sample_orders,
     "reservoir_sample": q_reservoir_sample,
-    "shuffle_corpus": q_shuffle_corpus,
     "winsorize_events": q_winsorize_events,
     "mad_outliers_events": q_mad_outliers_events,
     "scd2_customers": q_scd2_customers,
@@ -4176,13 +4216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_rows": q_dedup_keep_rows,
     "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_exact": q_distinct_users_exact,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "embedding_pca": q_embedding_pca,
-    "dedup_simhash": q_dedup_simhash,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
@@ -4191,7 +4227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_clusters": q_entity_clusters,
     "customers_without_orders": q_customers_without_orders,
     "decontaminate_corpus": q_decontaminate_corpus,
-    "dedup_near_keep": q_dedup_near_keep,
     "dest_projection": q_dest_projection,
     "embedding_centroids": q_embedding_centroids,
     "sessionize_stream": q_sessionize_stream,
