@@ -426,6 +426,11 @@ EARLY_SUITE_PAIR_HISTORY = {
         # post-replay drain confound, draw 2 was band-withheld at
         # 14.297 — 0/74 counters moved on every draw)
         "r17_seal": 4.265,
+        # r17 re-seal at the round's final code (the eager-validation
+        # leg; headline 12.735 on a quieter host, bands=[], 0/74
+        # counters changed vs the 13.370 sidecar — the validation
+        # guards are measured plan-neutral)
+        "r17_final_seal": 4.422,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
