@@ -29,7 +29,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    The bare ``dot/(norm·norm)`` divides by zero on an all-zero vector —
+    and Spark 4 runs ANSI mode by DEFAULT, where that is a
+    DIVIDE_BY_ZERO *job failure*, not a NaN: one zero embedding (a
+    standard bad-encoder artifact) anywhere in a 100 TB corpus would
+    kill every similarity query that touches it (caught by the r17
+    zero-norm sweep). ``try_divide`` yields NULL instead — evaluated
+    once, no duplicated norm subtree — and NULL is the honest value for
+    an undefined similarity: filters drop it, and the top-k paths
+    exclude it explicitly (``_topk_by_query``)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def normalize(a: Column) -> Column:
@@ -39,9 +50,19 @@ def normalize(a: Column) -> Column:
     P array passes on a P-pair similarity join. The norm subtree is
     re-evaluated per element inside the lambda (no cross-lambda subexpr
     elimination), but that is O(dim²) per ROW, not per pair — negligible
-    next to the pair loop it saves."""
+    next to the pair loop it saves.
+
+    The all-zero vector stays all-zero (same contract as
+    ``truncate_normalize`` and the driver-side ``similarity._unit``):
+    under Spark 4's default ANSI mode the unguarded division is a
+    DIVIDE_BY_ZERO job failure on the first bad embedding, and a
+    zero vector dots to 0 with everything — below any positive
+    similarity threshold, so zero-norm rows are simply never near
+    anything."""
     n = norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    return F.when(n == F.lit(0.0),
+                  F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n))
 
 
 def hyperplane_projections(vec: Column, n_planes: int) -> Column:

@@ -994,7 +994,11 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))
-        .filter(F.col("cosine") >= threshold)
+        # ~isnan is load-bearing: Spark evaluates NaN >= t as TRUE (NaN
+        # compares greater than everything), so a single NaN embedding
+        # would otherwise emit fake "duplicate" pairs against every row
+        # it meets — and near_dup_removal would then DELETE those rows
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -1017,7 +1021,8 @@ def embedding_exact_pairs(df: DataFrame, vec_col: str, id_col: str,
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6))
-        .filter(F.col("cosine") >= threshold)
+        # NaN >= t is TRUE in Spark — same fake-pair guard as the LSH path
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -1115,7 +1120,10 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     pairs = (cand
              .withColumn("cosine",
                          F.round(dot(F.col("a.__nv"), F.col("b.__nv")), 6))
-             .filter(F.col("cosine") >= threshold)
+             # NaN >= t is TRUE in Spark: unguarded, one NaN embedding
+             # pairs with its whole cell, the CC step fuses the cell
+             # into one cluster, and near_dup_removal mass-deletes it
+             .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
              .select(F.least("a.id", "b.id").alias("id_a"),
                      F.greatest("a.id", "b.id").alias("id_b")))
     if diag is not None:

@@ -67,8 +67,10 @@ def train_eval_split(df: DataFrame, id_col: str, n_buckets: int = 100,
     across splits — membership depends only on the row's own id. Pure
     projection: no shuffle, no state."""
     if n_buckets < 1:
-        # pmod(h, 0) is NULL, which falls through every WHEN — n_buckets=0
-        # silently labeled the whole corpus "train"
+        # pmod(h, 0) fails rows-deep: REMAINDER_BY_ZERO under Spark 4's
+        # default ANSI mode (verified live), NULL-falls-through-every-
+        # WHEN → silent all-"train" with ANSI off — an executor error or
+        # a silently wrong split depending on a session conf; fail here
         raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
     if eval_buckets < 0 or test_buckets < 0:
         raise ValueError(f"eval_buckets/test_buckets must be >= 0 (got "

@@ -74,6 +74,13 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    # undefined similarity is not a neighbor: NULL (zero-norm side,
+    # vectors.cosine's try_divide contract) would be ranked by the
+    # window, and NaN (NaN input element) sorts ABOVE every real double
+    # in a DESC ordering — one bad embedding would fill rank 1 of every
+    # query (same guard as _topk_by_query / hard_negatives)
+    scored = scored.filter(F.col("cosine").isNotNull()
+                           & ~F.isnan("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -116,7 +123,12 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame,
                       & F.col("corpus_label").isNotNull()
                       & (F.col("__ql") != F.col("corpus_label")))
               .withColumn("cosine",
-                          F.round(cosine(F.col("__qv"), F.col("__cv")), 6)))
+                          F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+              # undefined similarity is not a negative: NULL (zero-norm
+              # side) would be ranked, NaN (NaN element) sorts ABOVE
+              # every real cosine in the DESC window — same guard as
+              # _topk_by_query
+              .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -264,6 +276,14 @@ def _topk_by_query(scored: DataFrame, k: int,
     aggregate, then rank through a row_number window — two wide ops,
     but both spill to disk instead of holding candidates in aggregation
     buffers at all. Same rows, same order."""
+    # undefined similarity is NOT a neighbor: cosine is NULL for a
+    # zero-norm side (vectors.cosine's try_divide contract) and NaN when
+    # an input element is NaN — unguarded, a NULL-field struct sorts
+    # FIRST in the bounded array_sort and NaN sorts first in the
+    # unbounded DESC window (Spark orders NaN above every double), so a
+    # single bad embedding would fill rank 1 of every query it reaches
+    scored = scored.filter(F.col("cosine").isNotNull()
+                           & ~F.isnan("cosine"))
     if bounded:
         member = F.struct((-F.col("cosine")).alias("nc"),
                           F.col("corpus_id").alias("corpus_id"))

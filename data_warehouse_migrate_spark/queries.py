@@ -4038,11 +4038,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         granularity) and its results are unchanged by
     #         construction; it re-verifies in-window anyway, same
     #         belt-and-braces call as r16's decoder-tier round.
-    # 32-38:  7 r15-green window queries rotating back in (rule 1 —
-    #         the first five unpinned in r15 window order, plus the two
+    # 32-35:  4 r15-green window queries rotating back in (rule 1 —
+    #         the first two unpinned in r15 window order, plus the two
     #         rule-2 pins dedup_ngram_jaccard and semantic_dedup whose
     #         operators gained validation this round).
-    # 39-50:  12 rule-2 pins for the r17 EAGER-VALIDATION leg: this
+    # 36-47:  12 rule-2 pins for the r17 EAGER-VALIDATION leg: this
     #         round adds call-time ValueError guards to
     #         dedup.{minhash_signatures,minhash_lsh_pairs,
     #         ngram_jaccard_pairs,simhash_fingerprints,
@@ -4061,21 +4061,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         diff (decode_audio_features frame-count check) pins
     #         nothing — no registry query calls it (covered by
     #         test_streaming_multimodal).
-    # Tail 51-74: the 24 remaining r15-green remainder (26 minus the
-    #         dedup_clusters/simhash pins) — LEAD the r18 window
-    #         (rule 1), in r15 window order: hard_negatives ..
-    #         events_hourly_stream. No rule-4 residents among them.
-    # Tail 75-86: the 12 r15-green displaced from slots 32-50 by the
-    #         validation pins (code untouched — newest row stays r15):
-    #         bigram_logprob .. span_decontaminate. They also lead r18.
-    # Tail 87-125: the 39 r16-green window queries rotating out (rule 3
+    # 48-50:  3 rule-2 pins for the r17 ZERO-NORM/NaN EMBEDDING leg
+    #         (vectors.normalize / vectors.cosine zero-safety + the
+    #         NULL/NaN ranking and pair-filter guards in
+    #         similarity/dedup): hard_negatives, embedding_near_dup
+    #         (rule-4 resident, refreshed here → due r20) with exact
+    #         twin embedding_near_dup_exact (rule 4a). semantic_dedup,
+    #         embedding_topk, embedding_lsh_ann and embedding_ivf are
+    #         on this leg's paths too — already pinned above.
+    # Tail 51-73: the 23 remaining r15-green remainder (26 minus the
+    #         dedup_clusters/simhash/hard_negatives pins) — LEAD the
+    #         r18 window (rule 1), in r15 window order:
+    #         temperature_mixture .. events_hourly_stream. No rule-4
+    #         residents among them.
+    # Tail 74-88: the 15 r15-green displaced from slots 32-50 by the
+    #         validation and zero-norm pins (code untouched — newest
+    #         row stays r15): doc_repetition .. span_decontaminate.
+    #         They also lead r18.
+    # Tail 89-125: the 37 r16-green window queries rotating out (rule 3
     #         — driver-green last round; no code on their paths changes
     #         this round; 50 minus the multimodal_decode pin minus the
-    #         ten validation pins), in r16 window order. Rows-only
-    #         rule-4 residents refreshed r16 (approx_distinct_users,
-    #         embedding_near_dup, embedding_pca) are due by r19;
-    #         dedup_minhash, approx_value_percentiles, embedding_lsh_ann
-    #         and embedding_ivf refresh THIS round (r17) — due by r20.
+    #         twelve validation/zero-norm pins), in r16 window order.
+    #         Rows-only rule-4 residents refreshed r16
+    #         (approx_distinct_users, embedding_pca) are due by r19;
+    #         dedup_minhash, approx_value_percentiles,
+    #         embedding_lsh_ann, embedding_ivf and embedding_near_dup
+    #         refresh THIS round (r17) — due by r20.
     # --- 1-26: r14-green remainder leads (rule 1; displaced fill
     #           first, then ledger order)
     "embedding_quantize": q_embedding_quantize,
@@ -4119,9 +4130,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "contamination_check": q_contamination_check,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "doc_repetition": q_doc_repetition,
-    "chunk_documents": q_chunk_documents,
-    "pmi_collocations": q_pmi_collocations,
     "semantic_dedup": q_semantic_dedup,
     # --- 39-50: rule-2 pins for the r17 eager-validation leg — every
     #            registry query whose execution path includes a function
@@ -4144,10 +4152,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_eval_split": q_train_eval_split,
     "weighted_sample_orders": q_weighted_sample_orders,
     "shuffle_corpus": q_shuffle_corpus,
-    # --- 51-74: r15-green remainder (24 = 26 minus the dedup_clusters
-    #            and simhash validation pins above) — LEAD the r18
-    #            window (rule 1), in r15 window order
+    # --- 48-50: rule-2 pins for the r17 zero-norm/NaN embedding leg
+    #            (vectors.normalize keeps all-zero vectors, cosine →
+    #            try_divide NULL, ranking/pair filters exclude NULL/NaN
+    #            — Spark 4 ANSI made the unguarded divisions job
+    #            failures, and NaN >= t is TRUE in Spark so NaN rows
+    #            emitted fake duplicate pairs): embedding_near_dup is a
+    #            rule-4 rows-only resident (refreshed here → due r20)
+    #            with exact twin embedding_near_dup_exact riding along.
     "hard_negatives": q_hard_negatives,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    # --- 51-73: r15-green remainder (23 = 26 minus the dedup_clusters,
+    #            simhash and hard_negatives pins above) — LEAD the r18
+    #            window (rule 1), in r15 window order
     "temperature_mixture": q_temperature_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
@@ -4171,10 +4189,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "migration_checksum": q_migration_checksum,
     "dedup_exact_stream": q_dedup_exact_stream,
     "events_hourly_stream": q_events_hourly_stream,
-    # --- 75-86: r15-green displaced from slots 32-50 by the validation
-    #            pins (code untouched this round — their newest row stays
-    #            r15) — they ALSO lead the r18 window, in r15 window
-    #            order
+    # --- 74-88: r15-green displaced from slots 32-50 by the validation
+    #            and zero-norm pins (code untouched this round — their
+    #            newest row stays r15) — they ALSO lead the r18 window,
+    #            in r15 window order
+    "doc_repetition": q_doc_repetition,
+    "chunk_documents": q_chunk_documents,
+    "pmi_collocations": q_pmi_collocations,
     "bigram_logprob": q_bigram_logprob,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -4187,10 +4208,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans": q_repeated_spans,
     "strip_spans": q_strip_spans,
     "span_decontaminate": q_span_decontaminate,
-    # --- 87-125: r16-green window queries rotating out (rule 3; 39 =
-    #             50 minus the multimodal_decode pin minus the ten
-    #             validation pins pulled back in above), in r16 window
-    #             order
+    # --- 89-125: r16-green window queries rotating out (rule 3; 37 =
+    #             50 minus the multimodal_decode pin minus the twelve
+    #             validation/zero-norm pins pulled back in above), in
+    #             r16 window order
     "sessionize": q_sessionize,
     "salted_event_totals": q_salted_event_totals,
     "scrub_pii": q_scrub_pii,
@@ -4216,8 +4237,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_rows": q_dedup_keep_rows,
     "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_exact": q_distinct_users_exact,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "embedding_pca": q_embedding_pca,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,

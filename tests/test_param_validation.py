@@ -12,9 +12,11 @@ four silent-wrongness classes (each pinned below):
   the empty-corpus early-return).
 - ``simhash_near_pairs(bands > bits)`` banded on 0-bit keys — one
   bucket, silent all-pairs degeneration (correct output, corpus² cost).
-- ``train_eval_split(n_buckets=0)`` labeled the whole corpus "train"
-  (pmod NULL falls through every WHEN); ``weighted_bernoulli_sample
-  (max_weight=0)`` kept every positively-weighted row.
+- ``train_eval_split(n_buckets=0)`` failed rows-deep (REMAINDER_BY_ZERO
+  under Spark 4's default ANSI mode; with ANSI off, pmod NULL falls
+  through every WHEN and silently labels the whole corpus "train");
+  ``weighted_bernoulli_sample(max_weight=0)`` kept every
+  positively-weighted row.
 - ``hash_sample(fraction=-0.1)`` kept nothing, ``fraction=1.1`` kept
   everything, ``shuffle_corpus(n_shards=0)`` silently fell back to the
   default parallelism (0 is falsy).
