@@ -426,11 +426,18 @@ EARLY_SUITE_PAIR_HISTORY = {
         # post-replay drain confound, draw 2 was band-withheld at
         # 14.297 — 0/74 counters moved on every draw)
         "r17_seal": 4.265,
-        # r17 re-seal at the round's final code (the eager-validation
-        # leg; headline 12.735 on a quieter host, bands=[], 0/74
-        # counters changed vs the 13.370 sidecar — the validation
-        # guards are measured plan-neutral)
+        # r17 re-seal at the eager-validation leg's code (headline
+        # 12.735 on a quieter host, bands=[], 0/74 counters changed vs
+        # the 13.370 sidecar — the validation guards are measured
+        # plan-neutral)
         "r17_final_seal": 4.422,
+        # r17 final re-seal at the zero-norm/NaN leg's code (headline
+        # 13.343, quiet 0.0, bands=[], 0/74 ratios over threshold AND
+        # 0/74 counters changed — the cleanest drift reading on
+        # record; the cold pair 5.334 sits just ABOVE the prior
+        # 3.36-5.17 bracket (one cold-JIT sample, reference side fast)
+        # — bracket widens to 3.36-5.34, disclosed)
+        "r17_zero_norm_reseal": 5.334,
     },
     "reading": ("cold bracket ~3.8-5.2x vs the single-thread reference "
                 "loop (whole-stage-codegen compile + first orders "
