@@ -933,12 +933,25 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         normalize,
     )
 
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1 (got {bands})")
+    if probe_bits is not None and not 0 <= probe_bits <= 2:
+        # _probe_keys enumerates 0-, 1- and 2-flip probes; larger values
+        # would silently probe only 2 flips (same guard as lsh_topk)
+        raise ValueError(f"probe_bits must be 0, 1 or 2 (got {probe_bits})")
     if n_planes is None:
         n = df.count()
         r = max(6, math.ceil(math.log2(max(n, 2) / 8.0)))
         n_planes = bands * r
+    if n_planes < bands:
+        # 0-bit band keys: one bucket, silent all-pairs (same guard as
+        # similarity._resolve_planes)
+        raise ValueError(f"n_planes must be >= bands (got "
+                         f"n_planes={n_planes}, bands={bands})")
     r = n_planes // bands
-    assert bands * r == n_planes, "n_planes must divide evenly into bands"
+    if bands * r != n_planes:
+        raise ValueError(f"n_planes must divide evenly into bands (got "
+                         f"n_planes={n_planes}, bands={bands})")
     if probe_bits is None:
         # recall must scale WITH the key space: per the S-curve above, a
         # band of r bits matches with P = Σ_{m≤probe} C(r,m)p^(r−m)(1−p)^m

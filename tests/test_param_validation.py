@@ -114,6 +114,25 @@ def test_simhash_rejects_degenerate_bands_and_bits(docs):
         simhash_near_pairs(docs, "text", "doc_id", max_hamming=-1)
 
 
+def test_embedding_near_dups_rejects_degenerate_lsh_params(vecs):
+    from data_warehouse_migrate_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    with pytest.raises(ValueError, match="bands must be"):
+        embedding_near_dups(vecs, "embedding", "vec_id", bands=0)
+    with pytest.raises(ValueError, match="n_planes must be >= bands"):
+        embedding_near_dups(vecs, "embedding", "vec_id",
+                            n_planes=2, bands=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        embedding_near_dups(vecs, "embedding", "vec_id",
+                            n_planes=10, bands=4)
+    for pb in (-1, 3):
+        with pytest.raises(ValueError, match="probe_bits"):
+            embedding_near_dups(vecs, "embedding", "vec_id",
+                                n_planes=8, bands=4, probe_bits=pb)
+
+
 def test_semantic_dedup_rejects_zero_cells_instead_of_losing_data(vecs):
     with pytest.raises(ValueError, match="n_cells"):
         semantic_dedup(vecs, "embedding", "vec_id", n_cells=0)
