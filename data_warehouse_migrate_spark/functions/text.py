@@ -249,6 +249,45 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def lang_keep(col: Column, allow: tuple[str, ...]) -> Column:
+    """``lang_id(col).isin(*allow)`` with the token split and the three
+    stopword counts bound ONCE per row, for use inside a fused FILTER.
+
+    Filter predicates get no subexpression elimination, so the plain
+    ``lang_id(col).isin(...)`` predicate inlines the whitespace-split
+    subtree into every count reference — the r16 ``clean_corpus`` plan
+    shows ~8 ``split(lower(trim(text)))`` evaluations per row for the
+    language gate alone. Binding the token array via
+    ``transform(array(...))[0]`` (the :func:`gopher_keep` construction)
+    and then the three counts via a second bound struct makes it one
+    split + one count per language per row. Identical values to
+    ``lang_id(col).isin(*allow)`` for every input incl. NULL (NULL in,
+    NULL out — asserted in tests/test_text.py)."""
+    def from_counts(c: Column) -> Column:
+        en, de, fr = c["en"], c["de"], c["fr"]
+        lang = (F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+                .when((en >= de) & (en >= fr), F.lit("en"))
+                .when(de >= fr, F.lit("de"))
+                .otherwise(F.lit("fr")))
+        return lang.isin(*allow)
+
+    def _counter(t: Column, ws: tuple[str, ...]) -> Column:
+        # NB: single-arg lambda only — PySpark treats 2-arg lambdas in
+        # higher-order functions as (element, index), so the usual
+        # default-arg capture (lambda x, ws=ws: ...) breaks here
+        return F.size(F.filter(t, lambda x: x.isin(*ws)))
+
+    def from_toks(t: Column) -> Column:
+        counts = F.struct(*[_counter(t, ws).alias(lang)
+                            for lang, ws in LANG_STOPWORDS.items()])
+        return F.transform(F.array(counts), from_counts)[0]
+
+    # NULL text first: lang_id yields NULL, NULL.isin(...) is NULL —
+    # mirror that instead of letting the counts see a NULL array
+    return F.when(col.isNotNull(),
+                  F.transform(F.array(tokens(col)), from_toks)[0])
+
+
 def duplicate_token_fraction(col: Column) -> Column:
     """Share of tokens that are repeats of an earlier token — the
     token-level analogue of Gopher's duplicate-line fraction (Rae et al.

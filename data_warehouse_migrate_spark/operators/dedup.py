@@ -252,13 +252,25 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep only the min-id row per normalized text (the dedup
     materializer). NULL texts hash to a reserved sentinel so they form
     ONE group with a surviving representative — a raw md5(NULL)=NULL key
-    would never match itself in the semi-join and every NULL-text row
-    (common in crawl data: failed extractions) would silently vanish."""
+    would never match itself in the aggregate and every NULL-text row
+    (common in crawl data: failed extractions) would silently vanish.
+
+    ONE pass, ONE shuffle: ``min_by(struct(cols), id)`` per hash group.
+    The r16 shape (groupBy min-id keep list + leftsemi join back) scanned
+    the input lineage twice — behind ``clean_corpus`` that meant the full
+    lang-ID + Gopher gate expression ran once per side — and paid a
+    second shuffle for the join. min_by partial-aggregates map-side, so
+    each map partition ships at most one candidate row per distinct text
+    (skew-safe on duplicate-heavy corpora, and strictly fewer shuffle
+    bytes than the join shape's full surviving-row exchange). With a
+    unique ``id_col`` the kept rows are identical to the join shape;
+    duplicated (id, text) rows keep ONE representative here (the
+    aggregate's semantics — 'the min-id row', singular)."""
     h = F.coalesce(F.md5(normalized_text(F.col(text_col))),
                    F.lit("__null_text__"))
-    w = df.withColumn("__h", h)
-    keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, [id_col, "__h"], "leftsemi").drop("__h")
+    return (df.groupBy(h.alias("__h"))
+            .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r"))
+            .select("__r.*"))
 
 
 def line_dedup(df: DataFrame, text_col: str, id_col: str,

@@ -46,8 +46,6 @@ def main() -> int:
     times = []
     for i in range(draws):
         spark.catalog.clearCache()
-        first_job = sc._jsc.sc().dagScheduler().nextJobId().get() \
-            if hasattr(sc._jsc.sc(), "dagScheduler") else None
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         times.append(time.perf_counter() - t0)

@@ -263,6 +263,47 @@ def test_clean_corpus_stage_interplay(spark):
     assert 3 in kept3 and 5 not in kept3
 
 
+def test_lang_keep_equals_lang_id_isin(spark, sf_dir):
+    """The bound-count lang_keep and the plain lang_id().isin() predicate
+    must agree row-for-row (same vote math, different sharing structure)
+    — including NULL text (NULL in, NULL out on both sides) and the
+    'und' zero-evidence case."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9_000_001, None), (9_000_002, ""), (9_000_003, "zzz qqq xxx"),
+         (9_000_004, "der und ist the and of le la"),
+         (9_000_005, "le la les et"), (9_000_006, "der die das und")],
+        "doc_id long, text string")
+    d = d.select("doc_id", "text").unionByName(extra)
+    for allow in (("en",), ("en", "de"), ("und",), ("fr",)):
+        plain = X.lang_id(F.col("text")).isin(*allow)
+        bound = X.lang_keep(F.col("text"), allow)
+        # eqNullSafe: both are NULL on NULL text — a plain != would
+        # silently skip those rows instead of asserting them equal
+        assert d.filter(~plain.eqNullSafe(bound)).count() == 0, allow
+    assert d.filter(X.lang_keep(F.col("text"), ("en",))).count() > 0
+
+
+def test_drop_exact_dups_min_by_matches_join_shape(spark, sf_dir):
+    """The one-pass min_by drop_exact_dups must keep exactly the rows the
+    r16 groupBy+leftsemi shape kept (same min-id representative per
+    normalized text, NULL texts one group) — row-identical on the real
+    documents table."""
+    from data_warehouse_migrate_spark.functions.text import normalized_text
+    from data_warehouse_migrate_spark.operators.dedup import drop_exact_dups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.coalesce(F.md5(normalized_text(F.col("text"))),
+                   F.lit("__null_text__"))
+    w = d.withColumn("__h", h)
+    keep = w.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    reference = (w.join(keep, ["doc_id", "__h"], "leftsemi").drop("__h")
+                 .collect())
+    got = drop_exact_dups(d, "text", "doc_id").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(reference, key=key)
+
+
 def test_gopher_keep_equals_flags_keep(spark, sf_dir):
     """The bound-array gopher_keep and the per-column flags['keep'] must
     agree row-for-row — same rule math, different sharing structure."""
