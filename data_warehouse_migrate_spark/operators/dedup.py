@@ -650,6 +650,58 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 _CC_LOCAL_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) rows on the driver
 
 
+def _cc_local_moved(und: DataFrame):
+    """Driver-side connected components over a (s, d) edge frame that fits
+    ``_CC_LOCAL_MAX_EDGES``: returns a pandas DataFrame (node,
+    __cc_label) for exactly the nodes whose component min is NOT
+    themselves (the 'moved' nodes — for dedup, the drop list), or None
+    for an empty edge set. Nodes absent from the result keep their own id.
+
+    Arrow transfer into numpy (16 bytes/edge) + VECTORIZED
+    Shiloach-Vishkin-style hooking over COMPACT node indices — at
+    the 5M-edge default this is ~80 MB of edge arrays + ≤80 MB of
+    parent array, not the multi-GB a collect() of Row objects plus
+    a Python dict would cost; and every pass is whole-array numpy
+    (measured ~3x the per-edge Python union-find loop at the cap).
+    np.unique sorts ascending, so a smaller compact index IS a
+    smaller node id — hook-by-min-index ≡ min-label. Each round:
+    full pointer-jump compression (tree depth collapses to 1), then
+    every still-crossing edge hooks the larger root onto the
+    smaller; rounds shrink the live edge set geometrically. The min
+    node of a component never gains a smaller parent, and two roots
+    in one component always leave a crossing edge, so the unique
+    fixed point per component is its min id."""
+    import numpy as np
+
+    pdf = und.toPandas()
+    if not len(pdf):
+        return None
+    sv = pdf["s"].to_numpy()
+    dv = pdf["d"].to_numpy()
+    uniq, inv = np.unique(np.concatenate([sv, dv]), return_inverse=True)
+    si, di = inv[:len(sv)].astype(np.int64), inv[len(sv):].astype(np.int64)
+    parent = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        while True:                     # pointer jumping
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        ra, rb = parent[si], parent[di]
+        live = ra != rb
+        if not live.any():
+            break
+        si, di = si[live], di[live]
+        lo = np.minimum(ra[live], rb[live])
+        hi = np.maximum(ra[live], rb[live])
+        np.minimum.at(parent, hi, lo)   # hook larger root onto min
+    moved = parent != np.arange(len(uniq))
+    import pandas as pd
+
+    return pd.DataFrame({"node": uniq[moved],
+                         "__cc_label": uniq[parent[moved]]})
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src_col: str = "id_a", dst_col: str = "id_b",
@@ -680,58 +732,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     truncate lineage (an unbounded iterative plan otherwise grows until
     the driver chokes).
     """
-    und = _materialize(
-        edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
-                     F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
-        .distinct())
+    from pyspark import StorageLevel
+
+    # persist + count in ONE job (the count IS the materializing action;
+    # the r16 shape ran _materialize's count and then a second count on
+    # the cached frame — a whole extra scheduling round for a number the
+    # first job already knew)
+    und = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+                        F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     n_edges = und.count()
     if n_edges <= local_max_edges:
-        # Arrow transfer into numpy (16 bytes/edge) + VECTORIZED
-        # Shiloach-Vishkin-style hooking over COMPACT node indices — at
-        # the 5M-edge default this is ~80 MB of edge arrays + ≤80 MB of
-        # parent array, not the multi-GB a collect() of Row objects plus
-        # a Python dict would cost; and every pass is whole-array numpy
-        # (measured ~3x the per-edge Python union-find loop at the cap).
-        # np.unique sorts ascending, so a smaller compact index IS a
-        # smaller node id — hook-by-min-index ≡ min-label. Each round:
-        # full pointer-jump compression (tree depth collapses to 1), then
-        # every still-crossing edge hooks the larger root onto the
-        # smaller; rounds shrink the live edge set geometrically. The min
-        # node of a component never gains a smaller parent, and two roots
-        # in one component always leave a crossing edge, so the unique
-        # fixed point per component is its min id.
-        import numpy as np
-
-        pdf = und.toPandas()
-        if len(pdf):
-            sv = pdf["s"].to_numpy()
-            dv = pdf["d"].to_numpy()
-            uniq, inv = np.unique(np.concatenate([sv, dv]),
-                                  return_inverse=True)
-            si, di = inv[:len(sv)].astype(np.int64), inv[len(sv):].astype(np.int64)
-            parent = np.arange(len(uniq), dtype=np.int64)
-            while True:
-                while True:                     # pointer jumping
-                    pp = parent[parent]
-                    if np.array_equal(pp, parent):
-                        break
-                    parent = pp
-                ra, rb = parent[si], parent[di]
-                live = ra != rb
-                if not live.any():
-                    break
-                si, di = si[live], di[live]
-                lo = np.minimum(ra[live], rb[live])
-                hi = np.maximum(ra[live], rb[live])
-                np.minimum.at(parent, hi, lo)   # hook larger root onto min
-            roots = parent
-            moved = roots != np.arange(len(uniq))
-            import pandas as pd
-
-            lab_pdf = pd.DataFrame({"node": uniq[moved],
-                                    "__cc_label": uniq[roots[moved]]})
-        else:
-            lab_pdf = None
+        lab_pdf = _cc_local_moved(und)
         spark = nodes.sparkSession
         if lab_pdf is not None and len(lab_pdf):
             id_t = nodes.schema[id_col].dataType.simpleString()
@@ -866,17 +878,38 @@ def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
     cluster label isn't their own id, applied LEFT ANTI on ``id_col``.
     At 100 TB the drop list is duplicate-sized, not corpus-sized, so AQE
     broadcasts the anti join and the kept corpus never reshuffles.
+
+    Job shape (r17): the normalized-distinct edge set is persisted in ONE
+    count job (the pair generator's lineage runs exactly once), and below
+    the local-CC edge bound the drop list comes STRAIGHT from the
+    driver-side union-find's moved nodes — the r16 shape materialized the
+    raw pairs, derived a members frame, ran full connected_components
+    (labels for every member, broadcast-joined back through the member
+    list) and only then filtered label != id; the moved nodes ARE that
+    filter's result, so three jobs and two shuffles of the chain carried
+    no information the drop list needed.
     """
-    # the pair generators re-run their whole lineage per consuming action
-    # (shingle/fingerprint trees are expensive); pin them once — both the
-    # member list and the CC edge list scan this frame
-    pairs = _materialize(pairs.select(src_col, dst_col))
-    members = (pairs.select(F.col(src_col).alias("node"))
-               .unionByName(pairs.select(F.col(dst_col).alias("node")))
+    from pyspark import StorageLevel
+
+    und = (pairs.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+                        F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    n_edges = und.count()
+    if n_edges <= _CC_LOCAL_MAX_EDGES:
+        moved = _cc_local_moved(und)
+        if moved is None or not len(moved):
+            return df
+        spark = df.sparkSession
+        id_t = df.schema[id_col].dataType.simpleString()
+        drops = spark.createDataFrame(
+            moved[["node"]], schema=f"node {id_t}")
+        return df.join(F.broadcast(drops), df[id_col] == drops.node,
+                       "left_anti")
+    members = (und.select(F.col("s").alias(id_col))
+               .unionByName(und.select(F.col("d").alias(id_col)))
                .distinct())
-    comp = connected_components(members.select(F.col("node").alias(id_col)),
-                                pairs, id_col=id_col,
-                                src_col=src_col, dst_col=dst_col)
+    comp = connected_components(members, und, id_col=id_col,
+                                src_col="s", dst_col="d")
     drops = (comp.filter(F.col(id_col) != F.col("cluster_id"))
              .select(id_col))
     return df.join(drops, id_col, "left_anti")
