@@ -22,6 +22,12 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce by SIZE (advisoryPartitionSizeInBytes), not down to
+    # defaultParallelism: with the default (true) every tiny shuffle keeps
+    # cores× ~KB tasks whose fixed overhead dominates; size-based targets
+    # scale with the data instead of the machine (r17 interleaved A/B,
+    # 10-query expensive subset: 9/10 query mins improved, total -11%)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
