@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_warehouse_migrate_spark.functions.sizing import (
     count_and_row_bytes,
@@ -81,6 +82,13 @@ def _materialize(df: DataFrame) -> DataFrame:
 # inside executor memory at 1000-executor scale.
 _BROADCAST_MAX_BYTES = 512 * 1024 * 1024
 _BROADCAST_SAMPLE_ROWS = 2048
+
+# Hot-bucket keys are resolved eagerly on the driver (see _bucket_pairs):
+# the list is bounded by band_rows/max_bucket_size and was headed into a
+# broadcast regardless, but a degenerate corpus could still overflow the
+# driver — past this many keys the lazy broadcast-join shape takes over.
+# 100k (band int, band_key long) rows is ~10 MB as a pandas frame.
+_HOT_KEYS_DRIVER_MAX = 100_000
 
 
 def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
@@ -147,9 +155,20 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     round-2 window variant shuffled + sorted the full band_rows set just
     to annotate sizes — measured +25-30% on the banding queries). The
     oversized keys — structurally rare: banding's whole job is small
-    buckets — are broadcast, and the small/hot split is a broadcast
-    anti/semi-join that never re-shuffles band_rows; ReuseExchange
-    dedupes the two references to the same broadcast.
+    buckets — are resolved EAGERLY on the driver (r17): the hot-key list
+    is bounded by rows/max_bucket_size and was headed into a broadcast
+    anyway, so collecting it costs what the broadcast build cost. With
+    the list in hand the common no-hot-bucket case skips the anti join,
+    the hot branch and the union entirely — the lazy r16 shape kept
+    three references to the hot-keys subtree (anti + two self-join
+    semis), and AQE cannot exchange-reuse subtrees containing a cached
+    relation (the IMR's embedded AdaptiveSparkPlan defeats plan
+    canonicalization), so the counts aggregate executed THREE times per
+    action (measured: 3 extra full passes over the band_rows cache on
+    ``dedup_minhash``). Corpora with more than ``_HOT_KEYS_DRIVER_MAX``
+    oversized buckets fall back to the lazy broadcast-join shape with
+    the hot-keys frame persisted (cache substitution still dedupes
+    where exchange reuse cannot).
 
     ``band_rows`` is materialized first: three plan branches consume it
     (sizing, small, hot), and without the persist each branch re-derives
@@ -192,9 +211,6 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
         band_rows = _materialize(band_rows)
     counts = (band_rows.groupBy("band", "band_key")
               .agg(F.count("*").alias("__bn")))
-    hot_keys = F.broadcast(
-        counts.filter(F.col("__bn") > max_bucket_size)
-        .select("band", "band_key"))
     if diag is not None:
         # band_rows total = Σ per-bucket counts — folded into the stats
         # aggregate so the diag path costs ONE job on both the
@@ -208,8 +224,36 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
                     n_buckets=int(stats["nb"]), max_bucket=int(stats["mx"]),
                     hot_buckets=int(stats["hot"] or 0))
 
+    # eager hot-key resolution: bounded at rows/max_bucket_size rows of
+    # (band, band_key) — the same data the lazy shape broadcast — with a
+    # limit probe deciding whether the driver may hold it
+    hot_pdf = (counts.filter(F.col("__bn") > max_bucket_size)
+               .select("band", "band_key")
+               .limit(_HOT_KEYS_DRIVER_MAX + 1).toPandas())
+    if len(hot_pdf) == 0:
+        small_src = band_rows
+        big = None
+    elif len(hot_pdf) <= _HOT_KEYS_DRIVER_MAX:
+        spark = band_rows.sparkSession
+        hot_schema = T.StructType([band_rows.schema["band"],
+                                   band_rows.schema["band_key"]])
+        hot_keys = F.broadcast(spark.createDataFrame(hot_pdf, hot_schema))
+        small_src = band_rows.join(hot_keys, ["band", "band_key"],
+                                   "left_anti")
+        big = band_rows.join(hot_keys, ["band", "band_key"], "left_semi")
+    else:
+        # degenerate corpus (hot keys outgrow the driver bound): lazy
+        # broadcast-join shape, hot-keys frame persisted so its three
+        # consumers share one computation despite broken exchange reuse
+        hot_keys = F.broadcast(_materialize(
+            counts.filter(F.col("__bn") > max_bucket_size)
+            .select("band", "band_key")))
+        small_src = band_rows.join(hot_keys, ["band", "band_key"],
+                                   "left_anti")
+        big = band_rows.join(hot_keys, ["band", "band_key"], "left_semi")
+
     member = F.struct(*payload_cols)
-    small = (band_rows.join(hot_keys, ["band", "band_key"], "left_anti")
+    small = (small_src
              .groupBy("band", "band_key")
              .agg(F.collect_list(member).alias("xs"))
              .filter(F.size("xs") > 1))
@@ -220,8 +264,9 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
                                  lambda y: F.struct(x.alias("a"), y.alias("b"))),
     ))
     small_pairs = small.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    if big is None:
+        return small_pairs
 
-    big = band_rows.join(hot_keys, ["band", "band_key"], "left_semi")
     ba, bb = big.alias("ba"), big.alias("bb")
     big_pairs = (
         ba.join(bb, (F.col("ba.band") == F.col("bb.band"))

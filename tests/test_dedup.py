@@ -150,6 +150,25 @@ def test_bucket_pairs_spills_big_buckets(spark):
     assert out.count() == 100 * 99 // 2 + 3
 
 
+def test_bucket_pairs_driver_cap_fallback_same_pairs(spark, monkeypatch):
+    """Past _HOT_KEYS_DRIVER_MAX the eager driver-side hot-key list must
+    hand over to the lazy broadcast-join shape with identical output —
+    forced here by dropping the cap to 0 so ANY hot bucket overflows."""
+    import data_warehouse_migrate_spark.operators.dedup as dedup_mod
+    from data_warehouse_migrate_spark.operators.dedup import _bucket_pairs
+
+    rows = ([(0, 7, i) for i in range(100)]
+            + [(1, 3, i) for i in range(1000, 1003)])
+    df = spark.createDataFrame(rows, "band int, band_key long, id int")
+    eager = {frozenset((r.a.id, r.b.id))
+             for r in _bucket_pairs(df, ["id"], max_bucket_size=10).collect()}
+    monkeypatch.setattr(dedup_mod, "_HOT_KEYS_DRIVER_MAX", 0)
+    lazy = {frozenset((r.a.id, r.b.id))
+            for r in _bucket_pairs(df, ["id"], max_bucket_size=10).collect()}
+    assert eager == lazy
+    assert len(eager) == 100 * 99 // 2 + 3
+
+
 def test_hot_bucket_guard_degenerate_corpus(spark):
     # 2k byte-identical docs land in ONE bucket in every band; candidate
     # generation must stream through the join path (bounded per-task
