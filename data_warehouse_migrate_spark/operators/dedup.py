@@ -128,10 +128,69 @@ def _maybe_broadcast(df: DataFrame, n_rows: int,
             else df)
 
 
+def _hot_keys_branch(band_rows: DataFrame, max_bucket_size: int):
+    """Tagged (tag=1, c1=band, c2=band_key) hot-bucket keys as STRINGS —
+    one branch of a fused single-action collect (see ``_collect_tagged``).
+    String casts are exact for integral band/band_key types (a double
+    harmonization would silently lose band keys above 2^53 — simhash with
+    bands=1 carries 60-bit keys)."""
+    counts = (band_rows.groupBy("band", "band_key")
+              .agg(F.count("*").alias("__bn")))
+    return (counts.filter(F.col("__bn") > max_bucket_size)
+            .select(F.lit(1).alias("tag"),
+                    F.col("band").cast("string").alias("c1"),
+                    F.col("band_key").cast("string").alias("c2"))
+            .limit(_HOT_KEYS_DRIVER_MAX + 1))
+
+
+def _sizing_branch(df: DataFrame) -> tuple[DataFrame, float]:
+    """(tagged (tag=0, c1=count, c2=avg_var_bytes) single-row frame,
+    fixed bytes/row) — the ``count_and_row_bytes`` aggregate shaped for a
+    fused collect. ``c2`` is NULL when the schema has no variable-width
+    columns (caller adds ``fixed`` either way)."""
+    from data_warehouse_migrate_spark.functions.sizing import row_bytes_expr
+
+    fixed, var = row_bytes_expr(df.schema)
+    w = (F.avg(var) if var is not None
+         else F.lit(None).cast("double"))
+    return (df.agg(F.lit(0).alias("tag"),
+                   F.count("*").cast("string").alias("c1"),
+                   w.cast("string").alias("c2")), fixed)
+
+
+def _first_band_filter(band_col, collide, bands: int) -> "F.Column":
+    """Predicate: NO band strictly before ``band_col`` already collided —
+    the standard LSH dedup-free emission rule. Each colliding pair is
+    generated in exactly ONE band (its first), so callers drop their
+    ``.distinct()`` — one whole candidate-pair shuffle removed from the
+    plan (guide §2.4). ``collide(t)`` (t a LITERAL python int) must be
+    the SAME per-band collision predicate candidate generation used (key
+    equality for exact banding, in-band hamming ≤ probe_bits for
+    multi-probe); completeness is untouched because a pair suppressed at
+    band t was already emitted at its first colliding band t' < t.
+
+    UNROLLED over the literal band count, deliberately: the obvious
+    ``exists(sequence(0, band-1), collide)`` is a higher-order function —
+    CodegenFallback — and one such predicate in the candidate join's
+    filter drops the WHOLE join stage out of whole-stage codegen;
+    measured 13s → 22s on the multi-probe embedding query, i.e. worse
+    than the distinct() shuffle it replaces. The unrolled OR chain
+    (bands-1 plain comparisons) stays inside codegen."""
+    from functools import reduce
+    from operator import or_
+
+    earlier = [(band_col > t) & collide(t) for t in range(bands - 1)]
+    if not earlier:
+        return F.lit(True)
+    return ~reduce(or_, earlier)
+
+
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
                   max_bucket_size: int = 512,
                   diag: dict | None = None,
-                  input_cached: bool = False) -> DataFrame:
+                  input_cached: bool = False,
+                  hot_pdf=None,
+                  pair_filter=None) -> DataFrame:
     """Within-bucket candidate pairs, hot-bucket safe.
 
     ``band_rows`` must have (band, band_key, *payload_cols). Normal
@@ -203,12 +262,18 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
     # ``input_cached=True``: the caller's band_rows derive from an
     # ALREADY-PERSISTED frame (e.g. minhash signatures), so the three
     # consuming branches re-derive only a cache scan plus the cheap band
-    # hash — a second eager materialize here would pay a whole extra
+    # hash — a separate materialize here would pay a whole extra
     # scheduling round to save nothing (the expensive fingerprint subtree
     # is behind the cache). Callers whose band_rows embed the full
-    # text-derived expression (simhash) keep the default materialize.
-    if not input_cached:
-        band_rows = _materialize(band_rows)
+    # text-derived expression (simhash) persist HERE, lazily: the eager
+    # hot-key probe below is the materializing action, so the persist
+    # costs no job of its own (r17 — the r16 shape paid a separate
+    # _materialize count, one full scheduling round per query, for a
+    # number nothing consumed).
+    if not input_cached and hot_pdf is None:
+        from pyspark import StorageLevel
+
+        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     counts = (band_rows.groupBy("band", "band_key")
               .agg(F.count("*").alias("__bn")))
     if diag is not None:
@@ -226,10 +291,13 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
 
     # eager hot-key resolution: bounded at rows/max_bucket_size rows of
     # (band, band_key) — the same data the lazy shape broadcast — with a
-    # limit probe deciding whether the driver may hold it
-    hot_pdf = (counts.filter(F.col("__bn") > max_bucket_size)
-               .select("band", "band_key")
-               .limit(_HOT_KEYS_DRIVER_MAX + 1).toPandas())
+    # limit probe deciding whether the driver may hold it. Callers that
+    # fused this probe into an earlier action (``_hot_keys_branch``) pass
+    # the resolved ``hot_pdf`` in and skip the extra job entirely.
+    if hot_pdf is None:
+        hot_pdf = (counts.filter(F.col("__bn") > max_bucket_size)
+                   .select("band", "band_key")
+                   .limit(_HOT_KEYS_DRIVER_MAX + 1).toPandas())
     if len(hot_pdf) == 0:
         small_src = band_rows
         big = None
@@ -263,7 +331,15 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
         lambda x, i: F.transform(F.slice(xs, i + F.lit(2), F.size(xs)),
                                  lambda y: F.struct(x.alias("a"), y.alias("b"))),
     ))
-    small_pairs = small.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    # ``pair_filter(a_struct, b_struct, band)`` (optional) runs while the
+    # generating band is still in scope — the first-colliding-band rule
+    # (``_first_band_filter``) needs it; both the in-array and the spill
+    # paths apply the same predicate so pair SETS stay path-independent
+    small_pairs = small.select(F.col("band"), F.explode(pairs).alias("p"))
+    if pair_filter is not None:
+        small_pairs = small_pairs.filter(
+            pair_filter(F.col("p.a"), F.col("p.b"), F.col("band")))
+    small_pairs = small_pairs.select("p.a", "p.b")
     if big is None:
         return small_pairs
 
@@ -272,9 +348,14 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
         ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
                 & (F.col("ba.band_key") == F.col("bb.band_key"))
                 & (F.col(f"ba.{order_col}") < F.col(f"bb.{order_col}")))
-        .select(F.struct(*[F.col(f"ba.{c}").alias(c) for c in payload_cols]).alias("a"),
+        .select(F.col("ba.band").alias("band"),
+                F.struct(*[F.col(f"ba.{c}").alias(c) for c in payload_cols]).alias("a"),
                 F.struct(*[F.col(f"bb.{c}").alias(c) for c in payload_cols]).alias("b"))
     )
+    if pair_filter is not None:
+        big_pairs = big_pairs.filter(
+            pair_filter(F.col("a"), F.col("b"), F.col("band")))
+    big_pairs = big_pairs.select("a", "b")
     return small_pairs.unionByName(big_pairs)
 
 
@@ -441,14 +522,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             f"{max_shingle_freq})")
     from pyspark.sql import Window as W
 
-    # persist + size in ONE job: the sizing aggregate is itself the
-    # materializing action (separate _materialize-count + sizing-agg jobs
-    # each pay the full scheduling floor — measured ~0.3s apiece here)
+    # LAZY persist: the fused sizing+prefix collect below is the single
+    # materializing action for BOTH caches (r17 — the r16 shape paid two
+    # scheduling rounds: a sizing count on sets, then a separate
+    # _materialize count on the prefix frame)
     from pyspark import StorageLevel
 
     sets = _shingle_sets(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK)
-    n_sets, sets_bytes = count_and_row_bytes(sets)
     inv = sets.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq:
         freq_cap = inv.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -475,10 +556,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # posexplode over the primitive sliced array: pos is the 0-based global
     # position in the frequency-ordered set (slice starts at 1), and struct
     # arrays (4× slower to build/explode) are avoided entirely
-    pref = _materialize(ordered.select(
+    pref = ordered.select(
         F.col("id"), sz.alias("sz"),
         F.posexplode(F.slice(F.transform(F.col("fs"), lambda x: x["shingle"]),
-                             F.lit(1), prefix_len)).alias("pos", "shingle")))
+                             F.lit(1), prefix_len)).alias("pos", "shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE action: the prefix count (materializing pref and, transitively,
+    # sets — pref's lineage scans it) fused with the sets sizing aggregate
+    # (broadcast guard) as tagged union branches; the sizing branch reads
+    # the cache the other branch populates (verified single compute)
+    sizing, fixed = _sizing_branch(sets)
+    pref_count_branch = pref.agg(
+        F.lit(1).alias("tag"), F.count("*").cast("string").alias("c1"),
+        F.lit(None).cast("string").alias("c2"))
+    n_sets, sets_bytes, n_pref_rows = 0, fixed, 0
+    for row in sizing.unionByName(pref_count_branch).collect():
+        if row["tag"] == 0:
+            n_sets = int(row["c1"])
+            sets_bytes = fixed + float(row["c2"] or 0.0)
+        else:
+            n_pref_rows = int(row["c1"])
     t = F.lit(threshold)
     eps = F.lit(1e-9)
     # length filter: J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t.  positional filter
@@ -521,7 +618,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         diag.update(docs=n_sets,
                     distinct_shingles=inv.select("shingle")
                                          .distinct().count(),
-                    prefix_rows=pref.count(), candidate_pairs=cand.count())
+                    prefix_rows=n_pref_rows, candidate_pairs=cand.count())
     sa = _maybe_broadcast(
         sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
         n_sets, sets_bytes)
@@ -588,28 +685,53 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"k must divide evenly into bands — r = k/bands "
                          f"rows per band (got k={k}, bands={bands})")
     r = k // bands
-    # persist + size in ONE job: the sizing aggregate over the (persisted)
-    # frame is itself the materializing action — a separate count would
-    # pay a second scheduling round for nothing
+    # ONE eager action for everything the plan build needs (r17): the
+    # sizing aggregate (broadcast guard) and the hot-bucket key probe run
+    # as two tagged branches of a single fused collect over the LAZILY
+    # persisted signatures — the first branch computed populates the
+    # cache, the other reads it (verified: the scan executes once), so
+    # the whole operator pays one scheduling round where the r16 shape
+    # paid two (sizing count + probe toPandas).
+    import pandas as pd
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK)
-    n_sets, sets_bytes = count_and_row_bytes(sigs.select("id", "shingles"))
-    # band rows: (band_idx, band_key, id)
-    band_rows = sigs.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.hash(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]).alias(f"b{b}")
-            for b in range(bands)
-        ])).alias("band", "band_key"),
-    )
+    # band rows: (band_idx, band_key, id) + the full per-band key array —
+    # ``bkeys`` feeds the first-colliding-band rule below, which replaces
+    # the candidates ``.distinct()`` (one full pair shuffle removed); the
+    # extra ``bands`` ints per row are far cheaper than re-shuffling the
+    # whole candidate set (guide §2.3/2.4)
+    bkeys = F.array(*[
+        F.hash(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+        for b in range(bands)
+    ])
+    band_rows = (sigs
+                 .select("id", bkeys.alias("bkeys"))
+                 .select("id", "bkeys",
+                         F.posexplode(F.col("bkeys")).alias("band",
+                                                            "band_key"))
+                 .filter(F.col("band_key").isNotNull()))
+    sizing, fixed = _sizing_branch(sigs.select("id", "shingles"))
+    stat_rows = sizing.unionByName(
+        _hot_keys_branch(band_rows, 512)).collect()
+    n_sets, sets_bytes, hot = 0, fixed, []
+    for row in stat_rows:
+        if row["tag"] == 0:
+            n_sets = int(row["c1"])
+            sets_bytes = fixed + float(row["c2"] or 0.0)
+        else:
+            hot.append((int(row["c1"]), int(row["c2"])))
+    hot_pdf = pd.DataFrame(hot, columns=["band", "band_key"])
+    first_band = lambda a, b, band: _first_band_filter(
+        band, lambda t: a["bkeys"][t] == b["bkeys"][t], bands)
     candidates = (
-        _bucket_pairs(band_rows, ["id"], diag=diag, input_cached=True)
+        _bucket_pairs(band_rows, ["id", "bkeys"], diag=diag,
+                      input_cached=True, hot_pdf=hot_pdf,
+                      pair_filter=first_band)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"))
-        .distinct()
     )
     if diag is not None:
         candidates = _materialize(candidates)
@@ -678,6 +800,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("band", "band_key"),
     )
+    # the trailing ``.distinct()`` is KEPT here, deliberately (r17): the
+    # hamming filter runs BEFORE it, so the dedup shuffle carries only
+    # true pairs (≤ bands× duplicated) — replacing it with the
+    # first-colliding-band rule (as minhash/embedding do for their
+    # candidate-sized dedups) would trade that tiny shuffle for a
+    # per-band key array carried through every collect_list struct,
+    # measured net-negative at sf0.1 and neutral at scale
     cand = _bucket_pairs(band_rows, ["id", "simhash"], diag=diag)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (cand.select(
@@ -1067,18 +1196,32 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     # persist + size in ONE job (the sizing agg is the materializer)
     n_rows, base_bytes = count_and_row_bytes(base.select("id", "vec"))
     keys = band_keys_from_projections(F.col("proj"), bands, r)
-    membership = base.select("id", F.posexplode(keys).alias("band", "band_key"))
+    membership = (base.select("id", keys.alias("bkeys"))
+                  .select("id", "bkeys",
+                          F.posexplode(F.col("bkeys")).alias("band",
+                                                             "band_key")))
     probes = membership.select(
-        "id", "band",
+        "id", "bkeys", "band",
         F.explode(_probe_keys(F.col("band_key"), r, probe_bits)).alias("band_key"))
+    # first-colliding-band rule instead of ``.distinct()`` (r17): within
+    # a band, a's probe set (≤ probe_bits flips inside the band's r bits)
+    # contains b's key at most ONCE, so duplicates arise only ACROSS
+    # bands — suppressing every pair whose keys already collided
+    # (in-band hamming ≤ probe_bits, the same criterion the probe join
+    # uses) in an earlier band leaves exactly one emission per pair, and
+    # the candidate-sized dedup shuffle disappears. The carried bkeys
+    # array (bands longs/row) is far smaller than re-shuffling the
+    # candidate set (guide §2.3/2.4).
+    collide = lambda t: (F.bit_count(
+        F.col("a.bkeys")[t].bitwiseXOR(F.col("b.bkeys")[t])) <= probe_bits)
     cand = (
         probes.alias("a")
         .join(membership.alias("b"),
               (F.col("a.band") == F.col("b.band"))
               & (F.col("a.band_key") == F.col("b.band_key"))
               & (F.col("a.id") < F.col("b.id")))
+        .filter(_first_band_filter(F.col("a.band"), collide, bands))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     if diag is not None:
         cand = _materialize(cand)
@@ -1214,7 +1357,14 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
         return df.withColumn("cell", F.lit(None).cast("int")) \
                  .filter(F.lit(False))
 
-    assigned = df.withColumn("cell", _argmax_cell(vec_col, cents))
+    # spread BEFORE the expensive per-row work (r17): the cell argmax
+    # (n_cells dot products) and the normalize each cost O(n_cells·dim)
+    # per row, and a single-file scan plans as 1-2 partitions — measured
+    # 2.56s on 2 tasks for the probe stage at sf0.1, i.e. all 30 other
+    # cores idle. Same spread_input gate every other banding operator
+    # already applies (no-op at scale).
+    assigned = spread_input(df).withColumn("cell",
+                                           _argmax_cell(vec_col, cents))
     band_rows = assigned.select(
         F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("__nv"),
         F.lit(0).alias("band"), F.col("cell").alias("band_key"))
