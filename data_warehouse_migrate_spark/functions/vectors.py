@@ -43,6 +43,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def cosine_from_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """``cosine(a, b)`` with both norms precomputed per ROW and carried as
+    columns — BIT-IDENTICAL to :func:`cosine` (the norm column holds the
+    same ``norm(...)`` expression's value over the same array; the
+    product and ``try_divide`` are unchanged), but the per-PAIR work of
+    a similarity join drops from THREE interpreted array aggregates to
+    ONE: ``aggregate``/``zip_with`` are higher-order functions —
+    CodegenFallback, evaluated interpreted — so on a candidate join
+    producing P pairs from N rows, ``cosine`` costs 3P interpreted array
+    folds where this form costs P folds + 2N (the norms, amortized over
+    every pair the row joins into). Same NULL contract: a zero norm on
+    either side makes the product 0 and ``try_divide`` yields NULL."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize: cosine(a, b) == dot(normalize(a), normalize(b)).
     Normalizing each row ONCE turns per-pair cosine (dot + two norms =

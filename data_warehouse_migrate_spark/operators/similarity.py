@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_migrate_spark.functions.vectors import cosine
+from data_warehouse_migrate_spark.functions.vectors import (
+    cosine_from_norms,
+    norm,
+)
 from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
@@ -64,16 +67,23 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
     """Exact cosine top-k neighbors per query. Deterministic tie-break:
     (cosine DESC, corpus_id ASC). Queries are broadcast — the corpus scan
     stays narrow and shuffle-free until the per-query top-k window."""
+    # norms are precomputed per ROW (N + Q evaluations) instead of per
+    # PAIR inside cosine() (2·P interpreted array folds — see
+    # vectors.cosine_from_norms); results are bit-identical
     q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
-                                   F.col(query_vec).alias("__qv")))
+                                   F.col(query_vec).alias("__qv"),
+                                   norm(F.col(query_vec)).alias("__qn")))
     # spread the stream side: a single-partition corpus scan would score
     # every (query, corpus) pair on one core (no-op at scale)
     c = spread_input(corpus).select(
-        F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("__cv"))
+        F.col(corpus_id).alias("corpus_id"), F.col(corpus_vec).alias("__cv"),
+        norm(F.col(corpus_vec)).alias("__cn"))
     scored = q.crossJoin(c)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
-    scored = scored.withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    scored = scored.withColumn("cosine", F.round(
+        cosine_from_norms(F.col("__qv"), F.col("__cv"),
+                          F.col("__qn"), F.col("__cn")), 6))
     # undefined similarity is not a neighbor: NULL (zero-norm side,
     # vectors.cosine's try_divide contract) would be ranked by the
     # window, and NaN (NaN input element) sorts ABOVE every real double
@@ -109,12 +119,15 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame,
     ``lsh_topk`` buckets ``brute_force_topk``: mine per bucket, then
     re-rank; the label filter composes unchanged.
     """
+    # per-row norm precompute, same rationale as brute_force_topk
     q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
                                    F.col(query_vec).alias("__qv"),
+                                   norm(F.col(query_vec)).alias("__qn"),
                                    F.col(query_label).alias("__ql")))
     c = spread_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         F.col(corpus_vec).alias("__cv"),
+        norm(F.col(corpus_vec)).alias("__cn"),
         F.col(corpus_label).alias("corpus_label"))
     scored = (q.crossJoin(c)
               # null-safe mismatch: an unlabeled corpus row is not a
@@ -123,7 +136,9 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame,
                       & F.col("corpus_label").isNotNull()
                       & (F.col("__ql") != F.col("corpus_label")))
               .withColumn("cosine",
-                          F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+                          F.round(cosine_from_norms(
+                              F.col("__qv"), F.col("__cv"),
+                              F.col("__qn"), F.col("__cn")), 6))
               # undefined similarity is not a negative: NULL (zero-norm
               # side) would be ranked, NaN (NaN element) sorts ABOVE
               # every real cosine in the DESC window — same guard as
@@ -427,6 +442,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     c = spread_input(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         F.col(corpus_vec).alias("__cv"),
+        norm(F.col(corpus_vec)).alias("__cn"),
         _argmax_cell(corpus_vec, cents).alias("cell"))
     # same probe shape as lsh_topk: the (small-by-contract) query batch is
     # broadcast so the cell-assigned corpus never exchanges, and the
@@ -436,13 +452,16 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     q = F.broadcast(
         queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"),
+                       norm(F.col(query_vec)).alias("__qn"),
                        F.explode(_top_cells(query_vec, cents, nprobe))
                        .alias("cell")))
     scored = q.join(c, "cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
-        "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        "cosine", F.round(cosine_from_norms(F.col("__qv"), F.col("__cv"),
+                                            F.col("__qn"), F.col("__cn")),
+                          6))
     return _topk_by_query(scored, k)
 
 
@@ -497,16 +516,19 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
             f"max_bucket_size must be >= 1 when given (got {max_bucket_size})")
     n_planes, r = _resolve_planes(corpus, n_planes, bands)
 
-    def _indexed(df, id_name, vec_name, out_id, out_vec):
+    def _indexed(df, id_name, vec_name, out_id, out_vec, out_norm):
         # band_keys_sql: bit-identical to the Column builders, parsed
-        # JVM-side in one call (~160 ms less driver latency per side)
+        # JVM-side in one call (~160 ms less driver latency per side).
+        # The norm rides along per input row (evaluated before the
+        # generator) — per-pair cosine then costs one fold, not three
         keys = band_keys_sql(vec_name, n_planes, bands, r)
         return df.select(
             F.col(id_name).alias(out_id), F.col(vec_name).alias(out_vec),
+            norm(F.col(vec_name)).alias(out_norm),
             F.posexplode(keys).alias("band", "band_key"))
 
     c = _indexed(spread_input(corpus), corpus_id, corpus_vec,
-                 "corpus_id", "__cv")
+                 "corpus_id", "__cv", "__cn")
     bounded = True
     if max_bucket_size is not None:
         bounded = _max_bucket_occupancy(c) <= max_bucket_size
@@ -517,15 +539,17 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame,
     # Measured at sf0.1: removes a sort+exchange of the corpus index,
     # ~0.4s off the query.
     q = F.broadcast(
-        _indexed(queries, query_id, query_vec, "query_id", "__qv")
-        .select("query_id", "__qv", "band",
+        _indexed(queries, query_id, query_vec, "query_id", "__qv", "__qn")
+        .select("query_id", "__qv", "__qn", "band",
                 F.explode(_probe_keys(F.col("band_key"), r, probe_bits))
                 .alias("band_key")))
     scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
-        "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        "cosine", F.round(cosine_from_norms(F.col("__qv"), F.col("__cv"),
+                                            F.col("__qn"), F.col("__cn")),
+                          6))
     return _topk_by_query(scored, k, bounded=bounded)
 
 
@@ -630,8 +654,9 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
     keys = band_keys_sql(query_vec, n_planes, bands, r)
     probes = (queries.select(F.col(query_id).alias("query_id"),
                              F.col(query_vec).alias("__qv"),
+                             norm(F.col(query_vec)).alias("__qn"),
                              F.posexplode(keys).alias("band", "band_key"))
-              .select("query_id", "__qv", "band",
+              .select("query_id", "__qv", "__qn", "band",
                       F.explode(_probe_keys(F.col("band_key"), r,
                                             probe_bits))
                        .alias("band_key")))
@@ -663,11 +688,18 @@ def lsh_topk_indexed(queries: DataFrame, index_table: str,
             cond = this if cond is None else cond | this
         if cond is not None:
             c = c.where(cond)
+    # corpus norm per INDEX ROW (not per candidate pair): the stored
+    # index schema is unchanged — the norm is a cheap projection on the
+    # scanned slice, amortized over every probe that hits the row
+    c = c.withColumn("__cn", norm(F.col("corpus_vec")))
     scored = q.join(c, ["band", "band_key"]).drop("band", "band_key")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = scored.withColumn(
-        "cosine", F.round(cosine(F.col("__qv"), F.col("corpus_vec")), 6))
+        "cosine", F.round(cosine_from_norms(F.col("__qv"),
+                                            F.col("corpus_vec"),
+                                            F.col("__qn"), F.col("__cn")),
+                          6))
     return _topk_by_query(scored, k, bounded=bounded)
 
 
