@@ -1365,20 +1365,67 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     # already applies (no-op at scale).
     assigned = spread_input(df).withColumn("cell",
                                            _argmax_cell(vec_col, cents))
+    # CANDIDATES CARRY IDS ONLY; vectors join back once (r17, guide §8 —
+    # decide with small rows, attach the payload once). The r16 shape
+    # collected the 64-dim normalized vectors into every cell bucket and
+    # dotted inside the pair expansion: the bucket shuffle carried the
+    # whole corpus' vectors (payload shuffle at 100 TB), every pair
+    # struct copied two vectors, and — the measured killer — the
+    # interpreted per-pair dot ran at CELL parallelism (n_cells tasks;
+    # 8 cells = 8 busy cores of 32, 2.45s stage at sf0.1) because AQE's
+    # size-based coalescing sees KB where the cost is CPU. Narrow id
+    # pairs repartition for ~16 bytes/row instead (explicit numPartitions
+    # — AQE does not re-coalesce user-numbered repartitions), the dot
+    # runs at session parallelism, and the vector sides broadcast under
+    # the same byte-measured guard as the minhash/ngram verify joins.
+    import pandas as pd
+    from pyspark import StorageLevel
+
     band_rows = assigned.select(
-        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("__nv"),
-        F.lit(0).alias("band"), F.col("cell").alias("band_key"))
-    cand = _bucket_pairs(band_rows, ["id", "__nv"],
-                         max_bucket_size=max_bucket_size, diag=diag)
-    pairs = (cand
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("band"), F.col("cell").alias("band_key")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        normalize(F.col(vec_col)).alias("__nv")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    # ONE fused eager action (same shape as minhash_lsh_pairs): the
+    # vector-side sizing aggregate and the hot-cell key probe run as
+    # tagged union branches, materializing BOTH lazy persists
+    sizing, fixed = _sizing_branch(base)
+    stat_rows = sizing.unionByName(
+        _hot_keys_branch(band_rows, max_bucket_size)).collect()
+    n_rows, base_bytes, hot = 0, fixed, []
+    for row in stat_rows:
+        if row["tag"] == 0:
+            n_rows = int(row["c1"])
+            base_bytes = fixed + float(row["c2"] or 0.0)
+        else:
+            hot.append((int(row["c1"]), int(row["c2"])))
+    hot_pdf = pd.DataFrame(hot, columns=["band", "band_key"])
+    cand = _bucket_pairs(band_rows, ["id"],
+                         max_bucket_size=max_bucket_size, diag=diag,
+                         hot_pdf=hot_pdf)
+    cand_ids = (cand.select(F.col("a.id").alias("id_a"),
+                            F.col("b.id").alias("id_b"))
+                .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    pairs = (cand_ids
+             .join(_maybe_broadcast(
+                 base.select(F.col("id").alias("id_a"),
+                             F.col("__nv").alias("__nva")),
+                 n_rows, base_bytes), "id_a")
+             .join(_maybe_broadcast(
+                 base.select(F.col("id").alias("id_b"),
+                             F.col("__nv").alias("__nvb")),
+                 n_rows, base_bytes), "id_b")
              .withColumn("cosine",
-                         F.round(dot(F.col("a.__nv"), F.col("b.__nv")), 6))
+                         F.round(dot(F.col("__nva"), F.col("__nvb")), 6))
              # NaN >= t is TRUE in Spark: unguarded, one NaN embedding
              # pairs with its whole cell, the CC step fuses the cell
              # into one cluster, and near_dup_removal mass-deletes it
              .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
-             .select(F.least("a.id", "b.id").alias("id_a"),
-                     F.greatest("a.id", "b.id").alias("id_b")))
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b")))
     if diag is not None:
         pairs = _materialize(pairs)
         diag.update(dup_pairs=pairs.count())
