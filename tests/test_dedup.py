@@ -485,3 +485,72 @@ def test_semantic_dedup_hot_cell_guard(spark):
     out = semantic_dedup(df, "embedding", "vec_id", n_cells=2,
                          threshold=0.99, max_bucket_size=16)
     assert [r.vec_id for r in out.collect()] == [0]
+
+
+def test_first_band_emission_no_duplicate_candidates(spark):
+    """r17: the LSH candidate generators replaced their trailing
+    .distinct() with the first-colliding-band rule — so a corpus whose
+    vectors/texts collide in EVERY band (identical rows, the worst case
+    for cross-band duplication) must still emit each pair exactly once.
+    Duplicate emissions would surface as duplicate OUTPUT rows now that
+    no dedup shuffle follows."""
+    from data_warehouse_migrate_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    # identical embeddings: every pair collides in all 4 bands and in
+    # every multi-probe flip — maximal duplication pressure
+    emb = spark.createDataFrame(
+        [(i, [1.0, -2.0, 0.5, 3.0]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(emb, "embedding", "vec_id",
+                                threshold=0.9, n_planes=24, bands=4,
+                                probe_bits=2).collect()
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys)), "duplicate pair emitted"
+    assert sorted(set(keys)) == [(a, b) for a in range(12)
+                                 for b in range(a + 1, 12)]
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated verbatim here")
+         for i in range(10)],
+        "doc_id long, text string")
+    mp = minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=16, bands=8,
+                           threshold=0.5).collect()
+    mkeys = [(r.id_a, r.id_b) for r in mp]
+    assert len(mkeys) == len(set(mkeys)), "duplicate pair emitted"
+    assert sorted(set(mkeys)) == [(a, b) for a in range(10)
+                                  for b in range(a + 1, 10)]
+
+
+def test_cosine_from_norms_matches_cosine(spark):
+    """r17: the similarity operators precompute per-row norms; the
+    factored form must be bit-identical to cosine() on every edge the
+    operators guard (zero-norm -> NULL via try_divide, NaN propagation,
+    plain vectors)."""
+    from data_warehouse_migrate_spark.functions.vectors import (
+        cosine,
+        cosine_from_norms,
+        norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+         (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),      # zero-norm left
+         (3, [1.0, 1.0, 1.0], [0.0, 0.0, 0.0]),      # zero-norm right
+         (4, [float("nan"), 1.0, 2.0], [1.0, 1.0, 1.0]),  # NaN element
+         (5, [1e-8, 2e-8, -3e-8], [7.25, -0.125, 42.0])],
+        "id long, a array<double>, b array<double>")
+    rows = df.select(
+        cosine(F.col("a"), F.col("b")).alias("direct"),
+        cosine_from_norms(F.col("a"), F.col("b"),
+                          norm(F.col("a")), norm(F.col("b"))).alias("factored"),
+    ).collect()
+    for r in rows:
+        if r.direct is None:
+            assert r.factored is None
+        elif r.direct != r.direct:  # NaN
+            assert r.factored != r.factored
+        else:
+            assert r.direct == r.factored  # bit-identical doubles
