@@ -165,6 +165,80 @@ def minhash_signature(shingle_hashes: Column, k: int = 16) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# SQL-text twins of the fingerprint expression builders (r18, guide §1.2
+# driver-bound work). The Column builders above cost 180-280 ms of
+# py4j round-trips PER CALL at the default sizes (measured: simhash
+# bits=60 → 279 ms, minhash k=16 → 180 ms) — pure driver latency every
+# banding/fingerprint operator paid on every invocation. Emitting the
+# SAME expression as one SQL string parses JVM-side in <1 ms (the
+# vectors.band_keys_sql precedent). Twins take plain COLUMN NAMES (all
+# in-tree operator callers pass names); expression-valued inputs keep
+# the Column builders. Outputs are pinned BIT-IDENTICAL to the Column
+# forms in tests/test_text.py::test_sql_twins_match_column_builders —
+# and transitively by the cell-exact DuckDB oracle replay, since every
+# fingerprint query's oracle hashes these columns.
+# ---------------------------------------------------------------------------
+
+def _tokens_sql(col_sql: str) -> str:
+    # twin of tokens(): split(lower(trim(c)), '\s+') — the SQL literal
+    # needs the backslash doubled ('\\s+' parses to \s+)
+    return f"split(lower(trim({col_sql})), '\\\\s+')"
+
+
+def _md5_prefix_int_sql(s: str) -> str:
+    # twin of md5_prefix_int()
+    return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _word_shingles_sql_text(col_name: str, n: int) -> str:
+    # twin of word_shingles(): same let-bound single-element-array form
+    # (the binding is load-bearing — see the Column builder's docstring)
+    t = _tokens_sql(f"`{col_name}`")
+    return (f"transform(array({t}), "
+            f"t -> CASE WHEN size(t) < {n} THEN array(array_join(t, ' ')) "
+            f"ELSE transform(sequence(1, size(t) - {n} + 1), "
+            f"i -> array_join(slice(t, i, {n}), ' ')) END)[0]")
+
+
+def hashed_shingles_sql(col_name: str, n: int) -> Column:
+    """``array_distinct(transform(word_shingles(col, n), md5_prefix_int))``
+    as one JVM-parsed expression — the shared shingle-set form of the
+    Jaccard/MinHash/contamination family."""
+    sh = _word_shingles_sql_text(col_name, n)
+    return F.expr(f"array_distinct(transform({sh}, "
+                  f"s -> {_md5_prefix_int_sql('s')}))")
+
+
+def minhash_signature_sql(arr_name: str, k: int = 16) -> Column:
+    """Twin of :func:`minhash_signature` over an array<long> COLUMN."""
+    assert k <= len(MINHASH_A)
+    A = ", ".join(f"CAST({a} AS BIGINT)" for a in MINHASH_A[:k])
+    B = ", ".join(f"CAST({b} AS BIGINT)" for b in MINHASH_B[:k])
+    return F.expr(
+        f"aggregate(`{arr_name}`, "
+        f"array_repeat(CAST({POLY_MOD} AS BIGINT), {k}), "
+        f"(acc, h) -> zip_with(acc, zip_with(array({A}), array({B}), "
+        f"(a, b) -> ((h % {POLY_MOD}) * a + b) % {POLY_MOD}), "
+        f"(x, y) -> least(x, y)))")
+
+
+def simhash_sql(col_name: str, bits: int = SIMHASH_BITS) -> Column:
+    """Twin of :func:`simhash` over a text COLUMN."""
+    assert 0 < bits <= 60
+    powers = ("array(" + ", ".join(f"CAST({1 << j} AS BIGINT)"
+                                   for j in range(bits)) + ")")
+    tokh = (f"transform({_tokens_sql(f'`{col_name}`')}, "
+            f"t -> {_md5_prefix_int_sql('t')})")
+    votes = (f"aggregate({tokh}, array_repeat(CAST(0 AS BIGINT), {bits}), "
+             f"(acc, h) -> zip_with(acc, {powers}, "
+             f"(a, p) -> a + (CASE WHEN (h & p) != 0 THEN 1 ELSE -1 END)))")
+    return F.expr(
+        f"aggregate(zip_with({votes}, {powers}, "
+        f"(v, p) -> CASE WHEN v > 0 THEN p ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+
+# ---------------------------------------------------------------------------
 # Quality / stats expressions (all arithmetic, oracle-twinned)
 # ---------------------------------------------------------------------------
 

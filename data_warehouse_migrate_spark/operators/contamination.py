@@ -28,18 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_warehouse_migrate_spark.functions.text import (
-    md5_prefix_int,
-    word_shingles,
-)
+from data_warehouse_migrate_spark.functions.text import hashed_shingles_sql
 from data_warehouse_migrate_spark.operators.skew import spread_input
 
 
 def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
                         n: int, out_id: str) -> DataFrame:
-    sh = F.array_distinct(
-        F.transform(word_shingles(F.col(text_col), n),
-                    lambda s: md5_prefix_int(s)))
+    # SQL-text twin (r18): one JVM-side parse per call instead of the
+    # Column builders' py4j round trips; bit-identical (test_text pin)
+    sh = hashed_shingles_sql(text_col, n)
     return spread_input(df).select(
         F.col(id_col).alias(out_id), F.explode(sh).alias("sh"))
 
@@ -50,9 +47,7 @@ def _doc_shingles_with_size(df: DataFrame, text_col: str, id_col: str,
     the per-doc total comes from the pre-explode array size, a pure
     projection: counting it with an aggregate would pay a corpus-wide
     shuffle for a number every row already knows."""
-    sh = F.array_distinct(
-        F.transform(word_shingles(F.col(text_col), n),
-                    lambda s: md5_prefix_int(s)))
+    sh = hashed_shingles_sql(text_col, n)
     base = spread_input(df).select(F.col(id_col).alias(out_id),
                                    sh.alias("__shs"))
     exploded = base.select(out_id, F.explode("__shs").alias("sh"))
@@ -131,9 +126,7 @@ def decontaminate(train_df: DataFrame, benchmark_df: DataFrame,
     if drop_threshold <= 0:
         raise ValueError("drop_threshold must be > 0 — at 0 every "
                          "document (hit or not) would be dropped")
-    sh = F.array_distinct(
-        F.transform(word_shingles(F.col(text_col), n),
-                    lambda s: md5_prefix_int(s)))
+    sh = hashed_shingles_sql(text_col, n)
     base = spread_input(train_df).select(F.col(id_col).alias("train_id"),
                                          sh.alias("__shs"))
     tr = base.select("train_id", F.size("__shs").alias("n_shingles"),

@@ -33,11 +33,11 @@ from data_warehouse_migrate_spark.functions.sizing import (
 )
 from data_warehouse_migrate_spark.functions.text import (
     SIMHASH_BITS,
+    hashed_shingles_sql,
     md5_prefix_int,
-    minhash_signature,
+    minhash_signature_sql,
     normalized_text,
-    simhash,
-    word_shingles,
+    simhash_sql,
 )
 from data_warehouse_migrate_spark.operators.skew import spread_input
 
@@ -90,6 +90,15 @@ _BROADCAST_SAMPLE_ROWS = 2048
 # 100k (band int, band_key long) rows is ~10 MB as a pandas frame.
 _HOT_KEYS_DRIVER_MAX = 100_000
 
+# Buckets larger than this expand B²/2 pairs in-array; larger buckets
+# spill to the streamed self-join (_bucket_pairs' hot-bucket guard). ONE
+# module constant (ADVICE r17): minhash_lsh_pairs' fused hot-key probe
+# and _bucket_pairs' routing must read the SAME threshold — hard-coding
+# 512 at one call site while the other relied on the default meant a
+# future change to either would silently split the hot set from the
+# in-array/spill routing.
+_MAX_BUCKET_SIZE = 512
+
 
 def _avg_row_bytes(df: DataFrame, n_rows: int) -> float:
     """Estimated in-memory bytes per row of ``df``.
@@ -133,14 +142,42 @@ def _hot_keys_branch(band_rows: DataFrame, max_bucket_size: int):
     one branch of a fused single-action collect (see ``_collect_tagged``).
     String casts are exact for integral band/band_key types (a double
     harmonization would silently lose band keys above 2^53 — simhash with
-    bands=1 carries 60-bit keys)."""
-    counts = (band_rows.groupBy("band", "band_key")
+    bands=1 carries 60-bit keys).
+
+    NULL band keys are dropped up front (ADVICE r17): _bucket_pairs
+    filters them before its own inline probe, so a fused probe counting
+    them would disagree with the routing's counts — and a NULL key in a
+    hot row would TypeError the callers' int(row["c2"]) parse. In-tree
+    callers never produce one (minhash filters isNotNull; semantic cells
+    are non-NULL ints), but the helper must match the semantics its
+    sibling enforces rather than silently assume them."""
+    counts = (band_rows.filter(F.col("band_key").isNotNull())
+              .groupBy("band", "band_key")
               .agg(F.count("*").alias("__bn")))
     return (counts.filter(F.col("__bn") > max_bucket_size)
             .select(F.lit(1).alias("tag"),
                     F.col("band").cast("string").alias("c1"),
                     F.col("band_key").cast("string").alias("c2"))
             .limit(_HOT_KEYS_DRIVER_MAX + 1))
+
+
+def _pair_sum_branch(band_rows: DataFrame):
+    """Tagged (tag=2, c1=Σ_buckets B·(B−1)/2, c2=NULL) single-row frame:
+    the exact within-bucket candidate-pair count, from the same
+    per-bucket counts the hot-key probe reads — fused into the caller's
+    single collect so sizing the candidate-pair exchange costs no job of
+    its own (r17 verdict item 6). Integer arithmetic throughout (a
+    double sum would lose exactness past 2^53 pairs)."""
+    counts = (band_rows.filter(F.col("band_key").isNotNull())
+              .groupBy("band", "band_key")
+              .agg(F.count("*").alias("__bn")))
+    return counts.agg(
+        F.lit(2).alias("tag"),
+        F.coalesce(
+            F.sum(F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2)
+                  ).cast("bigint"),
+            F.lit(0).cast("bigint")).cast("string").alias("c1"),
+        F.lit(None).cast("string").alias("c2"))
 
 
 def _sizing_branch(df: DataFrame) -> tuple[DataFrame, float]:
@@ -186,7 +223,7 @@ def _first_band_filter(band_col, collide, bands: int) -> "F.Column":
 
 
 def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
-                  max_bucket_size: int = 512,
+                  max_bucket_size: int = _MAX_BUCKET_SIZE,
                   diag: dict | None = None,
                   input_cached: bool = False,
                   hot_pdf=None,
@@ -461,27 +498,23 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingles: array<long>) — distinct hashed word n-grams per doc.
+    """(id, shingles: array<long>) — distinct hashed word n-grams per doc
+    (md5-prefix 60-bit hashes: ONE native hash call per shingle,
+    oracle-twinnable in DuckDB; a char-fold polyhash cost 16× more in
+    minhash signatures because Catalyst inlines the shingle subtree into
+    every permutation expression).
 
     Input is spread to the session's parallelism first (no-op at scale):
     the shingle+md5 expression tree is the dominant cost of every operator
     built on this, and a small single-file scan would otherwise compute it
-    all on one core."""
+    all on one core. Built via the SQL-text twin (r18): one JVM-side
+    parse instead of ~125 ms of py4j Column-builder round trips per call
+    — bit-identical, pinned in tests/test_text.py."""
     df = spread_input(df)
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), n), lambda s: _hash_shingle(s))
-        ).alias("shingles"),
+        hashed_shingles_sql(text_col, n).alias("shingles"),
     )
-
-
-def _hash_shingle(s):
-    # md5-prefix (60-bit): ONE native hash call per shingle and oracle-
-    # twinnable in DuckDB. A char-fold polyhash here cost 16× more in
-    # minhash signatures — Catalyst inlines the shingle subtree into every
-    # permutation expression, so the per-shingle hash must be cheap.
-    return md5_prefix_int(s)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -665,7 +698,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"k must be in [1, {len(MINHASH_A)}] — one affine "
                          f"permutation per signature element (got {k})")
     sets = _shingle_sets(df, text_col, id_col, n)
-    return sets.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    # SQL-text twin (r18): the k=16 Column build alone cost ~180 ms of
+    # driver py4j latency per call; bit-identical, pinned in test_text
+    return sets.withColumn("sig", minhash_signature_sql("shingles", k))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -714,7 +749,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                  .filter(F.col("band_key").isNotNull()))
     sizing, fixed = _sizing_branch(sigs.select("id", "shingles"))
     stat_rows = sizing.unionByName(
-        _hot_keys_branch(band_rows, 512)).collect()
+        _hot_keys_branch(band_rows, _MAX_BUCKET_SIZE)).collect()
     n_sets, sets_bytes, hot = 0, fixed, []
     for row in stat_rows:
         if row["tag"] == 0:
@@ -765,8 +800,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60] — the md5-prefix token "
                          f"hash has 60 usable bits (got {bits})")
+    # SQL-text twin (r18): the bits=60 Column build alone cost ~280 ms
+    # of driver py4j latency per call; bit-identical, pinned in test_text
     return df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col), bits).alias("simhash"))
+                     simhash_sql(text_col, bits).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -822,6 +859,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 _CC_LOCAL_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) rows on the driver
+
+# semantic_dedup's candidate-pair exchange targets this many (id, id)
+# rows per partition: pairs are ~16-32 bytes each (two ids), so 1M rows
+# is a 16-32 MB partition whose cost is the per-pair dot AFTER the
+# vector join — seconds of CPU per task, comfortably re-splittable by
+# count. The floor (defaultParallelism) governs below ~32M pairs.
+_SEMANTIC_PAIRS_PER_PARTITION = 1_000_000
 
 
 def _cc_local_moved(und: DataFrame):
@@ -1146,9 +1190,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
     import math
 
     from data_warehouse_migrate_spark.functions.vectors import (
-        band_keys_from_projections,
+        band_keys_sql,
         dot,
-        hyperplane_projections,
         normalize,
     )
 
@@ -1181,25 +1224,28 @@ def embedding_near_dups(df: DataFrame, vec_col: str, id_col: str,
         # (r>16) — earlier widening measured 5× candidate volume at r=12
         # for no recall benefit (BENCH_DETAIL stress).
         probe_bits = 1 if r <= 16 else 2
-    # materialize once: unit-normalized vectors (per-pair cosine becomes a
-    # single dot) + projections (candidate join scans base three times);
-    # spread first — the n_planes dot products per row serialize on a
-    # single-partition scan otherwise
+    # materialize once: unit-normalized vectors (per-pair cosine becomes
+    # a single dot) + the banded keys (candidate join scans base three
+    # times); spread first — the n_planes dot products per row serialize
+    # on a single-partition scan otherwise. Keys come from the SQL-text
+    # twin band_keys_sql (r18, guide §1.2 driver-bound work): ONE
+    # JVM-side parse instead of ~130 ms of py4j Column-builder round
+    # trips per call (bit-identical, pinned in tests/test_similarity),
+    # and the persisted payload carries bands longs instead of the
+    # n_planes-double projection column the Column form cached.
     df = spread_input(df)
     from pyspark import StorageLevel
 
     base = df.select(
         F.col(id_col).alias("id"),
         normalize(F.col(vec_col)).alias("vec"),
-        hyperplane_projections(F.col(vec_col), n_planes).alias("proj")
+        band_keys_sql(vec_col, n_planes, bands, r).alias("bkeys")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # persist + size in ONE job (the sizing agg is the materializer)
     n_rows, base_bytes = count_and_row_bytes(base.select("id", "vec"))
-    keys = band_keys_from_projections(F.col("proj"), bands, r)
-    membership = (base.select("id", keys.alias("bkeys"))
-                  .select("id", "bkeys",
-                          F.posexplode(F.col("bkeys")).alias("band",
-                                                             "band_key")))
+    membership = base.select("id", "bkeys",
+                             F.posexplode(F.col("bkeys")).alias("band",
+                                                                "band_key"))
     probes = membership.select(
         "id", "bkeys", "band",
         F.explode(_probe_keys(F.col("band_key"), r, probe_bits)).alias("band_key"))
@@ -1390,25 +1436,40 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
         normalize(F.col(vec_col)).alias("__nv")).persist(
         StorageLevel.MEMORY_AND_DISK)
     # ONE fused eager action (same shape as minhash_lsh_pairs): the
-    # vector-side sizing aggregate and the hot-cell key probe run as
-    # tagged union branches, materializing BOTH lazy persists
+    # vector-side sizing aggregate, the hot-cell key probe AND the
+    # within-cell pair count (Σ B·(B−1)/2 over the same bucket counts)
+    # run as tagged union branches, materializing BOTH lazy persists
     sizing, fixed = _sizing_branch(base)
-    stat_rows = sizing.unionByName(
-        _hot_keys_branch(band_rows, max_bucket_size)).collect()
-    n_rows, base_bytes, hot = 0, fixed, []
+    stat_rows = (sizing
+                 .unionByName(_hot_keys_branch(band_rows, max_bucket_size))
+                 .unionByName(_pair_sum_branch(band_rows))).collect()
+    n_rows, base_bytes, hot, est_pairs = 0, fixed, [], 0
     for row in stat_rows:
         if row["tag"] == 0:
             n_rows = int(row["c1"])
             base_bytes = fixed + float(row["c2"] or 0.0)
+        elif row["tag"] == 2:
+            est_pairs = int(row["c1"] or 0)
         else:
             hot.append((int(row["c1"]), int(row["c2"])))
     hot_pdf = pd.DataFrame(hot, columns=["band", "band_key"])
     cand = _bucket_pairs(band_rows, ["id"],
                          max_bucket_size=max_bucket_size, diag=diag,
                          hot_pdf=hot_pdf)
+    # pair-exchange width from the MEASURED pair volume, not cluster
+    # width (r17 verdict item 6): repartition(defaultParallelism) sized
+    # the exchange by machine, so at 100 TB with heavy cells the
+    # pairs-per-partition was unbounded (AQE deliberately cannot
+    # re-split a user-numbered repartition — that opt-out is why the
+    # explicit repartition exists; see the id-pairs note above). The
+    # exact candidate count is already in the fused collect (tag=2), so
+    # width = ceil(pairs / _SEMANTIC_PAIRS_PER_PARTITION), floored at
+    # defaultParallelism so small candidate sets still use every core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(par, -(-est_pairs // _SEMANTIC_PAIRS_PER_PARTITION))
     cand_ids = (cand.select(F.col("a.id").alias("id_a"),
                             F.col("b.id").alias("id_b"))
-                .repartition(df.sparkSession.sparkContext.defaultParallelism))
+                .repartition(n_parts))
     pairs = (cand_ids
              .join(_maybe_broadcast(
                  base.select(F.col("id").alias("id_a"),

@@ -249,6 +249,13 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str, id_col: str,
                 nrm = sum(x * x for x in mean) ** 0.5
                 if nrm > 0:
                     new_cents[cid] = [x / nrm for x in mean]
+            if new_cents == cents:
+                # EXACT fixed point: the update map is deterministic in
+                # the centroids, so every remaining round would return
+                # these same floats — skip the leftover eager passes
+                # (r18, guide §1.2 remove passes). Bitwise equality
+                # only: a tolerance here would change results.
+                break
             cents = new_cents
     finally:
         unit.unpersist()

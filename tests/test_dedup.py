@@ -554,3 +554,69 @@ def test_cosine_from_norms_matches_cosine(spark):
             assert r.factored != r.factored
         else:
             assert r.direct == r.factored  # bit-identical doubles
+
+
+def test_first_band_multi_probe_adversarial(spark):
+    """r18 (r17 verdict item 8): pin the MULTI-PROBE first-band
+    invariant. embedding_near_dups' first-colliding-band suppression
+    must use the SAME collision predicate as candidate generation —
+    in-band hamming <= probe_bits, NOT key equality. Adversarial case:
+    perturbed near-duplicate clusters whose band keys agree exactly in
+    some bands and differ by 1-2 bits in others, so a pair can collide
+    via a probe flip in an early band and exactly in a later band — a
+    key-equality regression would fail to suppress the later emission
+    and, with no dedup shuffle downstream, emit duplicate OUTPUT rows.
+    Also pins precision 1.0: every emitted pair must appear in the
+    brute-force exact pair set with the identical rounded cosine."""
+    import math
+    import random
+
+    from data_warehouse_migrate_spark.operators.dedup import (
+        embedding_exact_pairs,
+        embedding_near_dups,
+    )
+
+    rng = random.Random(181)
+    rows = []
+    vid = 0
+    for c in range(12):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(6):  # 6 perturbed members per cluster
+            vec = [x + rng.uniform(-0.08, 0.08) for x in base]
+            nrm = math.sqrt(sum(x * x for x in vec))
+            rows.append((vid, [x / nrm for x in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for probe_bits in (1, 2):
+        pairs = embedding_near_dups(emb, "embedding", "vec_id",
+                                    threshold=0.9, n_planes=24, bands=4,
+                                    probe_bits=probe_bits).collect()
+        keys = [(r.id_a, r.id_b) for r in pairs]
+        assert len(keys) == len(set(keys)), \
+            f"duplicate pair emitted at probe_bits={probe_bits}"
+        assert len(keys) > 0  # the clusters guarantee near-dup pairs
+        exact = {(r.id_a, r.id_b): r.cosine
+                 for r in embedding_exact_pairs(
+                     emb, "embedding", "vec_id", threshold=0.9).collect()}
+        for r in pairs:  # precision 1.0 with identical rounded cosine
+            assert exact.get((r.id_a, r.id_b)) == r.cosine
+
+
+def test_pair_sum_branch_exact_counts(spark):
+    """r18 (r17 verdict item 6): the fused pair-count branch that sizes
+    semantic_dedup's candidate-pair exchange must return EXACTLY
+    sum-over-buckets of B*(B-1)/2, drop NULL band keys (matching
+    _bucket_pairs' routing), and read 0 on an empty/all-NULL frame."""
+    from data_warehouse_migrate_spark.operators.dedup import _pair_sum_branch
+
+    rows = ([(i, 0, 7) for i in range(5)]        # bucket of 5 -> 10 pairs
+            + [(i, 0, 8) for i in range(3)]      # bucket of 3 -> 3
+            + [(100, 1, 7), (101, 1, None)])     # singleton + NULL key
+    df = spark.createDataFrame(rows, "id long, band int, band_key int")
+    row = _pair_sum_branch(df).collect()[0]
+    assert row["tag"] == 2 and int(row["c1"]) == 13
+
+    empty = df.filter(F.col("band_key").isNull())
+    row = _pair_sum_branch(empty).collect()[0]
+    assert int(row["c1"]) == 0

@@ -314,3 +314,61 @@ def test_gopher_keep_equals_flags_keep(spark, sf_dir):
     bound = X.gopher_keep(F.col("text"), min_words=5, min_stopword_hits=1)
     assert d.filter(flags["keep"] != bound).count() == 0
     assert d.filter(bound).count() > 0   # nonempty keep set at these floors
+
+
+def test_sql_twins_match_column_builders(spark, sf_dir):
+    """r18: the fingerprint operators build their expressions via
+    SQL-text twins (one JVM parse) instead of py4j Column builders
+    (~180-280 ms of driver round-trips per call). The twins must be
+    BIT-IDENTICAL to the Column forms — this pin is what keeps
+    signatures/fingerprints computed by either form interchangeable
+    (and the DuckDB oracle twins valid) forever. Edge cases: empty
+    text, NULL, single word, ragged whitespace, unicode, long text."""
+    from data_warehouse_migrate_spark.functions.text import (
+        hashed_shingles_sql,
+        md5_prefix_int,
+        minhash_signature,
+        minhash_signature_sql,
+        simhash,
+        simhash_sql,
+        word_shingles,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""), (3, None), (4, "one"),
+            (5, "  padded   whitespace\ttabs  "),
+            (6, "Ünïcode tøkens ünïcode agaín mixed CASE Text"),
+            (7, "a b"), (8, "x " * 500)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    col_sh = F.array_distinct(
+        F.transform(word_shingles(F.col("text"), 3),
+                    lambda s: md5_prefix_int(s)))
+    a = df.select("id", col_sh.alias("sh"),
+                  simhash(F.col("text"), 60).alias("s60"),
+                  simhash(F.col("text"), 7).alias("s7")).collect()
+    b = df.select("id", hashed_shingles_sql("text", 3).alias("sh"),
+                  simhash_sql("text", 60).alias("s60"),
+                  simhash_sql("text", 7).alias("s7")).collect()
+    assert a == b
+
+    sets = df.select("id", col_sh.alias("shingles"))
+    for k in (16, 5, 1):
+        ca = sets.select(
+            "id", minhash_signature(F.col("shingles"), k).alias("sig")
+        ).collect()
+        cb = sets.select(
+            "id", minhash_signature_sql("shingles", k).alias("sig")
+        ).collect()
+        assert ca == cb
+
+    # real corpus: every doc, shingle sizes n=2 and n=3
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for n in (2, 3):
+        csh = F.array_distinct(
+            F.transform(word_shingles(F.col("text"), n),
+                        lambda s: md5_prefix_int(s)))
+        ra = d.select("doc_id", csh.alias("sh")).collect()
+        rb = d.select("doc_id",
+                      hashed_shingles_sql("text", n).alias("sh")).collect()
+        key = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(ra, key=key) == sorted(rb, key=key)
