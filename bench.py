@@ -173,10 +173,84 @@ def read_loadavg() -> list[float] | None:
         return None
 
 
+# Plan-affecting session configuration fingerprint (r17 verdict item 7):
+# a session-wide knob flip (r17: preferSortMergeJoin=false,
+# parallelismFirst=false) legitimately moves stage/shuffle counters on
+# queries whose OPERATOR code never changed — and the r17 round doc
+# over-claimed "byte-identical untouched counters" because the diff had
+# no way to distinguish the two eras. Each artifact now records these
+# keys' resolved values; the diff tags its counters_changed list
+# config-era (fingerprints differ — counter moves may come from the
+# config flip) vs operator-era (fingerprints identical — counter moves
+# are code/data changes to bisect).
+CONFIG_FINGERPRINT_KEYS = (
+    "spark.sql.join.preferSortMergeJoin",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.parquet.filterPushdown",
+    "spark.sql.parquet.aggregatePushdown",
+)
+
+
+def read_config_fingerprint(spark) -> dict:
+    out = {}
+    for k in CONFIG_FINGERPRINT_KEYS:
+        try:
+            out[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key: record the absence
+            out[k] = None
+    return out
+
+
+def config_era_block(prev_detail: dict, session_configs: dict | None,
+                     n_counters_changed: int) -> dict:
+    """The era tag for this run's counters_changed list. Tristate:
+    operator-era (fingerprints identical), config-era (some fingerprint
+    key moved — counter changes are then ambiguous between the config
+    flip and any operator change in the same round), unknown-era (the
+    baseline artifact predates the fingerprint)."""
+    prev_cfg = prev_detail.get("session_configs")
+    if session_configs is None:
+        return {"tag": "unknown-era", "reason": "this run recorded no "
+                                                "fingerprint"}
+    if prev_cfg is None:
+        return {
+            "tag": "unknown-era",
+            "config_keys_changed": None,
+            "now": session_configs,
+            "reason": ("baseline artifact predates the session-config "
+                       "fingerprint — counter deltas cannot be "
+                       "attributed to an era mechanically"),
+        }
+    changed_keys = sorted(k for k in set(prev_cfg) | set(session_configs)
+                          if prev_cfg.get(k) != session_configs.get(k))
+    return {
+        "tag": "config-era" if changed_keys else "operator-era",
+        "config_keys_changed": changed_keys,
+        "now": session_configs,
+        "baseline": prev_cfg,
+        "reason": (
+            f"{len(changed_keys)} fingerprint key(s) differ from the "
+            f"baseline — every entry in counters_changed is ambiguous "
+            f"between the config flip and an operator change; round "
+            f"docs must not claim byte-identical untouched plans"
+            if changed_keys else
+            f"fingerprints identical — the {n_counters_changed} "
+            f"counters_changed entr(ies) are operator/data moves to "
+            f"bisect, and unchanged counters prove plan identity"),
+    }
+
+
 def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
                               sf: str, diagnostics: dict | None = None,
                               baseline_error: str | None = None,
-                              baseline_source: str | None = None) -> dict:
+                              baseline_source: str | None = None,
+                              session_configs: dict | None = None) -> dict:
     """Mechanical plan-counter diff vs the previous sealed artifact (r10
     verdict item 2 — the r10 seal-vs-rerun attribution was done by hand
     in the verdict; from r11 on "host vs plan" is a committed per-query
@@ -274,6 +348,10 @@ def compute_plan_counter_diff(prev_detail: dict, plan_counters: dict,
             n for n in plan_counters if not _valid(plan_counters[n])),
         "baseline_invalid": sorted(
             n for n in prev_counters if not _valid(prev_counters[n])),
+        # era tag for counters_changed (r17 verdict item 7) — see
+        # config_era_block
+        "config_era": config_era_block(prev_detail, session_configs,
+                                       len(changed)),
     }
     if diagnostics is not None:
         prev_diag = prev_detail.get("diagnostics") or {}
@@ -1469,10 +1547,12 @@ def main() -> int:
         diagnostics[name] = fn(spark, sf_dir)
         print(f"  diag {name}: {diagnostics[name]}", file=sys.stderr)
 
+    session_configs = read_config_fingerprint(spark)
     plan_counter_diff = compute_plan_counter_diff(
         prev_detail, plan_counters, sf, diagnostics=diagnostics,
         baseline_error=prev_detail_error,
-        baseline_source=drift_baseline_source)
+        baseline_source=drift_baseline_source,
+        session_configs=session_configs)
     print(f"  plan_counter_diff: "
           f"changed={plan_counter_diff.get('counters_changed')} "
           f"unchanged={plan_counter_diff.get('counters_unchanged')} "
@@ -1598,7 +1678,8 @@ def main() -> int:
                      "plan_counters": plan_counters,
                      "query_wallclock": {"t_start": query_t_start},
                      "host_load": host_load,
-                     "diagnostics": diagnostics}
+                     "diagnostics": diagnostics,
+                     "session_configs": session_configs}
         drift_attribution = _ad.attribute(
             prev_detail, _now_view,
             baseline_source=drift_baseline_source,
@@ -1876,6 +1957,10 @@ def main() -> int:
         # plan/data regression) covers the whole headline+extended set,
         # not just the dedup/LSH family's bespoke diag.
         "plan_counters": plan_counters,
+        # plan-affecting session-config fingerprint (r17 verdict item
+        # 7): the era tag in plan_counter_diff.config_era reads this
+        # against the baseline artifact's copy
+        "session_configs": session_configs,
         # committed per-query host-vs-plan attribution (r10 verdict item
         # 2): see notes.plan_counter_diff for read rules
         "plan_counter_diff": plan_counter_diff,

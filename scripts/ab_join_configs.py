@@ -45,7 +45,7 @@ VARIANTS = {
 }
 
 
-def child(variant: str, query: str, draws: int) -> None:
+def child(variant: str, draws: int) -> None:
     from data_warehouse_migrate_spark.queries import QUERIES
     from data_warehouse_migrate_spark.session import get_spark
 
@@ -58,22 +58,25 @@ def child(variant: str, query: str, draws: int) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # generic warm-up (bench protocol: JVM + arrow workers + file index)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    QUERIES[query](spark, sf_dir).count()  # codegen warm-up, untimed
-    times = []
-    for _ in range(draws):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        QUERIES[query](spark, sf_dir).count()
-        times.append(round(time.perf_counter() - t0, 3))
-    # physical join strategy actually executed (AQE final plan)
-    df = QUERIES[query](spark, sf_dir)
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    joins = sorted({op for op in (
-        "BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin",
-        "BroadcastNestedLoopJoin") if op in plan})
-    print(json.dumps({"variant": variant, "query": query, "draws": times,
-                      "joins": joins}))
+    out = []
+    for query in QUERIES_UNDER_TEST:
+        QUERIES[query](spark, sf_dir).count()  # codegen warm-up, untimed
+        times = []
+        for _ in range(draws):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[query](spark, sf_dir).count()
+            times.append(round(time.perf_counter() - t0, 3))
+        # physical join strategy actually executed (AQE final plan)
+        df = QUERIES[query](spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        joins = sorted({op for op in (
+            "BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin",
+            "BroadcastNestedLoopJoin") if op in plan})
+        out.append({"variant": variant, "query": query, "draws": times,
+                    "joins": joins})
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -81,10 +84,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--draws", type=int, default=2)
-    ap.add_argument("--child", nargs=2, metavar=("VARIANT", "QUERY"))
+    ap.add_argument("--child", metavar="VARIANT")
     args = ap.parse_args()
     if args.child:
-        child(args.child[0], args.child[1], args.draws)
+        child(args.child, args.draws)
         return 0
 
     results: dict[str, dict[str, list[float]]] = {
@@ -95,13 +98,13 @@ def main() -> int:
     for rnd in range(args.rounds):
         # round-robin over variants so every variant sees every window
         for variant in VARIANTS:
-            for query in QUERIES_UNDER_TEST:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", variant, query, "--draws", str(args.draws)],
-                    capture_output=True, text=True, check=True)
-                line = out.stdout.strip().splitlines()[-1]
-                rec = json.loads(line)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", variant, "--draws", str(args.draws)],
+                capture_output=True, text=True, check=True)
+            line = out.stdout.strip().splitlines()[-1]
+            for rec in json.loads(line):
+                query = rec["query"]
                 results[query][variant].extend(rec["draws"])
                 joins[query][variant] = rec["joins"]
                 print(f"  round {rnd} {variant:9s} {query:20s} "

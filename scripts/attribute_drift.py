@@ -97,7 +97,9 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
                                      now.get("sf"),
                                      diagnostics=now.get("diagnostics"),
                                      baseline_source=baseline_source,
-                                     baseline_error=baseline_error)
+                                     baseline_error=baseline_error,
+                                     session_configs=now.get(
+                                         "session_configs"))
     prev_t, now_t = all_times(prev), all_times(now)
     # no ratios across scales: cross-sf seconds are not comparable and
     # a consumer reading the dict (not the early-returning CLI) must
@@ -185,6 +187,10 @@ def attribute(prev: dict, now: dict, threshold: float = 1.5,
         # disclosure when the preferred file was corrupt
         "baseline": diff.get("baseline"),
         "counters_changed": sorted(changed),
+        # era tag for counters_changed (r17 verdict item 7): config-era
+        # deltas are ambiguous between a session-knob flip and an
+        # operator change; operator-era deltas are real code/data moves
+        "config_era": diff.get("config_era"),
         "unattributable": sorted(unattributable),
         "n_ratios": len(ratios),
         "ratios_over_threshold": over_rollup,

@@ -711,3 +711,36 @@ def test_identical_runs_report_all_unchanged():
                                   "0.1")
     assert d["counters_changed"] == []
     assert d["counters_unchanged"] == 2
+
+
+def test_config_era_tagging():
+    """r18 (r17 verdict item 7): counters_changed must carry a
+    mechanical era tag — operator-era when the session-config
+    fingerprints match, config-era when any key moved, unknown-era when
+    the baseline predates the fingerprint — so round docs can no longer
+    over-claim 'byte-identical untouched plans' across a config flip."""
+    from bench import compute_plan_counter_diff
+
+    counters = {"q1": {"a": 1}, "q2": {"a": 2}}
+    prev = {"sf": "0.1", "plan_counters": {"q1": {"a": 1}, "q2": {"a": 9}},
+            "session_configs": {"spark.sql.join.preferSortMergeJoin":
+                                "true"}}
+    now_cfg_same = {"spark.sql.join.preferSortMergeJoin": "true"}
+    now_cfg_flip = {"spark.sql.join.preferSortMergeJoin": "false"}
+
+    d = compute_plan_counter_diff(prev, counters, "0.1",
+                                  session_configs=now_cfg_same)
+    assert d["config_era"]["tag"] == "operator-era"
+    assert d["config_era"]["config_keys_changed"] == []
+    assert d["counters_changed"] == ["q2"]
+
+    d = compute_plan_counter_diff(prev, counters, "0.1",
+                                  session_configs=now_cfg_flip)
+    assert d["config_era"]["tag"] == "config-era"
+    assert d["config_era"]["config_keys_changed"] == [
+        "spark.sql.join.preferSortMergeJoin"]
+
+    old_prev = {"sf": "0.1", "plan_counters": {"q1": {"a": 1}}}
+    d = compute_plan_counter_diff(old_prev, counters, "0.1",
+                                  session_configs=now_cfg_same)
+    assert d["config_era"]["tag"] == "unknown-era"
