@@ -898,9 +898,23 @@ _CC_LOCAL_MAX_EDGES = 5_000_000  # ~80 MB of (long, long) rows on the driver
 _SEMANTIC_PAIRS_PER_PARTITION = 1_000_000
 
 
-def _cc_local_moved(und: DataFrame):
-    """Driver-side connected components over a (s, d) edge frame that fits
-    ``_CC_LOCAL_MAX_EDGES``: returns a pandas DataFrame (node,
+def _edges_pdf_or_none(und: DataFrame, local_max_edges: int):
+    """ONE action deciding local-vs-distributed CC AND delivering the
+    local path's edges: ``limit(max+1).toPandas()`` — len ≤ max means
+    the frame IS the complete edge set (ready for ``_cc_local_moved``),
+    len == max+1 means fall back to distributed CC. Replaces the r17
+    count-then-toPandas pair (two eager jobs, both full passes over the
+    pair generator's lineage) with a single pass; the common local path
+    needs no persist at all because nothing reads the edges twice
+    (r18, guide §1.2 remove passes). Returns (pdf | None) — None =
+    over the bound."""
+    pdf = und.limit(local_max_edges + 1).toPandas()
+    return pdf if len(pdf) <= local_max_edges else None
+
+
+def _cc_local_moved(pdf):
+    """Driver-side connected components over a pandas (s, d) edge frame
+    that fits ``_CC_LOCAL_MAX_EDGES``: returns a pandas DataFrame (node,
     __cc_label) for exactly the nodes whose component min is NOT
     themselves (the 'moved' nodes — for dedup, the drop list), or None
     for an empty edge set. Nodes absent from the result keep their own id.
@@ -921,7 +935,6 @@ def _cc_local_moved(und: DataFrame):
     fixed point per component is its min id."""
     import numpy as np
 
-    pdf = und.toPandas()
     if not len(pdf):
         return None
     sv = pdf["s"].to_numpy()
@@ -982,16 +995,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     """
     from pyspark import StorageLevel
 
-    # persist + count in ONE job (the count IS the materializing action;
-    # the r16 shape ran _materialize's count and then a second count on
-    # the cached frame — a whole extra scheduling round for a number the
-    # first job already knew)
-    und = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
-                        F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
-           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    n_edges = und.count()
-    if n_edges <= local_max_edges:
-        lab_pdf = _cc_local_moved(und)
+    # ONE fused action decides the regime AND delivers the local path's
+    # edges (r18): limit(max+1).toPandas() replaces the r17
+    # count-then-toPandas pair; the local path never persists (nothing
+    # reads the edge frame twice). The distributed fallback re-derives
+    # the distinct once more under its own persist — the degenerate-
+    # scale path pays one extra pass so the common path saves one.
+    und = edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+                       F.greatest(F.col(src_col), F.col(dst_col)).alias("d")
+                       ).distinct()
+    pdf = _edges_pdf_or_none(und, local_max_edges)
+    if pdf is not None:
+        lab_pdf = _cc_local_moved(pdf)
         spark = nodes.sparkSession
         if lab_pdf is not None and len(lab_pdf):
             id_t = nodes.schema[id_col].dataType.simpleString()
@@ -1007,6 +1022,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                                F.col(id_col).alias("cluster_id"))
         return out
 
+    # fallback regime: sym references und TWICE (forward + reversed), so
+    # the distinct must persist here or run once per branch
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
     sym = (und.select("s", "d")
            .unionByName(und.select(F.col("d").alias("s"),
                                    F.col("s").alias("d"))))
@@ -1127,24 +1145,24 @@ def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
     At 100 TB the drop list is duplicate-sized, not corpus-sized, so AQE
     broadcasts the anti join and the kept corpus never reshuffles.
 
-    Job shape (r17): the normalized-distinct edge set is persisted in ONE
-    count job (the pair generator's lineage runs exactly once), and below
-    the local-CC edge bound the drop list comes STRAIGHT from the
-    driver-side union-find's moved nodes — the r16 shape materialized the
-    raw pairs, derived a members frame, ran full connected_components
-    (labels for every member, broadcast-joined back through the member
-    list) and only then filtered label != id; the moved nodes ARE that
-    filter's result, so three jobs and two shuffles of the chain carried
-    no information the drop list needed.
+    Job shape (r18): ONE fused eager action — limit(bound+1).toPandas()
+    over the normalized-distinct edges — both decides the regime and
+    delivers the local path's edge set, and below the bound the drop
+    list comes STRAIGHT from the driver-side union-find's moved nodes.
+    The r17 shape paid count-then-toPandas (two eager jobs); the r16
+    shape additionally materialized the raw pairs, derived a members
+    frame, ran full connected_components and filtered label != id —
+    the moved nodes ARE that filter's result. The local path needs no
+    persist (nothing reads the edges twice); the distributed fallback
+    re-derives the distinct under its own persist (one extra pass on
+    the degenerate-scale path buys one fewer on the common one).
     """
-    from pyspark import StorageLevel
-
-    und = (pairs.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
-                        F.greatest(F.col(src_col), F.col(dst_col)).alias("d"))
-           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    n_edges = und.count()
-    if n_edges <= _CC_LOCAL_MAX_EDGES:
-        moved = _cc_local_moved(und)
+    und = pairs.select(F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+                       F.greatest(F.col(src_col), F.col(dst_col)).alias("d")
+                       ).distinct()
+    pdf = _edges_pdf_or_none(und, _CC_LOCAL_MAX_EDGES)
+    if pdf is not None:
+        moved = _cc_local_moved(pdf)
         if moved is None or not len(moved):
             return df
         spark = df.sparkSession
@@ -1153,6 +1171,9 @@ def near_dup_removal(df: DataFrame, pairs: DataFrame, id_col: str,
             moved[["node"]], schema=f"node {id_t}")
         return df.join(F.broadcast(drops), df[id_col] == drops.node,
                        "left_anti")
+    # fallback regime: members + the CC iteration both re-read the edge
+    # set — persist it here (degenerate-scale path only)
+    und = _materialize(und)
     members = (und.select(F.col("s").alias(id_col))
                .unionByName(und.select(F.col("d").alias(id_col)))
                .distinct())
@@ -1457,18 +1478,23 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     import pandas as pd
     from pyspark import StorageLevel
 
-    band_rows = assigned.select(
-        F.col(id_col).alias("id"),
-        F.lit(0).alias("band"), F.col("cell").alias("band_key")).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    base = assigned.select(
-        F.col(id_col).alias("id"),
+    # ONE narrow persisted frame (id, cell, normalized vec) feeds both
+    # the bucketing side and the verify-join side (r18): the r17 shape
+    # persisted band_rows and base separately, so materialization paid
+    # TWO passes over the input scan + argmax/normalize lineage and
+    # held two caches — one pass and one cache carry the same
+    # information at every scale
+    quant = assigned.select(
+        F.col(id_col).alias("id"), F.col("cell"),
         normalize(F.col(vec_col)).alias("__nv")).persist(
         StorageLevel.MEMORY_AND_DISK)
+    band_rows = quant.select("id", F.lit(0).alias("band"),
+                             F.col("cell").alias("band_key"))
+    base = quant.select("id", "__nv")
     # ONE fused eager action (same shape as minhash_lsh_pairs): the
     # vector-side sizing aggregate, the hot-cell key probe AND the
     # within-cell pair count (Σ B·(B−1)/2 over the same bucket counts)
-    # run as tagged union branches, materializing BOTH lazy persists
+    # run as tagged union branches, materializing the lazy persist
     sizing, fixed = _sizing_branch(base)
     stat_rows = (sizing
                  .unionByName(_hot_keys_branch(band_rows, max_bucket_size))
