@@ -362,12 +362,13 @@ def _bucket_pairs(band_rows: DataFrame, payload_cols: list[str],
              .groupBy("band", "band_key")
              .agg(F.collect_list(member).alias("xs"))
              .filter(F.size("xs") > 1))
-    xs = F.col("xs")
-    pairs = F.flatten(F.transform(
-        xs,
-        lambda x, i: F.transform(F.slice(xs, i + F.lit(2), F.size(xs)),
-                                 lambda y: F.struct(x.alias("a"), y.alias("b"))),
-    ))
+    # SQL-text twin of the nested-lambda pair expansion (r18): the
+    # Column form cost ~150 ms of py4j round-trips per call (three
+    # nested higher-order builders); one JVM parse builds the same tree
+    pairs = F.expr(
+        "flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs)), "
+        "y -> struct(x AS a, y AS b))))")
     # ``pair_filter(a_struct, b_struct, band)`` (optional) runs while the
     # generating band is still in scope — the first-colliding-band rule
     # (``_first_band_filter``) needs it; both the in-array and the spill
@@ -767,10 +768,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # the candidates ``.distinct()`` (one full pair shuffle removed); the
     # extra ``bands`` ints per row are far cheaper than re-shuffling the
     # whole candidate set (guide §2.3/2.4)
-    bkeys = F.array(*[
-        F.hash(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-        for b in range(bands)
-    ])
+    # SQL-text twin (r18): bands × r getItem Column calls cost ~70 ms of
+    # py4j per call at k=16; hash(sig[i], ...) parses to the same tree
+    bkeys = F.expr("array(" + ", ".join(
+        "hash(" + ", ".join(f"sig[{i}]" for i in range(b * r, (b + 1) * r))
+        + ")" for b in range(bands)) + ")")
     band_rows = (sigs
                  .select("id", bkeys.alias("bkeys"))
                  .select("id", "bkeys",
